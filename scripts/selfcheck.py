@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/selfcheck.py <verify_out_dir> <sf_dir>
+
+Reads <verify_out_dir>/oracle_sql.json, registers the sf parquet tables
+in DuckDB, runs each oracle, reads the corresponding Spark parquet
+output, and compares: row count, column names (sorted), and a hash of
+the sorted row values. Mirrors what the driver does for
+CORRECTNESS_r{N}.json so oracle parity can be iterated locally.
+"""
+import sys, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            cur = con.execute(sql)
+            orows = cur.fetchall()
+            ocols = [d[0] for d in cur.description]
+            cur2 = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            srows = cur2.fetchall()
+            scols = [d[0] for d in cur2.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            failed.append(name)
+            continue
+        ok_cols = sorted(ocols) == sorted(scols)
+        ok_rows = len(orows) == len(srows)
+        ok_hash = ok_cols and ok_rows and \
+            table_hash(ocols, orows) == table_hash(scols, srows)
+        if ok_hash:
+            print(f"PASS {name}: {len(srows)} rows")
+        else:
+            failed.append(name)
+            print(f"FAIL {name}: cols={ok_cols} rows={ok_rows} "
+                  f"(oracle {len(orows)} vs spark {len(srows)})")
+            if not ok_cols:
+                print(f"     oracle cols: {sorted(ocols)}")
+                print(f"     spark  cols: {sorted(scols)}")
+            elif ok_rows:
+                oset = {tuple(map(canon, r)) for r in orows}
+                sset = {tuple(map(canon, r)) for r in srows}
+                diff_o = list(oset - sset)[:3]
+                diff_s = list(sset - oset)[:3]
+                print(f"     only-in-oracle: {diff_o}")
+                print(f"     only-in-spark : {diff_s}")
+    # queries without oracle: rows-only check
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} oracle-checked queries pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.EtlQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
+  *
+  * `queries` holds one named entry per implemented operator from
+  * SURVEY.md §2 (plus the training-data-pipeline operators); `oracleSql`
+  * holds the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+  * Column names are aligned between both sides — the driver sorts
+  * columns by name before hashing values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the reference's full incremental-load pipeline shape (§3.1):
+    * scan -> clean -> dedup -> anti-join -> projection. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EtlQueries.incrementalAntijoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    EtlQueries.queries
+
+  def oracleSql: Map[String, String] =
+    EtlQueries.oracles
 }

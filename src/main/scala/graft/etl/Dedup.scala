@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** "Latest record wins" dedup.
+  *
+  * The reference expresses this as an inner self-join against a
+  * `GROUP BY key -> MAX(ID), MAX(cast(created as date))` subquery pushed
+  * to SQL Server (reference: `Load CT Patients Job/src/main/resources/
+  * LoadSourceCTPatients.sql:10-17`, `Load HTS Clients/src/main/resources/
+  * LoadHtsClients.sql:26-34`). Idiomatic Spark is a window + row_number
+  * filter: ONE shuffle on the key instead of a scan + aggregate +
+  * shuffle-join of the table against itself — strictly better at scale.
+  *
+  * Both semantics are provided:
+  *  - [[latestPerKey]]: window `row_number == 1` ordered by the given
+  *    columns descending — the "fixed" semantics (always keeps exactly
+  *    one row per key).
+  *  - [[maxFieldsDedup]]: the reference's literal semantics — keep rows
+  *    matching max(order1) AND max(order2) independently; this can keep
+  *    >1 row per key on ties and can DROP a key entirely when the row
+  *    with max ID is not the row with max created-date (SURVEY.md §7.4
+  *    risk 2). Kept for bit-parity experiments.
+  */
+object Dedup {
+
+  /** One row per `keys`, the greatest by `order` columns (descending,
+    * nulls last). Deterministic iff `order` is a total order per key. */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(c => col(c).desc_nulls_last): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Reference-literal dedup: rows where EVERY `maxCols` column equals
+    * its per-key max (independent maxima, as in the T-SQL GROUP-BY-MAX
+    * self-join). */
+  def maxFieldsDedup(df: DataFrame, keys: Seq[String], maxCols: Seq[String]): DataFrame = {
+    // Window-based rewrite of the self-join: compute each max over a
+    // key-partitioned window (one shuffle, reused for all max columns),
+    // then filter. Equivalent to the reference's inner join against the
+    // GROUP BY subquery, without scanning the input twice.
+    val w = Window.partitionBy(keys.map(col): _*)
+    val withMax = maxCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__max_$i", max(col(c)).over(w))
+    }
+    val cond: Column = maxCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__max_$i") }
+      .reduce(_ && _)
+    withMax.filter(cond).drop(maxCols.indices.map(i => s"__max_$i"): _*)
+  }
+}
