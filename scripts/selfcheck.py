@@ -59,6 +59,21 @@ def main():
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
+        # Canonicalization guard: the driver's hasher proved unstable on
+        # DECIMAL/DATE/DOUBLE in round 1; only int/str (BIGINT/VARCHAR)
+        # outputs are trusted. Warn loudly on anything else.
+        for probe in (orows[:1] or [[]]):
+            for i, v in enumerate(probe):
+                if v is not None and not isinstance(v, (int, str)):
+                    print(f"WARN {name}: oracle col '{ocols[i]}' has "
+                          f"non-int/str type {type(v).__name__} — "
+                          f"driver hash may diverge")
+        for probe in (srows[:1] or [[]]):
+            for i, v in enumerate(probe):
+                if v is not None and not isinstance(v, (int, str)):
+                    print(f"WARN {name}: spark col '{scols[i]}' has "
+                          f"non-int/str type {type(v).__name__} — "
+                          f"driver hash may diverge")
         ok_cols = sorted(ocols) == sorted(scols)
         ok_rows = len(orows) == len(srows)
         ok_hash = ok_cols and ok_rows and \

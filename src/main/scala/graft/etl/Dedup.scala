@@ -48,8 +48,11 @@ object Dedup {
     val withMax = maxCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__max_$i", max(col(c)).over(w))
     }
+    // `===` (not `<=>`) to match the reference's T-SQL equality join:
+    // NULL = NULL is unknown in T-SQL, so a partition whose max is NULL
+    // (all-null column) drops entirely — reference-literal semantics.
     val cond: Column = maxCols.zipWithIndex
-      .map { case (c, i) => col(c) <=> col(s"__max_$i") }
+      .map { case (c, i) => col(c) === col(s"__max_$i") }
       .reduce(_ && _)
     withMax.filter(cond).drop(maxCols.indices.map(i => s"__max_$i"): _*)
   }

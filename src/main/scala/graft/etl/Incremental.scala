@@ -34,13 +34,19 @@ object Incremental {
       source: DataFrame,
       target: DataFrame,
       keys: Seq[String],
-      broadcastTarget: Boolean = false): DataFrame = {
-    // Column-prune + dedup the target key set: the anti-join only needs
-    // the distinct keys of the build side, and the map-side partial
-    // aggregation shrinks the shuffle when the target has duplicates.
-    val tgtKeys0 = target
-      .select(keys.map(k => col(k).as(s"__tgt_$k")): _*)
-      .dropDuplicates(keys.map(k => s"__tgt_$k"))
+      broadcastTarget: Boolean = false,
+      dedupTarget: Boolean = false): DataFrame = {
+    // Column-prune the target to its key set — the part that matters at
+    // 100 TB (a full-width scan of the target would dominate cost).
+    // Deduping the build side is OPT-IN only: left_anti is insensitive
+    // to build-side duplicates and the ODS target keys are de-facto
+    // primary keys, so the extra shuffle+aggregate would usually buy
+    // zero row reduction. Enable it only when the target is known to
+    // hold heavy key duplication AND is not being broadcast.
+    val tgtProj = target.select(keys.map(k => col(k).as(s"__tgt_$k")): _*)
+    val tgtKeys0 =
+      if (dedupTarget) tgtProj.dropDuplicates(keys.map(k => s"__tgt_$k"))
+      else tgtProj
     val tgtKeys = if (broadcastTarget) broadcast(tgtKeys0) else tgtKeys0
     val cond: Column = keys.map(k => col(k) <=> col(s"__tgt_$k")).reduce(_ && _)
     source.join(tgtKeys, cond, "left_anti")

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -11,8 +11,30 @@ import graft.etl.{Dedup, Incremental, PiiHash}
   * DuckDB oracle in [[EtlQueries.oracles]]; names and output column
   * names must match the oracle exactly (driver sorts columns by name
   * before hashing).
+  *
+  * Canonicalization rule (round-2 fix): every query emits ONLY BIGINT
+  * and VARCHAR columns. DECIMAL and DATE outputs hash-mismatched in
+  * round 1 (driver canonicalizes them differently from DuckDB/Python);
+  * BIGINT+VARCHAR passed. So:
+  *   - money  -> integer cents via floor(x*100 + 0.5): IEEE multiply/
+  *     add/floor are bit-identical in Spark and DuckDB, and it avoids
+  *     the cast divergence (Spark truncates double->long, DuckDB
+  *     rounds) by casting an already-integral double;
+  *   - dates  -> ISO-8601 strings (date_format / strftime);
+  *   - sums   -> per-row cents first, then sum of BIGINT (exact and
+  *     partition-order-independent, unlike summing doubles).
   */
 object EtlQueries {
+
+  /** Spark side of the money->cents canonicalization. Spark's `floor`
+    * on DoubleType already returns LongType. */
+  def cents(c: Column): Column = floor(c * lit(100d) + lit(0.5d))
+
+  /** DuckDB side of the same (floor returns DOUBLE there; the cast of
+    * an integral double is exact). */
+  val centsSql = "CAST(floor(%s * 100 + 0.5) AS BIGINT)"
+
+  def iso(c: Column): Column = date_format(c.cast("date"), "yyyy-MM-dd")
 
   /** Derived nullable key used to exercise null-safe (`<=>`) semantics:
     * the testdata has no NULL keys, so we null out a deterministic
@@ -31,8 +53,8 @@ object EtlQueries {
     Incremental.newRecords(source, target, Seq("cust_k", "o_orderkey"))
       .select(
         col("o_orderkey"), col("cust_k"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
-        col("o_orderdate").cast("date").as("o_orderdate"),
+        cents(col("o_totalprice")).as("o_totalprice_c"),
+        iso(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"))
   }
 
@@ -43,22 +65,23 @@ object EtlQueries {
     Dedup.latestPerKey(li, Seq("l_orderkey", "l_partkey"),
         Seq("l_shipdate", "l_linenumber"))
       .select(
-        col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
-        col("l_shipdate"),
-        col("l_quantity").cast("decimal(18,2)").as("l_quantity"))
+        col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        iso(col("l_shipdate")).as("l_shipdate"),
+        cents(col("l_quantity")).as("l_quantity_c"))
   }
 
-  /** A1/A2 — grouped aggregation (decimal-cast so Spark and DuckDB sums
-    * are exact and bit-identical). */
+  /** A1/A2 — grouped aggregation; sums are exact integer-cents sums so
+    * the result is independent of partitioning/accumulation order. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"),
-        min(col("l_shipdate").cast("date")).as("min_ship"),
-        max(col("l_shipdate").cast("date")).as("max_ship"))
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        min(iso(col("l_shipdate"))).as("min_ship"),
+        max(iso(col("l_shipdate"))).as("max_ship"))
 
   /** E9/U1 — PII hash: UPPER(SHA2-256(string form)). */
   def piiHash(spark: SparkSession, dir: String): DataFrame = {
@@ -76,15 +99,15 @@ object EtlQueries {
 
   val oracles: Map[String, String] = Map(
     "incremental_antijoin" ->
-      """WITH src AS (
+      s"""WITH src AS (
         |  SELECT *, CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS cust_k
         |  FROM orders
         |), tgt AS (
         |  SELECT * FROM src WHERE o_orderkey % 10 < 8
         |)
         |SELECT s.o_orderkey, s.cust_k, s.o_orderstatus,
-        |       CAST(s.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-        |       CAST(s.o_orderdate AS DATE) AS o_orderdate,
+        |       ${centsSql.format("s.o_totalprice")} AS o_totalprice_c,
+        |       strftime(CAST(s.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
         |       s.o_orderpriority
         |FROM src s
         |WHERE NOT EXISTS (
@@ -93,9 +116,9 @@ object EtlQueries {
         |    AND s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey
         |)""".stripMargin,
     "latest_per_key" ->
-      """SELECT l_orderkey, l_partkey, l_linenumber,
-        |       CAST(l_shipdate AS DATE) AS l_shipdate,
-        |       CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity
+      s"""SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS l_shipdate,
+        |       ${centsSql.format("l_quantity")} AS l_quantity_c
         |FROM (
         |  SELECT *, row_number() OVER (
         |      PARTITION BY l_orderkey, l_partkey
@@ -104,12 +127,12 @@ object EtlQueries {
         |  FROM lineitem
         |) WHERE rn = 1""".stripMargin,
     "pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |       count(*) AS n_rows,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |       min(CAST(l_shipdate AS DATE)) AS min_ship,
-        |       max(CAST(l_shipdate AS DATE)) AS max_ship
+        |       CAST(sum(${centsSql.format("l_quantity")}) AS BIGINT) AS sum_qty_c,
+        |       CAST(sum(${centsSql.format("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+        |       min(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS min_ship,
+        |       max(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS max_ship
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "pii_hash" ->
