@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.EtlQueries
+import graft.queries.{CleaningQueries, EtlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     EtlQueries.incrementalAntijoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries
+    EtlQueries.queries ++ CleaningQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracles
+    EtlQueries.oracles ++ CleaningQueries.oracles
 }

@@ -12,6 +12,18 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * only reads with `spark.sql.legacy.parquet.nanosAsLong=true` (as a
+    * BIGINT of nanoseconds). Convert to a microsecond timestamp here so
+    * downstream operators see a plain TimestampType — the ns->us
+    * truncation matches what DuckDB's us-resolution TIMESTAMP does when
+    * it reads the same file. */
+  private def nsToTimestamp(df: DataFrame, c: String): DataFrame =
+    if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr(s"$c div 1000")))
+    else df
+
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
@@ -19,7 +31,7 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame    = nsToTimestamp(load(spark, dir, "events"), "ts")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -15,6 +15,9 @@ object Verify {
       // Reference semantics are pre-ANSI (Spark 3.3 defaults): garbage
       // casts yield NULL, not errors (SURVEY §7.4 risk 7).
       .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as BIGINT ns
+      // (converted back in Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

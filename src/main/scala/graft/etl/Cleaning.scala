@@ -1,0 +1,92 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Expression-level cleaning combinators — the reference's largest
+  * operator family (~277 `withColumn`/`when` sites across 54 jobs, all
+  * built from `when(...).otherwise(...)` chains). Each combinator is a
+  * pure `Column => Column` so it stays inside WholeStageCodegen and
+  * composes into a single `Project` node — no UDFs anywhere.
+  *
+  * Reference semantics by operator id (SURVEY.md §2.3):
+  *  - E1 date range clamp -> sentinel:  `Load CT Patients Job/.../LoadCTPatients.java:112-141`
+  *  - E2 date range null-out:           `Load HTS Clients/.../LoadHtsClients.java:83-85`
+  *  - E3 future-bounded date:           `Load CT Patient Visits/.../LoadPatientVisits.java:103-105`
+  *  - E4 numeric clamp -> 999:          `Load CT ART Patients/.../LoadARTPatients.java:127-137`
+  *  - E5 value-set canonicalization:    `Load CT Adverse Events/.../LoadAdverseEvents.java:100-104`
+  *  - E6 empty-string -> null:          `Load Prep Patient/.../LoadPrepPatient.java:56-85`
+  *  - E7/E8 recode maps:                `Load HTS Eligibility/.../LoadHtsEligibility.java:62-76`,
+  *                                      `LoadARTPatients.java:121-126`
+  *  - E12 coalesce fill:                `Load HTS Client Tests/src/main/resources/LoadHtsClientTests.sql:9`
+  *  - E15 sentinel-date null-out:       `Load HTS Client Linkages/src/main/resources/LoadHtsClientLinkages.sql:16`
+  *  - E16 dual-format date parse:       `Load HTS Test Kits/src/main/resources/CleanTestKits.sql:1-50`
+  *
+  * "Today" is always an injected parameter (never `LocalDate.now()`
+  * inside the expression) so cleaning is deterministic and testable —
+  * SURVEY §7.4 risk 4.
+  */
+object Cleaning {
+
+  /** E1 — dates outside [lo, hi] replaced by a sentinel date
+    * (reference uses 1900-01-01). Null passes through (no branch hits). */
+  def clampDate(lo: LocalDate, hi: LocalDate,
+      sentinel: LocalDate = LocalDate.of(1900, 1, 1))(c: Column): Column =
+    when(c.lt(lit(lo.toString).cast("date")) ||
+         c.gt(lit(hi.toString).cast("date")),
+      lit(sentinel.toString).cast("date")).otherwise(c)
+
+  /** E2 — dates outside [lo, hi] become NULL instead of a sentinel. */
+  def nullOutsideDate(lo: LocalDate, hi: LocalDate)(c: Column): Column =
+    when(c.lt(lit(lo.toString).cast("date")) ||
+         c.gt(lit(hi.toString).cast("date")), lit(null)).otherwise(c)
+
+  /** E3 — future-bounded date: allowed up to today+graceYears (the
+    * reference lets NextAppointmentDate run 1 year ahead). */
+  def futureBounded(lo: LocalDate, today: LocalDate, graceYears: Int = 1)(
+      c: Column): Column =
+    clampDate(lo, today.plusYears(graceYears.toLong))(c)
+
+  /** E4 — numeric range clamp: value outside [lo, hi] -> sentinel
+    * (reference uses 999). Works on varchar-typed numerics via a float
+    * cast, exactly like the reference (`cast(DataTypes.FloatType)`);
+    * non-numeric strings cast to NULL and pass through unclamped. */
+  def clampNum(lo: Double, hi: Double, sentinel: Double = 999d)(
+      c: Column): Column = {
+    val f = c.cast("double")
+    when(f.lt(lit(lo)) || f.gt(lit(hi)), lit(sentinel)).otherwise(f)
+  }
+
+  /** E5 — value-set canonicalization: ordered (valueSet -> canonical)
+    * CASE-IN chain; first match wins, no match keeps the original. */
+  def canonicalize(mapping: Seq[(Seq[String], String)])(c: Column): Column =
+    mapping.foldRight(c) { case ((values, canon), acc) =>
+      when(c.isin(values.map(lit): _*), lit(canon)).otherwise(acc)
+    }
+
+  /** E7/E8 — exact-value recode map (binary recodes, EMR/project
+    * normalization). Unmatched values keep the original. */
+  def recode(mapping: Map[String, String])(c: Column): Column =
+    canonicalize(mapping.toSeq.map { case (k, v) => (Seq(k), v) })(c)
+
+  /** E6 — empty string -> NULL. */
+  def emptyToNull(c: Column): Column =
+    when(c === lit(""), lit(null)).otherwise(c)
+
+  /** E15 — sentinel value -> NULL (reference: date '0001-01-01'). */
+  def sentinelToNull(sentinel: String)(c: Column): Column =
+    when(c === lit(sentinel), lit(null)).otherwise(c)
+
+  /** E12 — null-coalesce fill. */
+  def fillNull(default: Any)(c: Column): Column = coalesce(c, lit(default))
+
+  /** E16 — dual-format date repair: try the primary (ISO) parse, fall
+    * back to an alternate format (reference: `convert(datetime, x, 103)`
+    * = dd/MM/yyyy), else NULL. Requires `spark.sql.ansi.enabled=false`
+    * so failed parses yield NULL (pre-ANSI reference semantics). */
+  def parseDualFormat(fallbackFmt: String = "dd/MM/yyyy HH:mm:ss")(
+      c: Column): Column =
+    coalesce(to_timestamp(c), to_timestamp(c, fallbackFmt))
+}
