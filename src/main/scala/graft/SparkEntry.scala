@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, EtlQueries}
+import graft.queries.{CleaningQueries, CohortQueries, EtlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -21,8 +21,8 @@ object SparkEntry {
     EtlQueries.incrementalAntijoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries ++ CleaningQueries.queries
+    EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracles ++ CleaningQueries.oracles
+    EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles
 }

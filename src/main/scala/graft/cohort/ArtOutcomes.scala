@@ -1,0 +1,127 @@
+package graft.cohort
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of-date cohort outcome engine — the Spark-native re-expression of
+  * the reference's one genuinely algorithmic job, the 250-line T-SQL of
+  * `Load Historical ART Outcome Base Table/src/main/resources/
+  * LoadHistoricalARTOutcomes.sql`:
+  *
+  *  - recursive-CTE month spine (`:4-19`)       -> [[monthEndSpine]]
+  *    (`sequence` + `explode` + `last_day`; Spark needs no recursion)
+  *  - cursor loop over month-ends (`:22-31`)    -> set-based: facts are
+  *    joined once against the whole broadcast spine and windowed per
+  *    (patient, as_of) — one pass over the facts instead of one rescan
+  *    per month, which is what makes this hold at 100 TB
+  *  - `row_number` latest-record CTEs (`:81-157`) -> [[latestAsOf]]
+  *  - full-outer visit+pharmacy combine (`:158-182`) -> [[outcomes]]
+  *  - next-appointment fix-up, `datediff >= 365 -> last encounter + 30`
+  *    (`:183-196`) -> [[outcomes]]
+  *  - ordered outcome CASE (`:197-232`), where branch ORDER is semantic
+  *    (discontinuation wins over exit letter — SURVEY §7.4 risk 5)
+  *
+  * Input frames use generic role columns:
+  *   visits    (patient_id, visit_date, visit_id, next_appt)
+  *   pharmacy  (patient_id, dispense_date, expected_return, disp_id, disp_sub)
+  *   exits     (patient_id, exit_date, exit_reason, exit_id)
+  *   disc      (patient_id, disc_date, disc_id)   — effective discontinuation
+  *   patients  (patient_id)
+  */
+object ArtOutcomes {
+
+  /** U2′ — month-end spine: one row per calendar month end in
+    * [from, to] (both interpreted by their month). */
+  def monthEndSpine(spark: SparkSession, from: LocalDate, to: LocalDate): DataFrame =
+    spark.range(1).select(explode(sequence(
+        lit(from.withDayOfMonth(1).toString).cast("date"),
+        lit(to.withDayOfMonth(1).toString).cast("date"),
+        expr("interval 1 month"))).as("m"))
+      .select(last_day(col("m")).as("as_of"))
+
+  /** W1-as-of — latest fact per (patient, as-of month): join facts to
+    * the broadcast spine on `date <= as_of` (a fact joins every month
+    * it is visible in), then keep row_number()==1 per (patient, as_of)
+    * ordered by (date, tiebreakers) descending. The spine is tiny, so
+    * the non-equi join is a broadcast nested loop with a fixed fan-out
+    * of at most |months| — no shuffle of the fact side beyond the final
+    * window exchange. */
+  def latestAsOf(facts: DataFrame, spine: DataFrame, dateCol: String,
+      tiebreak: Seq[String]): DataFrame = {
+    val joined = facts.join(broadcast(spine), col(dateCol) <= col("as_of"))
+    val w = Window.partitionBy(col("patient_id"), col("as_of"))
+      .orderBy((col(dateCol).desc +: tiebreak.map(col(_).desc)): _*)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The full cohort: one row per (patient, as_of) with the ART-outcome
+    * code. Branch order mirrors the reference exactly. */
+  def outcomes(patients: DataFrame, visits: DataFrame, pharmacy: DataFrame,
+      exits: DataFrame, disc: DataFrame, spine: DataFrame): DataFrame = {
+
+    val lastVisit = latestAsOf(visits, spine, "visit_date", Seq("visit_id"))
+      .select(col("patient_id").as("v_pid"), col("as_of").as("v_asof"),
+        col("visit_date"), col("next_appt"))
+    val lastDisp = latestAsOf(pharmacy, spine, "dispense_date",
+        Seq("disp_id", "disp_sub"))
+      .select(col("patient_id").as("d_pid"), col("as_of").as("d_asof"),
+        col("dispense_date"), col("expected_return"))
+    val lastExit = latestAsOf(exits, spine, "exit_date", Seq("exit_id"))
+      .select(col("patient_id").as("x_pid"), col("as_of").as("x_asof"),
+        col("exit_date"), col("exit_reason"))
+    val lastDisc = latestAsOf(disc, spine, "disc_date", Seq("disc_id"))
+      .select(col("patient_id").as("c_pid"), col("as_of").as("c_asof"),
+        col("disc_date"))
+    val firstVisit = visits.groupBy(col("patient_id").as("f_pid"))
+      .agg(min(col("visit_date")).as("first_visit"))
+
+    // J7 — full outer: a patient-month may have only visits, only
+    // dispenses, or both (vw_PatientLastEncounter shape).
+    val enc = lastVisit.join(lastDisp,
+        col("v_pid") <=> col("d_pid") && col("v_asof") <=> col("d_asof"),
+        "full_outer")
+      .select(
+        coalesce(col("v_pid"), col("d_pid")).as("e_pid"),
+        coalesce(col("v_asof"), col("d_asof")).as("e_asof"),
+        greatest(col("visit_date"), col("dispense_date")).as("last_encounter"),
+        greatest(col("next_appt"), col("expected_return")).as("next_expected0"))
+      // Fix-up rule (reference :183-196): an implausibly far next
+      // appointment (>= 365 days past the last encounter) is replaced
+      // by last_encounter + 30.
+      .withColumn("next_expected",
+        when(datediff(col("next_expected0"), col("last_encounter")) >= 365,
+          date_add(col("last_encounter"), 30))
+        .otherwise(col("next_expected0")))
+
+    // Patient x month universe; months broadcast (tiny dimension).
+    val universe = patients.select(col("patient_id"))
+      .join(broadcast(spine))
+
+    val full = universe
+      .join(enc, col("patient_id") <=> col("e_pid") &&
+        col("as_of") <=> col("e_asof"), "left")
+      .join(lastExit, col("patient_id") <=> col("x_pid") &&
+        col("as_of") <=> col("x_asof"), "left")
+      .join(lastDisc, col("patient_id") <=> col("c_pid") &&
+        col("as_of") <=> col("c_asof"), "left")
+      .join(firstVisit, col("patient_id") <=> col("f_pid"), "left")
+
+    // Ordered CASE — the order IS the semantics (reference :197-232).
+    val outcome =
+      when(col("disc_date").isNotNull, lit("V"))
+        .when(col("exit_date").isNotNull,
+          upper(substring(col("exit_reason"), 1, 1)))
+        .when(col("first_visit").isNull || col("first_visit") > col("as_of"),
+          lit("NP"))
+        .when(col("next_expected").isNull, lit("NV"))
+        .when(datediff(col("as_of"), col("next_expected")) > 30, lit("uL"))
+        .otherwise(lit("V"))
+
+    full.select(col("patient_id"), col("as_of"),
+      col("last_encounter"), col("next_expected"), outcome.as("outcome"))
+  }
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.cohort.ArtOutcomes
+import EtlQueries.iso
+
+/** Oracle-checked queries for the cohort engine: month spine (U2′),
+  * full-outer last-encounter combine (J7), and the complete as-of
+  * ART-outcome computation (§3.3 — the reference's cursor-loop T-SQL,
+  * re-expressed set-based).
+  *
+  * Role mapping onto the testdata: customers are the patient universe,
+  * orders are clinical visits (next appointment = visit + 30 days,
+  * unscheduled when status 'P'), lineitems are pharmacy dispenses
+  * (expected return = ship + 90 days), 'error'/'signup' events are care
+  * exits and 'purchase' events are effective discontinuations, with a
+  * deterministic event date derived from event_id so the streams
+  * overlap the 1995-2001 order timeline.
+  */
+object CohortQueries {
+
+  private def eventDate = // deterministic date in [1995-01-01, 2000-06-23]
+    date_add(lit("1995-01-01").cast("date"), (col("event_id") % 2000).cast("int"))
+  private val eventDateSql =
+    "DATE '1995-01-01' + CAST(event_id % 2000 AS INTEGER)"
+
+  /** U2′ — month-end spine spanning the orders date range, with an
+    * arithmetic month index (idx computable identically in both
+    * engines, unlike positional explode order). */
+  def monthSpine(spark: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.orders(spark, dir).agg(
+      trunc(min(col("o_orderdate").cast("date")), "MM").as("lo"),
+      trunc(max(col("o_orderdate").cast("date")), "MM").as("hi"))
+    mm.select(col("lo"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 month"))).as("m"))
+      .select(
+        ((year(col("m")) - year(col("lo"))) * 12 +
+          (month(col("m")) - month(col("lo")))).cast("long").as("idx"),
+        iso(last_day(col("m"))).as("month_end"))
+  }
+
+  /** J7 — standalone full-outer last-encounter: latest order per
+    * customer vs latest event per user, keys coalesced. */
+  def fullOuterEncounter(spark: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d").desc, col("o_orderkey").desc)
+    val lastOrder = Tables.orders(spark, dir)
+      .withColumn("d", col("o_orderdate").cast("date"))
+      .withColumn("__rn", row_number().over(wo)).filter(col("__rn") === 1)
+      .select(col("o_custkey").as("o_pid"), col("d").as("last_order"))
+    val we = Window.partitionBy(col("user_id"))
+      .orderBy(col("ed").desc, col("event_id").desc)
+    val lastEvent = Tables.events(spark, dir)
+      .withColumn("ed", eventDate)
+      .withColumn("__rn", row_number().over(we)).filter(col("__rn") === 1)
+      .select(col("user_id").as("e_pid"), col("ed").as("last_event"))
+    lastOrder.join(lastEvent, col("o_pid") <=> col("e_pid"), "full_outer")
+      .select(
+        coalesce(col("o_pid"), col("e_pid")).as("patient_id"),
+        iso(col("last_order")).as("last_order"),
+        iso(col("last_event")).as("last_event"),
+        when(col("o_pid").isNotNull && col("e_pid").isNotNull, lit("both"))
+          .when(col("o_pid").isNotNull, lit("order_only"))
+          .otherwise(lit("event_only")).as("src"))
+  }
+
+  /** §3.3 — the full multi-month as-of cohort over 1998. */
+  def artOutcome(spark: SparkSession, dir: String): DataFrame = {
+    val spine = ArtOutcomes.monthEndSpine(spark,
+      LocalDate.of(1998, 1, 1), LocalDate.of(1998, 12, 1))
+    val patients = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("patient_id"))
+    val visits = Tables.orders(spark, dir).select(
+      col("o_custkey").as("patient_id"),
+      col("o_orderdate").cast("date").as("visit_date"),
+      col("o_orderkey").as("visit_id"),
+      when(col("o_orderstatus") === "P", lit(null))
+        .otherwise(date_add(col("o_orderdate").cast("date"), 30)).as("next_appt"))
+    val pharmacy = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("patient_id"),
+        col("l_shipdate").cast("date").as("dispense_date"),
+        date_add(col("l_shipdate").cast("date"), 90).as("expected_return"),
+        col("l_orderkey").as("disp_id"), col("l_linenumber").as("disp_sub"))
+    val ev = Tables.events(spark, dir)
+    val exits = ev.filter(col("event_type").isin("error", "signup")).select(
+      col("user_id").as("patient_id"), eventDate.as("exit_date"),
+      col("event_type").as("exit_reason"), col("event_id").as("exit_id"))
+    val disc = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("patient_id"), eventDate.as("disc_date"),
+      col("event_id").as("disc_id"))
+    ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine)
+      .select(col("patient_id"), iso(col("as_of")).as("as_of"),
+        iso(col("last_encounter")).as("last_encounter"),
+        iso(col("next_expected")).as("next_expected"), col("outcome"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "month_spine"          -> (monthSpine _),
+    "full_outer_encounter" -> (fullOuterEncounter _),
+    "art_outcome"          -> (artOutcome _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "month_spine" ->
+      """WITH mm AS (
+        |  SELECT date_trunc('month', CAST(min(o_orderdate) AS DATE)) AS lo,
+        |         date_trunc('month', CAST(max(o_orderdate) AS DATE)) AS hi
+        |  FROM orders
+        |), s AS (
+        |  SELECT lo, CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+        |  FROM mm
+        |)
+        |SELECT CAST((year(m) - year(lo)) * 12 + (month(m) - month(lo)) AS BIGINT) AS idx,
+        |       strftime(last_day(m), '%Y-%m-%d') AS month_end
+        |FROM s""".stripMargin,
+    "full_outer_encounter" ->
+      s"""WITH lo AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey AS o_pid, CAST(o_orderdate AS DATE) AS last_order,
+        |           row_number() OVER (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1
+        |), le AS (
+        |  SELECT * FROM (
+        |    SELECT user_id AS e_pid, $eventDateSql AS last_event,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY $eventDateSql DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1
+        |)
+        |SELECT coalesce(o_pid, e_pid) AS patient_id,
+        |       strftime(last_order, '%Y-%m-%d') AS last_order,
+        |       strftime(last_event, '%Y-%m-%d') AS last_event,
+        |       CASE WHEN o_pid IS NOT NULL AND e_pid IS NOT NULL THEN 'both'
+        |            WHEN o_pid IS NOT NULL THEN 'order_only'
+        |            ELSE 'event_only' END AS src
+        |FROM lo FULL JOIN le ON o_pid = e_pid""".stripMargin,
+    "art_outcome" ->
+      s"""WITH spine AS (
+        |  SELECT last_day(CAST(unnest(generate_series(
+        |    DATE '1998-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS DATE)) AS as_of
+        |), visits AS (
+        |  SELECT o_custkey AS pid, CAST(o_orderdate AS DATE) AS vdate, o_orderkey AS vid,
+        |         CASE WHEN o_orderstatus = 'P' THEN NULL
+        |              ELSE CAST(o_orderdate AS DATE) + 30 END AS next_appt
+        |  FROM orders
+        |), pharm AS (
+        |  SELECT o.o_custkey AS pid, CAST(l.l_shipdate AS DATE) AS ddate,
+        |         CAST(l.l_shipdate AS DATE) + 90 AS expret,
+        |         l.l_orderkey AS did, l.l_linenumber AS dsub
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), exits AS (
+        |  SELECT user_id AS pid, $eventDateSql AS xdate,
+        |         event_type AS reason, event_id AS xid
+        |  FROM events WHERE event_type IN ('error','signup')
+        |), disc AS (
+        |  SELECT user_id AS pid, $eventDateSql AS cdate, event_id AS cid
+        |  FROM events WHERE event_type = 'purchase'
+        |), lv AS (
+        |  SELECT pid, as_of, vdate, next_appt FROM (
+        |    SELECT v.*, s.as_of, row_number() OVER (
+        |        PARTITION BY v.pid, s.as_of ORDER BY v.vdate DESC, v.vid DESC) AS rn
+        |    FROM visits v JOIN spine s ON v.vdate <= s.as_of) WHERE rn = 1
+        |), ld AS (
+        |  SELECT pid, as_of, ddate, expret FROM (
+        |    SELECT p.*, s.as_of, row_number() OVER (
+        |        PARTITION BY p.pid, s.as_of
+        |        ORDER BY p.ddate DESC, p.did DESC, p.dsub DESC) AS rn
+        |    FROM pharm p JOIN spine s ON p.ddate <= s.as_of) WHERE rn = 1
+        |), lx AS (
+        |  SELECT pid, as_of, xdate, reason FROM (
+        |    SELECT x.*, s.as_of, row_number() OVER (
+        |        PARTITION BY x.pid, s.as_of ORDER BY x.xdate DESC, x.xid DESC) AS rn
+        |    FROM exits x JOIN spine s ON x.xdate <= s.as_of) WHERE rn = 1
+        |), lc AS (
+        |  SELECT pid, as_of, cdate FROM (
+        |    SELECT c.*, s.as_of, row_number() OVER (
+        |        PARTITION BY c.pid, s.as_of ORDER BY c.cdate DESC, c.cid DESC) AS rn
+        |    FROM disc c JOIN spine s ON c.cdate <= s.as_of) WHERE rn = 1
+        |), fv AS (
+        |  SELECT pid, min(vdate) AS first_visit FROM visits GROUP BY pid
+        |), enc AS (
+        |  SELECT coalesce(lv.pid, ld.pid) AS pid,
+        |         coalesce(lv.as_of, ld.as_of) AS as_of,
+        |         greatest(lv.vdate, ld.ddate) AS last_encounter,
+        |         CASE WHEN date_diff('day', greatest(lv.vdate, ld.ddate),
+        |                        greatest(lv.next_appt, ld.expret)) >= 365
+        |              THEN greatest(lv.vdate, ld.ddate) + 30
+        |              ELSE greatest(lv.next_appt, ld.expret) END AS next_expected
+        |  FROM lv FULL JOIN ld ON lv.pid = ld.pid AND lv.as_of = ld.as_of
+        |), uni AS (
+        |  SELECT c_custkey AS pid, as_of FROM customer CROSS JOIN spine
+        |)
+        |SELECT u.pid AS patient_id, strftime(u.as_of, '%Y-%m-%d') AS as_of,
+        |       strftime(e.last_encounter, '%Y-%m-%d') AS last_encounter,
+        |       strftime(e.next_expected, '%Y-%m-%d') AS next_expected,
+        |       CASE WHEN lc.cdate IS NOT NULL THEN 'V'
+        |            WHEN lx.xdate IS NOT NULL THEN upper(substr(lx.reason, 1, 1))
+        |            WHEN fv.first_visit IS NULL OR fv.first_visit > u.as_of THEN 'NP'
+        |            WHEN e.next_expected IS NULL THEN 'NV'
+        |            WHEN date_diff('day', e.next_expected, u.as_of) > 30 THEN 'uL'
+        |            ELSE 'V' END AS outcome
+        |FROM uni u
+        |LEFT JOIN enc e ON u.pid = e.pid AND u.as_of = e.as_of
+        |LEFT JOIN lx ON u.pid = lx.pid AND u.as_of = lx.as_of
+        |LEFT JOIN lc ON u.pid = lc.pid AND u.as_of = lc.as_of
+        |LEFT JOIN fv ON u.pid = fv.pid""".stripMargin
+  )
+}
