@@ -42,20 +42,60 @@ object ArtOutcomes {
         expr("interval 1 month"))).as("m"))
       .select(last_day(col("m")).as("as_of"))
 
-  /** W1-as-of — latest fact per (patient, as-of month): join facts to
-    * the broadcast spine on `date <= as_of` (a fact joins every month
-    * it is visible in), then keep row_number()==1 per (patient, as_of)
-    * ordered by (date, tiebreakers) descending. The spine is tiny, so
-    * the non-equi join is a broadcast nested loop with a fixed fan-out
-    * of at most |months| — no shuffle of the fact side beyond the final
-    * window exchange. */
+  /** W1-as-of — latest fact per (patient, as-of month).
+    *
+    * NOT implemented as a `date <= as_of` fan-out join (every fact
+    * duplicated into every later month — O(|facts| x |months|) shuffle,
+    * which at the reference's real 75-month spine would blow a 100 TB
+    * fact table up 75x). Instead, two linear passes:
+    *
+    *   1. bucket each fact into the earliest spine month it is visible
+    *      in (facts older than the spine fold into the first month,
+    *      facts past the last month drop) and keep the latest fact per
+    *      (patient, bucket) — one window over O(|facts|) rows;
+    *   2. build the (patient x spine-month) lattice and forward-fill
+    *      each month from the last non-empty bucket — one window over
+    *      O(|patients| x |months|) rows. All payload columns are packed
+    *      into ONE struct before filling so they always travel together
+    *      from the same source fact (per-column `last(ignoreNulls)`
+    *      would mix columns from different facts when a payload field
+    *      is legitimately null).
+    *
+    * Output: one row per (patient_id, as_of) that has a visible fact,
+    * with the fact's payload columns. */
   def latestAsOf(facts: DataFrame, spine: DataFrame, dateCol: String,
       tiebreak: Seq[String]): DataFrame = {
-    val joined = facts.join(broadcast(spine), col(dateCol) <= col("as_of"))
-    val w = Window.partitionBy(col("patient_id"), col("as_of"))
+    val payloadCols = facts.columns.filterNot(_ == "patient_id").toSeq
+    val spineAgg = spine.agg(min(col("as_of")).as("lo"), max(col("as_of")).as("hi"))
+
+    // 1. earliest visible spine month per fact; latest fact per bucket.
+    val bucketed = facts
+      .join(broadcast(spineAgg))
+      .filter(col(dateCol) <= col("hi"))
+      .withColumn("__bucket", greatest(last_day(col(dateCol)), col("lo")))
+      .drop("lo", "hi")
+    val wb = Window.partitionBy(col("patient_id"), col("__bucket"))
       .orderBy((col(dateCol).desc +: tiebreak.map(col(_).desc)): _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val perBucket = bucketed.withColumn("__rn", row_number().over(wb))
+      .filter(col("__rn") === 1)
+      .select(col("patient_id"), col("__bucket"),
+        struct(payloadCols.map(col): _*).as("__payload"))
+
+    // 2. lattice x forward-fill (struct travels as a unit).
+    val lattice = perBucket.select("patient_id").distinct()
+      .crossJoin(broadcast(spine))
+    val wf = Window.partitionBy(col("patient_id")).orderBy(col("as_of"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lattice
+      .join(perBucket,
+        lattice("patient_id") === perBucket("patient_id") &&
+          col("as_of") === col("__bucket"), "left")
+      .select(lattice("patient_id"), col("as_of"), col("__payload"))
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
+      .filter(col("__filled").isNotNull)
+    payloadCols.foldLeft(filled)((d, c) =>
+        d.withColumn(c, col(s"__filled.$c")))
+      .drop("__payload", "__filled")
   }
 
   /** The full cohort: one row per (patient, as_of) with the ART-outcome
