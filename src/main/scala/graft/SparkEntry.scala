@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CohortQueries, EtlQueries}
+import graft.queries.{CleaningQueries, CohortQueries, EtlQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -21,8 +21,10 @@ object SparkEntry {
     EtlQueries.incrementalAntijoin(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries
+    EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries ++
+      TextQueries.queries ++ SimQueries.queries
 
   def oracleSql: Map[String, String] =
-    EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles
+    EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles ++
+      TextQueries.oracles ++ SimQueries.oracles
 }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.Similarity
+
+/** Oracle-checked ANN queries over the `embeddings` table
+  * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+  *
+  * Scores are double-precision cosine computed as an explicit ordered
+  * left-fold on both sides (see [[graft.sim.Similarity]]) and scaled to
+  * integer millionths, so ranks and scores hash-match the DuckDB
+  * oracle exactly.
+  */
+object SimQueries {
+
+  private val K = 3
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Brute-force exact top-k (the correctness baseline; queries are the
+    * vec_id < 8 slice, broadcast against the corpus). */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.bruteForceTopK(v.filter(col("id") < 8), v, K)
+  }
+
+  /** IVF-bucketed top-k: centroids are the vec_id % 50 == 7 slice
+    * (grows with the corpus), search restricted to the query's bucket. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.ivfTopK(v.filter(col("id") < 8), v,
+      v.filter(col("id") % 50 === 7), K)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk" -> (annTopK _),
+    "ann_ivf"  -> (annIvf _)
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB double-precision left-fold dot product of list exprs. */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_transform(generate_series(1, len($a)),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private def cosScaledSql(a: String, b: String) =
+    s"""CAST(floor(${dotSql(a, b)} /
+       |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) * 1e6 + 0.5) AS BIGINT)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |q AS (SELECT id AS q_id, vec AS q_vec FROM v WHERE id < 8),
+        |scored AS (
+        |  SELECT q_id, v.id AS n_id, ${cosScaledSql("q_vec", "v.vec")} AS score_c
+        |  FROM q JOIN v ON q.q_id <> v.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
+        |assign AS (
+        |  SELECT id, vec, c_id AS bucket FROM (
+        |    SELECT v.id, v.vec, c.c_id,
+        |           row_number() OVER (PARTITION BY v.id
+        |             ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
+        |    FROM v CROSS JOIN c) WHERE rn = 1
+        |), q AS (
+        |  SELECT id AS q_id, vec AS q_vec, bucket FROM assign WHERE id < 8
+        |), scored AS (
+        |  SELECT q.q_id, a.id AS n_id, ${cosScaledSql("q.q_vec", "a.vec")} AS score_c
+        |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin
+  )
+}

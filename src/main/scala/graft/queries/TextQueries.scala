@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{MinHashLSH, TextFunctions => TF}
+
+/** Oracle-checked queries for the training-data text pipeline over the
+  * `documents` table: exact + MinHash-LSH near-dup dedup, n-gram
+  * Jaccard, text statistics / language heuristic / quality scoring,
+  * document fingerprinting (rolling hash, md5, SimHash), and the
+  * multimodal binary-payload plumbing.
+  *
+  * The DuckDB oracles replay the IDENTICAL pipelines (same md5-derived
+  * hashes, same fold order), so even the LSH candidate sets match
+  * exactly. Long oracle SQL is program-generated next to the Spark
+  * expression it mirrors.
+  */
+object TextQueries {
+
+  private val Perms = 16
+  private val BandRows = 4
+  private val Stop = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Exact dedup: whitespace/case-normalized text, keeper = min id. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"),
+        substring(md5(col("norm")), 1, 16).as("fp"))
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs, exact-Jaccard verified. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+      ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
+
+  /** Exact within-language n-gram Jaccard via the shingle inverted
+    * index (word 2-grams; no crossJoin — pairs emerge only from shared
+    * shingles). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(TF.wordNgrams(TF.tokens(col("text")), 3)))
+          .as("g"))
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+      col("g").as("g_b"))
+    a.join(b, col("g") === col("g_b") && col("lang") === col("lang_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")) * 1e6 + 0.5d).as("jaccard_c"))
+      .filter(col("jaccard_c") >= 200000L)
+  }
+
+  /** Token counts, punctuation/stopword stats, quality score, and a
+    * marker-word language heuristic. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val nTokens = size(toks).cast("long")
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+    val nStop = hits(Stop)
+    val stopRatio = nStop.cast("double") / nTokens.cast("double")
+    val quality = least(nTokens, lit(400L)).cast("double") / 400d * 0.5d +
+      stopRatio * 0.5d
+    val sEn = hits(Seq("the", "a", "is"))
+    val sEs = hits(Seq("el", "la", "los", "que"))
+    val sDe = hits(Seq("der", "die", "das", "und"))
+    val sFr = hits(Seq("le", "les", "des", "et"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      TF.bpeTokenCount(col("text")).as("n_tokens_bpe"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+        .cast("long").as("n_punct"),
+      nStop.as("n_stop"),
+      floor(stopRatio * 1e6 + 0.5d).as("stop_ratio_c"),
+      floor(quality * 1e6 + 0.5d).as("quality_c"),
+      when(sEn >= sEs && sEn >= sDe && sEn >= sFr, lit("en"))
+        .when(sEs >= sDe && sEs >= sFr, lit("es"))
+        .when(sDe >= sFr, lit("de"))
+        .otherwise(lit("fr")).as("lang_guess"))
+  }
+
+  /** Document fingerprints: char-level rolling hash, md5 prefix, and a
+    * 16-bit SimHash over the token stream. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TF.rollingFingerprint(col("text")).as("fp_rolling"),
+      substring(md5(col("text")), 1, 16).as("fp_md5"),
+      TF.simHash(TF.tokens(col("text")), 16).as("simhash16"))
+
+  /** Multimodal plumbing: text treated as an opaque binary payload with
+    * typed metadata — byte length, content hash, head bytes. (The real
+    * image/audio decode would run over exactly this shape; here the
+    * "decode" is the deterministic byte-level feature extraction.) */
+  def multimodalPayload(spark: SparkSession, dir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      sha2(bin, 256).as("payload_sha"),
+      substring(hex(bin), 1, 16).as("head_hex"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "exact_dedup"        -> (exactDedup _),
+    "minhash_dedup"      -> (minhashDedup _),
+    "ngram_jaccard"      -> (ngramJaccard _),
+    "text_stats"         -> (textStats _),
+    "doc_fingerprint"    -> (docFingerprint _),
+    "multimodal_payload" -> (multimodalPayload _)
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private def hashSql(e: String, salt: String) = TF.portableHashSql(e, salt)
+
+  private val toksSql = "string_split_regex(text, '\\s+')"
+
+  /** DuckDB list of word n-grams over token list expression `t`. */
+  private def ngramsSql(t: String, n: Int) =
+    s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
+
+  private val minhashOracle: String = {
+    val sigCols = (0 until Perms)
+      .map(p => s"min(${hashSql("shingle", s"p$p")}) AS sig$p").mkString(",\n    ")
+    val bandExprs = (0 until Perms / BandRows).map { b =>
+      val slice = (b * BandRows until (b + 1) * BandRows).map(p => s"sig$p")
+      s"md5(concat_ws('_', $b, ${slice.mkString(", ")}))"
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(${ngramsSql("t", 3)})) AS shingle
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM sh GROUP BY doc_id
+      |), band AS (
+      |  SELECT doc_id, unnest([
+      |      $bandExprs]) AS band_key
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM band a JOIN band b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i.doc_a, i.doc_b,
+      |       CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |            AS BIGINT) AS jaccard_c
+      |FROM inter i
+      |JOIN cnt ca ON i.doc_a = ca.doc_id
+      |JOIN cnt cb ON i.doc_b = cb.doc_id
+      |WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |           AS BIGINT) >= 500000""".stripMargin
+  }
+
+  private val simhashOracle: String = {
+    val votes = (0 until 16).map { j =>
+      s"list_sum([CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) AS v$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until 16)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH hs AS (
+      |  SELECT doc_id, text,
+      |         list_transform($toksSql, tok -> ${hashSql("tok", "sim")}) AS hs
+      |  FROM documents
+      |), votes AS (
+      |  SELECT doc_id, text,
+      |    $votes
+      |  FROM hs
+      |)
+      |SELECT doc_id,
+      |  list_reduce(list_transform(string_split(text, ''),
+      |                             x -> CAST(ascii(x) AS BIGINT)),
+      |              (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling,
+      |  substr(md5(text), 1, 16) AS fp_md5,
+      |  CAST($assemble AS BIGINT) AS simhash16
+      |FROM votes""".stripMargin
+  }
+
+  private def hitsSql(words: Seq[String]) =
+    s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracles: Map[String, String] = Map(
+    "exact_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |)
+        |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |       substr(md5(norm), 1, 16) AS fp
+        |FROM n GROUP BY norm""".stripMargin,
+    "minhash_dedup" -> minhashOracle,
+    "ngram_jaccard" ->
+      s"""WITH sh AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_distinct(${ngramsSql(toksSql, 3)})) AS g
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b
+        |    ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+        |            AS BIGINT) AS jaccard_c
+        |FROM inter
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+        |           AS BIGINT) >= 200000""".stripMargin,
+    "text_stats" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text, $toksSql AS t FROM documents
+        |), stats AS (
+        |  SELECT doc_id, text, t,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         ${hitsSql(Stop)} AS n_stop,
+        |         ${hitsSql(Seq("the", "a", "is"))} AS s_en,
+        |         ${hitsSql(Seq("el", "la", "los", "que"))} AS s_es,
+        |         ${hitsSql(Seq("der", "die", "das", "und"))} AS s_de,
+        |         ${hitsSql(Seq("le", "les", "des", "et"))} AS s_fr
+        |  FROM base
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(len(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CAST(floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5)
+        |       AS BIGINT) AS stop_ratio_c,
+        |  CAST(floor((CAST(least(n_tokens, 400) AS DOUBLE) / 400 * 0.5 +
+        |              CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 0.5) * 1e6 + 0.5)
+        |       AS BIGINT) AS quality_c,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM stats""".stripMargin,
+    "doc_fingerprint" -> simhashOracle,
+    "multimodal_payload" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS payload_sha,
+        |       substr(hex(encode(text)), 1, 16) AS head_hex
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Float math is done in DOUBLE with an explicit left-fold
+  * (`aggregate` over `zip_with`) so the result is bit-identical to a
+  * DuckDB `list_reduce` over the same element order — which is what
+  * lets the ANN queries be oracle-checked exactly (scores are then
+  * rounded to integer millionths, so even a last-ulp disagreement
+  * would need to land exactly on a rounding boundary to matter).
+  *
+  * Two search paths:
+  *  - [[bruteForceTopK]]: exact top-k; cost O(|queries| x |corpus|)
+  *    with the query side broadcast — the correctness baseline, and
+  *    the right plan when |queries| is small.
+  *  - [[ivfTopK]]: IVF-style bucketing — assign every vector to its
+  *    nearest centroid (|centroids| ~ sqrt(n), broadcast), search only
+  *    the query's bucket: O(n/k) work per query at recall < 1. This is
+  *    the 100 TB path: the corpus is shuffled once by centroid id and
+  *    each probe touches one partition-local bucket.
+  */
+object Similarity {
+
+  private def toDouble(arr: Column): Column =
+    transform(arr, x => x.cast("double"))
+
+  /** Left-fold sum of an array<double> — matches DuckDB list_reduce. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0d), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine scaled to integer millionths (canonical BIGINT output). */
+  def cosineScaled(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6 + 0.5d)
+
+  /** Exact top-k neighbours per query vector. `queries` and `corpus`
+    * both carry (id, vec); queries are broadcast. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("q_id"), col("vec").as("q_vec")))
+    val scored = corpus.select(col("id").as("n_id"), col("vec").as("n_vec"))
+      .join(q, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        cosineScaled(col("q_vec"), col("n_vec")).as("score_c"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_c").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("score_c"))
+  }
+
+  /** Nearest-centroid assignment: (id, vec, bucket). Centroids are
+    * broadcast; ties broken by centroid id. */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col("id").as("c_id"), col("vec").as("c_vec")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("c_score").desc, col("c_id").asc)
+    vectors.join(c)
+      .withColumn("c_score", cosineScaled(col("vec"), col("c_vec")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("c_id").as("bucket"))
+  }
+
+  /** IVF search: top-k within the query's own centroid bucket. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int): DataFrame = {
+    val corpusB = assign(corpus, centroids)
+    val queriesB = assign(queries, centroids)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+    val scored = queriesB.join(corpusB, Seq("bucket"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("n_id"),
+        cosineScaled(col("q_vec"), col("vec")).as("score_c"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_c").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("n_id"), col("score_c"))
+  }
+}

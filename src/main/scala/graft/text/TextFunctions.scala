@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the training-data-pipeline operators.
+  * Everything is built from codegen'd built-ins (no UDFs), and every
+  * primitive has an exact DuckDB-SQL equivalent so the operators can be
+  * oracle-checked bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Portable 60-bit hash: integer value of the first 15 hex chars of
+    * md5(salt:value). md5 is identical everywhere, and 15 hex digits
+    * always fit a positive BIGINT, so Spark's
+    * `conv(substring(md5(...)), 16, 10)` and DuckDB's
+    * `CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)` agree exactly.
+    * Used for minhash permutations / simhash bits instead of
+    * `xxhash64`, which DuckDB cannot reproduce. */
+  def portableHash(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), c)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** DuckDB rendering of [[portableHash]] over SQL fragment `e`. */
+  def portableHashSql(e: String, salt: String): String =
+    s"CAST('0x' || substr(md5('$salt:' || $e), 1, 15) AS BIGINT)"
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** BPE-ish token count: words plus individual punctuation marks. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** Word n-grams over a token array (space-joined strings). Guarded:
+    * Spark's `sequence(1, 0)` yields a DESCENDING [1,0], not an empty
+    * array, so short inputs must short-circuit explicitly. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Character k-shingles (same short-input guard). */
+  def charShingles(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k))))
+    .otherwise(array().cast("array<string>"))
+
+  /** Polynomial rolling hash over the characters (mod 1e9+7), the
+    * classic document-fingerprint primitive; left-fold order matches
+    * DuckDB's `list_reduce`. */
+  def rollingFingerprint(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  /** SimHash over the token stream, `bits` wide (each bit voted by the
+    * per-token [[portableHash]]): bit j is 1 iff the sum of +/-1 votes
+    * from tokens' j-th hash bits is positive. */
+  def simHash(toks: Column, bits: Int): Column = {
+    val hashes = transform(toks, t => portableHash(t, "sim"))
+    (0 until bits).map { j =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when((shiftright(h, j) % 2) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}
