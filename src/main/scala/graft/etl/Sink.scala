@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Append sink + the incremental-load composition — SURVEY §2.1 S6.
+  *
+  * The reference ends every job with
+  * `df.repartition(50).write().format("jdbc").mode(SaveMode.Append)`
+  * (`Load CT Patients Job/.../LoadCTPatients.java:205-215`). This
+  * engine's sink is parquet (per the driver contract) with the same
+  * shape: explicit write parallelism, append-only, no in-place updates.
+  *
+  * Scale notes:
+  *  - `writePartitions` exists because a JDBC sink needs bounded
+  *    connection counts; for parquet it bounds file count. Pass 0 to
+  *    skip the repartition entirely (parquet doesn't need it and the
+  *    extra shuffle is pure cost).
+  *  - Idempotency comes from [[Incremental.newRecords]]: re-running a
+  *    load appends nothing, exactly like the reference's anti-join +
+  *    append contract.
+  */
+object Sink {
+
+  def append(df: DataFrame, path: String, writePartitions: Int = 0): Unit = {
+    val out = if (writePartitions > 0) df.repartition(writePartitions) else df
+    out.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** One incremental-load cycle: anti-join the source against the
+    * current target state on `keys` (null-safe), append only the new
+    * records, return how many were appended (the reference logs this
+    * count in every job). */
+  def incrementalLoad(spark: SparkSession, source: DataFrame, path: String,
+      keys: Seq[String], writePartitions: Int = 0): Long = {
+    val exists = new java.io.File(path).exists()
+    val fresh =
+      if (!exists) source
+      else Incremental.newRecords(source, spark.read.parquet(path), keys)
+    val n = fresh.count()
+    if (n > 0) append(fresh, path, writePartitions)
+    n
+  }
+}

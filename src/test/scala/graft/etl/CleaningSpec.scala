@@ -1,0 +1,95 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** E1-E16 — cleaning-combinator invariants; the generative cases use a
+  * fixed-seed sample so failures reproduce (no scalatest+scalacheck
+  * bridge artifact is available offline). */
+class CleaningSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+
+  import spark.implicits._
+
+  private val lo = LocalDate.of(1980, 1, 1)
+  private val today = LocalDate.of(2026, 8, 12)
+  private val sentinel = LocalDate.of(1900, 1, 1)
+
+  test("clampDate: output is always in-range or the sentinel") {
+    val ds = Seq.fill(200)(
+      LocalDate.ofEpochDay(rnd.between(-40000L, 40000L)).toString)
+    val out = ds.toDF("d")
+      .select(Cleaning.clampDate(lo, today, sentinel)(col("d").cast("date"))
+        .as("c"))
+      .collect().map(_.getDate(0).toLocalDate)
+    assert(out.forall(d =>
+      d == sentinel || (!d.isBefore(lo) && !d.isAfter(today))))
+  }
+
+  test("clampDate boundaries are inclusive; outside goes to sentinel") {
+    val rows = Seq("1980-01-01", "2026-08-12", "1979-12-31", "2026-08-13",
+      "1900-01-01", null)
+    val out = rows.toDF("d")
+      .select(Cleaning.clampDate(lo, today, sentinel)(col("d").cast("date")).as("c"))
+      .collect().map(r => Option(r.getDate(0)).map(_.toString).orNull)
+    assert(out.toSeq == Seq("1980-01-01", "2026-08-12", "1900-01-01",
+      "1900-01-01", "1900-01-01", null))
+  }
+
+  test("nullOutsideDate nulls instead of sentineling") {
+    val out = Seq("1979-12-31", "1990-05-05").toDF("d")
+      .select(Cleaning.nullOutsideDate(lo, today)(col("d").cast("date")).as("c"))
+      .collect().map(r => Option(r.getDate(0)).map(_.toString))
+    assert(out.toSeq == Seq(None, Some("1990-05-05")))
+  }
+
+  test("clampNum: in-range kept, out-of-range -> 999, non-numeric -> null") {
+    val xs = Seq.fill(200)(rnd.between(-500d, 500d))
+    val out = xs.map(_.toString).toDF("v")
+      .select(Cleaning.clampNum(0d, 200d)(col("v")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(v => v == 999d || (v >= 0d && v <= 200d)))
+    val weird = Seq("abc", "", "12.5", "-1", "201").toDF("v")
+      .select(Cleaning.clampNum(0d, 200d)(col("v")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(weird.toSeq == Seq(None, None, Some(12.5), Some(999d), Some(999d)))
+  }
+
+  test("canonicalize: first matching value-set wins, misses pass through") {
+    val m = Seq(
+      Seq("a", "b") -> "AB",
+      Seq("b", "c") -> "BC") // 'b' must hit the FIRST set
+    val out = Seq("a", "b", "c", "z", null).toDF("v")
+      .select(Cleaning.canonicalize(m)(col("v")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("AB", "AB", "BC", "z", null))
+  }
+
+  test("emptyToNull + fillNull compose (E6 + E12)") {
+    val out = Seq("", "x", null).toDF("v")
+      .select(Cleaning.fillNull("(missing)")(Cleaning.emptyToNull(col("v"))).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("(missing)", "x", "(missing)"))
+  }
+
+  test("parseDualFormat: ISO, dd/MM/yyyy, and garbage (E16)") {
+    val out = Seq("2024-03-04 10:11:12", "04/03/2024 10:11:12", "junk")
+      .toDF("v")
+      .select(date_format(Cleaning.parseDualFormat()(col("v")),
+        "yyyy-MM-dd HH:mm:ss").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(
+      Some("2024-03-04 10:11:12"), Some("2024-03-04 10:11:12"), None))
+  }
+
+  test("recode maps exact values only (E7/E8)") {
+    val out = Seq("M", "F", "Male", null).toDF("v")
+      .select(Cleaning.recode(Map("M" -> "Male", "F" -> "Female"))(col("v")).as("c"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("Male", "Female", "Male", null))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text primitives + MinHash-LSH pipeline on a tiny planted fixture. */
+class TextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("wordNgrams and charShingles handle short inputs (empty, not [1,0])") {
+    val out = Seq("one two", "one").toDF("t")
+      .select(TextFunctions.wordNgrams(TextFunctions.tokens(col("t")), 3).as("g"),
+        TextFunctions.charShingles(col("t"), 5).as("s"))
+      .collect()
+    assert(out(0).getSeq[String](0).isEmpty) // 2 tokens < n=3
+    assert(out(0).getSeq[String](1) == Seq("one t", "ne tw", "e two"))
+    assert(out(1).getSeq[String](0).isEmpty)
+  }
+
+  test("rollingFingerprint matches a hand-computed fold") {
+    val expected = "ab".foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val got = Seq("ab").toDF("t")
+      .select(TextFunctions.rollingFingerprint(col("t"))).collect().head.getLong(0)
+    assert(got == expected) // 97*31 + 98 = 3105
+  }
+
+  test("simHash is deterministic and insensitive to token order only in sign-sums") {
+    val a = Seq("spark rows spark").toDF("t")
+      .select(TextFunctions.simHash(TextFunctions.tokens(col("t")), 16))
+      .collect().head.getLong(0)
+    val b = Seq("spark spark rows").toDF("t")
+      .select(TextFunctions.simHash(TextFunctions.tokens(col("t")), 16))
+      .collect().head.getLong(0)
+    assert(a == b && a >= 0 && a < (1 << 16))
+  }
+
+  test("MinHash-LSH finds the planted near-duplicate and only it") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+        ngram = 3, perms = 16, bandRows = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("exact Jaccard verification value is correct") {
+    // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val j = MinHashLSH.verifyJaccard(pairs, sh, "doc_id")
+      .collect().head.getDouble(2)
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+}
