@@ -191,7 +191,27 @@ object CleaningQueries {
         cents(col("c_acctbal")).as("acctbal_c"))
   }
 
+  /** P5 — DISTINCT projection (53 of 54 reference source queries start
+    * `SELECT DISTINCT`). */
+  def distinctProjection(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"))
+      .distinct()
+
+  /** A2 — group-collapse with MAX(CAST(date)): latest referral-style
+    * date per (entity, category), all other columns grouped
+    * (LoadHtsClientLinkages shape). */
+  def groupCollapse(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("ts").cast("date")).as("last_d"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("event_type"),
+        iso(col("last_d")).as("last_day_iso"), col("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "distinct_projection" -> (distinctProjection _),
+    "group_collapse"      -> (groupCollapse _),
     "date_clamp"        -> (dateClamp _),
     "numeric_clamp"     -> (numericClamp _),
     "null_cleaning"     -> (nullCleaning _),
@@ -209,6 +229,13 @@ object CleaningQueries {
       |FROM nation WHERE n_regionkey < 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "distinct_projection" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "group_collapse" ->
+      """SELECT user_id, event_type,
+        |       strftime(max(CAST(ts AS DATE)), '%Y-%m-%d') AS last_day_iso,
+        |       count(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
     "date_clamp" ->
       """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
         |SELECT o_orderkey,

@@ -37,9 +37,27 @@ object SimQueries {
       v.filter(col("id") % 50 === 7), K)
   }
 
+  /** Embedding-cosine near-duplicate pairs, blocked by IVF bucket:
+    * vectors sharing a nearest-centroid bucket are pairwise scored and
+    * kept when cosine >= 0.4 (the corpus has no true duplicates — the
+    * operator shape is the point). Bucketed, never all-pairs. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val assigned = Similarity.assign(v, v.filter(col("id") % 50 === 7))
+    val a = assigned.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = assigned.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosineScaled(col("vec_a"), col("vec_b")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_topk" -> (annTopK _),
-    "ann_ivf"  -> (annIvf _)
+    "ann_topk"        -> (annTopK _),
+    "ann_ivf"         -> (annIvf _),
+    "embedding_dedup" -> (embeddingDedup _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -67,6 +85,20 @@ object SimQueries {
         |)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin,
+    "embedding_dedup" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
+        |assign AS (
+        |  SELECT id, vec, c_id AS bucket FROM (
+        |    SELECT v.id, v.vec, c.c_id,
+        |           row_number() OVER (PARTITION BY v.id
+        |             ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
+        |    FROM v CROSS JOIN c) WHERE rn = 1
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       ${cosScaledSql("a.vec", "b.vec")} AS score_c
+        |FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id
+        |WHERE ${cosScaledSql("a.vec", "b.vec")} >= 400000""".stripMargin,
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),

@@ -103,6 +103,30 @@ object TextQueries {
       substring(md5(col("text")), 1, 16).as("fp_md5"),
       TF.simHash(TF.tokens(col("text")), 16).as("simhash16"))
 
+  /** SimHash near-dup pairs: 60-bit signatures, 4 bands of 15 bits for
+    * LSH candidates (a near-dup differs in few bits, so at least one
+    * band collides), exact Hamming verify <= 2. Never all-pairs. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+      TF.simHash(TF.tokens(col("text")), 60).as("s"))
+    val bandArr = array((0 until 4).map(b => struct(lit(b).as("b"),
+      shiftright(col("s"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)
+    val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+    val cand = bands.select(col("b"), col("bv"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("b").as("b2"), col("bv").as("bv2"),
+        col("doc_id").as("doc_b")),
+        col("b") === col("b2") && col("bv") === col("bv2") &&
+          col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+  }
+
   /** Multimodal plumbing: text treated as an opaque binary payload with
     * typed metadata — byte length, content hash, head bytes. (The real
     * image/audio decode would run over exactly this shape; here the
@@ -122,6 +146,7 @@ object TextQueries {
     "ngram_jaccard"      -> (ngramJaccard _),
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
+    "simhash_dedup"      -> (simhashDedup _),
     "multimodal_payload" -> (multimodalPayload _)
   )
 
@@ -176,6 +201,46 @@ object TextQueries {
       |WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
       |           AS BIGINT) >= 500000""".stripMargin
   }
+
+  /** DuckDB CTEs computing the `bits`-wide SimHash per doc as `s` —
+    * integer-identical to [[TF.simHash]] (vote sums are ints, so the
+    * per-bit list_sum replay matches Spark's single-pass fold). */
+  private def simhashCtes(bits: Int): String = {
+    val votes = (0 until bits).map { j =>
+      s"list_sum([CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END for h in hs]) AS v$j"
+    }.mkString(",\n    ")
+    val assemble = (0 until bits)
+      .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""hs AS (
+      |  SELECT doc_id, text,
+      |         list_transform($toksSql, tok -> ${hashSql("tok", "sim")}) AS hs
+      |  FROM documents
+      |), votes AS (
+      |  SELECT doc_id, text,
+      |    $votes
+      |  FROM hs
+      |), sh AS (
+      |  SELECT doc_id, text, CAST($assemble AS BIGINT) AS s FROM votes
+      |)""".stripMargin
+  }
+
+  private val simhashDedupOracle: String =
+    s"""WITH ${simhashCtes(60)},
+      |bands AS (
+      |  SELECT doc_id, b, (s >> (b * 15)) & 32767 AS bv
+      |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+      |)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN sh x ON c.doc_a = x.doc_id
+      |JOIN sh y ON c.doc_b = y.doc_id
+      |WHERE bit_count(xor(x.s, y.s)) <= 2""".stripMargin
 
   private val simhashOracle: String = {
     val votes = (0 until 16).map { j =>
@@ -265,6 +330,7 @@ object TextQueries {
         |       ELSE 'fr' END AS lang_guess
         |FROM stats""".stripMargin,
     "doc_fingerprint" -> simhashOracle,
+    "simhash_dedup" -> simhashDedupOracle,
     "multimodal_payload" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -55,15 +55,26 @@ object TextFunctions {
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
 
-  /** SimHash over the token stream, `bits` wide (each bit voted by the
-    * per-token [[portableHash]]): bit j is 1 iff the sum of +/-1 votes
-    * from tokens' j-th hash bits is positive. */
+  /** SimHash over the token stream, `bits` wide (max 60 — the hash
+    * width): bit j is 1 iff the sum of +/-1 votes from tokens' j-th
+    * hash bits is positive.
+    *
+    * Single pass: ONE md5 per token and ONE traversal of the token
+    * array, folding a `bits`-wide vote vector (a first cut ran one
+    * aggregate per bit — 16x the md5 work). Bit tests use `h & 2^j`
+    * against a precomputed power array, which DuckDB reproduces as
+    * `(h >> j) % 2` — integer-identical. */
   def simHash(toks: Column, bits: Int): Column = {
+    require(bits <= 60, "portableHash provides 60 bits")
+    val powers = array((0 until bits).map(j => lit(1L << j)): _*)
     val hashes = transform(toks, t => portableHash(t, "sim"))
-    (0 until bits).map { j =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when((shiftright(h, j) % 2) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, powers,
+        (a, p) => a + when(h.bitwiseAND(p) =!= 0, lit(1L)).otherwise(lit(-1L))),
+      votes => aggregate(
+        zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (s, x) => s + x))
   }
 }
