@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Resources
+
+/** Streaming dedup + windowed aggregation over a MemoryStream, plus
+  * the classpath resource loader (S8). */
+class IncrementalStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupStream emits each (key, eventTime) exactly once") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val stream = ms.toDF().toDF("k", "v", "ts")
+    val out = IncrementalStream.dedupStream(stream, Seq("k"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(
+      (1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, "a", ts("2024-01-01 10:00:00")), // exact dup -> dropped
+      (2L, "b", ts("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    ms.addData((1L, "a", ts("2024-01-01 10:00:00"))) // replay -> dropped
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out").collect()
+    q.stop()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("windowedCounts finalizes watermarked windows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val stream = ms.toDF().toDF("etype", "ts")
+    val out = IncrementalStream.windowedCounts(stream, "ts", col("etype"),
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    ms.addData(
+      ("click", ts("2024-01-01 10:01:00")),
+      ("click", ts("2024-01-01 10:02:00")),
+      ("view", ts("2024-01-01 10:03:00")))
+    q.processAllAvailable()
+    // Advance the watermark far enough to close the 10:00-10:10 window.
+    ms.addData(("click", ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .collect().map(r => (r.getString(2), r.getLong(3))).toMap
+    q.stop()
+    assert(rows == Map("click" -> 2L, "view" -> 1L))
+  }
+
+  test("Resources.loadText reads classpath SQL (S8)") {
+    val sql = Resources.loadText("sample_query.sql")
+    assert(sql.contains("SELECT DISTINCT o_orderkey"))
+    assert(sql.contains("o_orderstatus != 'X'"))
+  }
+}
