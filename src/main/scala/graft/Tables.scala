@@ -34,4 +34,13 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame    = nsToTimestamp(load(spark, dir, "events"), "ts")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Redistribute a frame across the session's shuffle width. The doc/
+    * embedding tables arrive as a single parquet file -> ONE partition,
+    * which serializes every downstream n-gram/hash/cosine projection
+    * onto one core; compute-heavy operators call this before their
+    * expensive stage. (At real scale inputs arrive in many splits and
+    * this becomes a cheap no-op-ish rebalance.) */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }

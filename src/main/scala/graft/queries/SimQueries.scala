@@ -19,7 +19,7 @@ object SimQueries {
   private val K = 3
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
   /** Brute-force exact top-k (the correctness baseline; queries are the
@@ -45,12 +45,13 @@ object SimQueries {
     val v = vectors(spark, dir)
     val assigned = Similarity.assign(v, v.filter(col("id") % 50 === 7))
     val a = assigned.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"))
+      col("vec").as("vec_a"), Similarity.norm(col("vec")).as("nrm_a"))
     val b = assigned.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
-      col("vec").as("vec_b"))
+      col("vec").as("vec_b"), Similarity.norm(col("vec")).as("nrm_b"))
     a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosineScaled(col("vec_a"), col("vec_b")).as("score_c"))
+        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("score_c"))
       .filter(col("score_c") >= 400000L)
   }
 

@@ -44,10 +44,12 @@ object TextQueries {
     * shingles). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"), col("lang"),
-        explode(array_distinct(TF.wordNgrams(TF.tokens(col("text")), 3)))
-          .as("g"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val arrs = Tables.spread(docs).select(col("doc_id"), col("lang"),
+      array_distinct(TF.wordNgrams(TF.tokens(col("text")), 3)).as("gs"))
+    val sh = arrs.select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
+    // Per-doc shingle counts come from the array size — no second
+    // consumer of the exploded table, so nothing needs caching.
+    val counts = arrs.select(col("doc_id"), size(col("gs")).cast("long").as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
     val b = sh.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
       col("g").as("g_b"))
@@ -97,7 +99,7 @@ object TextQueries {
   /** Document fingerprints: char-level rolling hash, md5 prefix, and a
     * 16-bit SimHash over the token stream. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.spread(Tables.documents(spark, dir)).select(
       col("doc_id"),
       TF.rollingFingerprint(col("text")).as("fp_rolling"),
       substring(md5(col("text")), 1, 16).as("fp_md5"),
@@ -107,7 +109,7 @@ object TextQueries {
     * LSH candidates (a near-dup differs in few bits, so at least one
     * band collides), exact Hamming verify <= 2. Never all-pairs. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir).select(col("doc_id"),
+    val sh = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"),
       TF.simHash(TF.tokens(col("text")), 60).as("s"))
     val bandArr = array((0 until 4).map(b => struct(lit(b).as("b"),
       shiftright(col("s"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)
@@ -162,7 +164,8 @@ object TextQueries {
 
   private val minhashOracle: String = {
     val sigCols = (0 until Perms)
-      .map(p => s"min(${hashSql("shingle", s"p$p")}) AS sig$p").mkString(",\n    ")
+      .map(p => s"min(${TF.portableHashHexSql("shingle", s"p$p")}) AS sig$p")
+      .mkString(",\n    ")
     val bandExprs = (0 until Perms / BandRows).map { b =>
       val slice = (b * BandRows until (b + 1) * BandRows).map(p => s"sig$p")
       s"md5(concat_ws('_', $b, ${slice.mkString(", ")}))"

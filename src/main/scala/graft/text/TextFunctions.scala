@@ -25,6 +25,17 @@ object TextFunctions {
   def portableHashSql(e: String, salt: String): String =
     s"CAST('0x' || substr(md5('$salt:' || $e), 1, 15) AS BIGINT)"
 
+  /** Hex-string form of the portable hash: the fixed-width lowercase
+    * hex prefix orders lexicographically exactly as its numeric value,
+    * so min/max-style uses can skip the hex->int conversion (a
+    * BigInteger parse per call — measurable at tens of millions of
+    * hashes). */
+  def portableHashHex(c: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), c)), 1, 15)
+
+  def portableHashHexSql(e: String, salt: String): String =
+    s"substr(md5('$salt:' || $e), 1, 15)"
+
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(c, "\\s+")
 

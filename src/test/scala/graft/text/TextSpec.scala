@@ -51,9 +51,9 @@ class TextSpec extends SparkSpec {
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
-    val sh = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val arrs = MinHashLSH.shingleArrays(docs, "doc_id", "text", 3)
     val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
-    val j = MinHashLSH.verifyJaccard(pairs, sh, "doc_id")
+    val j = MinHashLSH.verifyJaccard(pairs, arrs, "doc_id")
       .collect().head.getDouble(2)
     assert(math.abs(j - 1.0 / 3.0) < 1e-12)
   }
