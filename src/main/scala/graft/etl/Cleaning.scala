@@ -89,4 +89,13 @@ object Cleaning {
   def parseDualFormat(fallbackFmt: String = "dd/MM/yyyy HH:mm:ss")(
       c: Column): Column =
     coalesce(to_timestamp(c), to_timestamp(c, fallbackFmt))
+
+  /** E10 — regex-guarded date repair (the reference's dormant `rlike`
+    * variant, `Load HTS Test Kits/.../LoadHtsTestKits.java:54-70`):
+    * each (pattern -> format) is tried in order; a value parses with a
+    * format only if it first matches that format's regex; else NULL. */
+  def regexDateRepair(rules: Seq[(String, String)])(c: Column): Column =
+    rules.foldRight(lit(null).cast("timestamp")) { case ((pattern, fmt), acc) =>
+      when(c.rlike(pattern), to_timestamp(c, fmt)).otherwise(acc)
+    }
 }

@@ -1,0 +1,96 @@
+package graft.jobs
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash, Sink}
+
+/** Config-driven incremental-load jobs.
+  *
+  * The reference's 54 modules are one pipeline shape instantiated with
+  * different keys, cleaning rules, lookups and projections (SURVEY
+  * §3.1; Appendix A catalogs every per-job key). Here a job is DATA —
+  * a [[JobSpec]] — and [[Job.run]] is the single implementation of the
+  * shape: latest-record dedup -> expression cleaning -> lookup remap ->
+  * null-safe anti-join against the target -> PII hash -> projection ->
+  * append. Adding a "job" means writing a spec, not copying a main.
+  */
+final case class JobSpec(
+    /** Anti-join identity (Appendix A "anti-join key"). */
+    keys: Seq[String],
+    /** Latest-record dedup: (partition keys, descending order columns);
+      * None when the source is already one row per key. */
+    dedup: Option[(Seq[String], Seq[String])] = None,
+    /** E1 — per-column date clamp bounds (today injected). */
+    dateClamps: Map[String, (LocalDate, LocalDate)] = Map.empty,
+    /** E4 — per-column numeric clamp bounds (sentinel 999). */
+    numClamps: Map[String, (Double, Double)] = Map.empty,
+    /** E6 — columns where "" means NULL. */
+    emptyToNull: Seq[String] = Seq.empty,
+    /** E7/E8 — exact recode maps per column. */
+    recodes: Map[String, Map[String, String]] = Map.empty,
+    /** E5 — ordered CASE-IN canonicalization per column. */
+    canonicalize: Map[String, Seq[(Seq[String], String)]] = Map.empty,
+    /** J1/J2 — lookup remaps: column -> lookup frame (broadcast). */
+    lookups: Seq[(String, DataFrame)] = Seq.empty,
+    /** E9 — columns to hash into `<col>Hash`. */
+    piiHash: Seq[String] = Seq.empty,
+    /** P1 — explicit output column list (schema alignment). */
+    projection: Seq[String] = Seq.empty)
+
+object Job {
+
+  /** Cleaning + remap portion (no target needed) — useful on its own. */
+  def transform(source: DataFrame, spec: JobSpec): DataFrame = {
+    val deduped = spec.dedup.fold(source) { case (k, o) =>
+      Dedup.latestPerKey(source, k, o)
+    }
+    val dated = spec.dateClamps.foldLeft(deduped) { case (d, (c, (lo, hi))) =>
+      d.withColumn(c, Cleaning.clampDate(lo, hi)(col(c).cast("date")))
+    }
+    val nummed = spec.numClamps.foldLeft(dated) { case (d, (c, (lo, hi))) =>
+      d.withColumn(c, Cleaning.clampNum(lo, hi)(col(c)))
+    }
+    val blanked = spec.emptyToNull.foldLeft(nummed)((d, c) =>
+      d.withColumn(c, Cleaning.emptyToNull(col(c))))
+    val recoded = spec.recodes.foldLeft(blanked) { case (d, (c, m)) =>
+      d.withColumn(c, Cleaning.recode(m)(col(c)))
+    }
+    val canoned = spec.canonicalize.foldLeft(recoded) { case (d, (c, m)) =>
+      d.withColumn(c, Cleaning.canonicalize(m)(col(c)))
+    }
+    spec.lookups.foldLeft(canoned) { case (d, (c, lkp)) =>
+      LookupRemap.remap(d, lkp, c)
+    }
+  }
+
+  /** Full incremental cycle against a target frame: returns the new,
+    * cleaned, hashed, projected records (the frame the reference would
+    * append — §3.1 steps 3-10). */
+  def run(source: DataFrame, target: DataFrame, spec: JobSpec): DataFrame = {
+    val cleaned = transform(source, spec)
+    val fresh = Incremental.newRecords(cleaned, target, spec.keys)
+    val hashed = PiiHash.hashColumns(fresh, spec.piiHash)
+    if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
+    else hashed
+  }
+
+  /** run + append to a parquet target path; returns appended count
+    * (§3.1 steps 3-11, with the count the reference logs). */
+  def load(spark: SparkSession, source: DataFrame, targetPath: String,
+      spec: JobSpec, writePartitions: Int = 0): Long = {
+    val exists = new java.io.File(targetPath).exists()
+    val fresh =
+      if (!exists) {
+        val cleaned = transform(source, spec)
+        val hashed = PiiHash.hashColumns(cleaned, spec.piiHash)
+        if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
+        else hashed
+      } else run(source, spark.read.parquet(targetPath), spec)
+    val n = fresh.count()
+    if (n > 0) Sink.append(fresh, targetPath, writePartitions)
+    n
+  }
+}

@@ -86,6 +86,18 @@ class CleaningSpec extends SparkSpec {
       Some("2024-03-04 10:11:12"), Some("2024-03-04 10:11:12"), None))
   }
 
+  test("regexDateRepair: format chosen by regex guard, else null (E10)") {
+    val rules = Seq(
+      "^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$" -> "yyyy-MM-dd HH:mm:ss",
+      "^\\d{2}/\\d{2}/\\d{4}$" -> "dd/MM/yyyy")
+    val out = Seq("2024-03-04 10:11:12", "04/03/2024", "03-04-2024", null)
+      .toDF("v")
+      .select(date_format(Cleaning.regexDateRepair(rules)(col("v")),
+        "yyyy-MM-dd").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq == Seq(Some("2024-03-04"), Some("2024-03-04"), None, None))
+  }
+
   test("recode maps exact values only (E7/E8)") {
     val out = Seq("M", "F", "Male", null).toDF("v")
       .select(Cleaning.recode(Map("M" -> "Male", "F" -> "Female"))(col("v")).as("c"))
