@@ -1,0 +1,32 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Session extension registering the native expressions as SQL
+  * functions (`SparkSessionExtensions.injectFunction`). Wire with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` —
+  * Verify/Bench/test sessions all do. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) =>
+        SimHashExpr(children.head, intLit(children(1), "bits"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigsExpr].getName, "graft_minhash_sigs"),
+      (children: Seq[Expression]) =>
+        MinHashSigsExpr(children.head, intLit(children(1), "perms"))))
+  }
+}

@@ -42,21 +42,24 @@ object MinHashLSH {
     shingleArrays(docs, idCol, textCol, n)
       .select(col(idCol), explode(col("shingles")).as("shingle"))
 
-  /** One row per doc: minhash signature columns sig0..sig{p-1},
-    * computed over the EXPLODED shingles with a partial-aggregating
-    * groupBy. This deliberately does not use
-    * `array_min(transform(...))` on the array column: higher-order
-    * functions evaluate interpreted, while the exploded projection +
-    * min-aggregate stays in WholeStageCodegen — measured 2x faster for
-    * the 16-hash signature computation at sf0.1. */
+  /** One row per doc: minhash signature columns sig0..sig{p-1}, via
+    * the native [[graft.expressions.MinHashSigsExpr]] — all perms
+    * minima in one pass over the shingle array, NO explode and NO
+    * shuffle (the earlier exploded groupBy/min formulation shuffled
+    * |docs| x |shingles| rows; the interpreted array_min(transform(...))
+    * alternative was 2x slower than even that). Values are identical:
+    * min over the fixed-width md5 hex prefix under salt `p<i>:`.
+    * Docs with zero shingles are dropped (they can't be near-dups, and
+    * a null signature would otherwise collide all of them into one
+    * band bucket). */
   def signatures(arrs: DataFrame, idCol: String, perms: Int): DataFrame = {
-    val sh = arrs.select(col(idCol), explode(col("shingles")).as("shingle"))
-    sh.groupBy(col(idCol))
-      .agg(
-        min(TextFunctions.portableHashHex(col("shingle"), "p0")).as("sig0"),
-        (1 until perms).map(p =>
-          min(TextFunctions.portableHashHex(col("shingle"), s"p$p"))
-            .as(s"sig$p")): _*)
+    val sigs = arrs
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol),
+        call_function("graft_minhash_sigs", col("shingles"), lit(perms))
+          .as("sigs"))
+    sigs.select(col(idCol) +: (0 until perms).map(p =>
+      element_at(col("sigs"), p + 1).as(s"sig$p")): _*)
   }
 
   /** (id, band_key) — one row per band; band key folds the band index

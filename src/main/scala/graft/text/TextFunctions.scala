@@ -68,14 +68,22 @@ object TextFunctions {
 
   /** SimHash over the token stream, `bits` wide (max 60 — the hash
     * width): bit j is 1 iff the sum of +/-1 votes from tokens' j-th
-    * hash bits is positive.
+    * hash bits is positive. Uses the native
+    * [[graft.expressions.SimHashExpr]] (registered by GraftExtensions)
+    * — bit-identical to [[simHashBuiltin]], without the interpreted
+    * higher-order-function fold. */
+  def simHash(toks: Column, bits: Int): Column =
+    call_function("graft_simhash", toks, lit(bits))
+
+  /** Built-in-functions formulation of [[simHash]] (reference
+    * semantics spec + fallback for sessions without GraftExtensions).
     *
     * Single pass: ONE md5 per token and ONE traversal of the token
     * array, folding a `bits`-wide vote vector (a first cut ran one
     * aggregate per bit — 16x the md5 work). Bit tests use `h & 2^j`
     * against a precomputed power array, which DuckDB reproduces as
     * `(h >> j) % 2` — integer-identical. */
-  def simHash(toks: Column, bits: Int): Column = {
+  def simHashBuiltin(toks: Column, bits: Int): Column = {
     require(bits <= 60, "portableHash provides 60 bits")
     val powers = array((0 until bits).map(j => lit(1L << j)): _*)
     val hashes = transform(toks, t => portableHash(t, "sim"))

@@ -16,6 +16,7 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")

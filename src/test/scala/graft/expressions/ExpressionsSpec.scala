@@ -1,0 +1,57 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+
+/** The native expressions must be bit-identical to their
+  * built-in-functions specifications (which are what the DuckDB
+  * oracles replay). */
+class ExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one", "", "a b a b a b", "x " * 50)
+
+  test("graft_simhash == built-in simHash formulation (16 and 60 bits)") {
+    for (bits <- Seq(16, 60)) {
+      val rows = texts.toDF("t").select(
+        TextFunctions.simHash(TextFunctions.tokens(col("t")), bits).as("native"),
+        TextFunctions.simHashBuiltin(TextFunctions.tokens(col("t")), bits)
+          .as("builtin"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
+  test("graft_minhash_sigs == min(portableHashHex) per permutation") {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val arrs = graft.text.MinHashLSH.shingleArrays(docs, "doc_id", "text", 2)
+      .filter(size(col("shingles")) > 0)
+    val native = arrs.select(col("doc_id"),
+        call_function("graft_minhash_sigs", col("shingles"), lit(4)).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val spec = arrs.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .groupBy("doc_id")
+      .agg(min(TextFunctions.portableHashHex(col("s"), "p0")).as("m0"),
+        min(TextFunctions.portableHashHex(col("s"), "p1")).as("m1"),
+        min(TextFunctions.portableHashHex(col("s"), "p2")).as("m2"),
+        min(TextFunctions.portableHashHex(col("s"), "p3")).as("m3"))
+      .collect()
+      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toMap
+    assert(native == spec)
+  }
+
+  test("prefixLong and prefixHexBytes agree with conv/substring semantics") {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("sim:probe".getBytes)
+    val hexFull = md5.map(b => f"$b%02x").mkString
+    assert(new String(Md5Hashing.prefixHexBytes(md5)) == hexFull.take(15))
+    assert(Md5Hashing.prefixLong(md5) == java.lang.Long.parseLong(hexFull.take(15), 16))
+  }
+}
