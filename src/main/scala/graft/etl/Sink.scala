@@ -26,6 +26,26 @@ object Sink {
     out.write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** S7-style full refresh: the reference's metadata jobs rebuild the
+    * target and swap it in via driver-side `renameTable`/`dropTable`
+    * (`Core/.../DatabaseUtils.java:31-52`). The lake-native equivalent
+    * is write-new-then-atomic-rename: readers of `path` never observe
+    * a half-written table. */
+  def fullRefresh(df: DataFrame, path: String, writePartitions: Int = 0): Unit = {
+    val tmp = path + "__staging"
+    val out = if (writePartitions > 0) df.repartition(writePartitions) else df
+    out.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = java.nio.file.Paths.get(path)
+    val old = java.nio.file.Paths.get(path + "__old")
+    if (java.nio.file.Files.exists(target)) {
+      java.nio.file.Files.move(target, old)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    } else {
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    }
+  }
+
   /** One incremental-load cycle: anti-join the source against the
     * current target state on `keys` (null-safe), append only the new
     * records, return how many were appended (the reference logs this

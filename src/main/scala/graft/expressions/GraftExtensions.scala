@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         SimHashExpr(children.head, intLit(children(1), "bits"))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        ShinglesExpr(children.head, intLit(children(1), "n"))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "graft_minhash_sigs"),
       (children: Seq[Expression]) =>

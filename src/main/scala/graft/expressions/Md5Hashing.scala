@@ -102,6 +102,53 @@ case class SimHashExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** `graft_shingles(tokens array<string>, n)` — distinct space-joined
+  * word n-grams, first-occurrence order: identical to
+  * `array_distinct(TextFunctions.wordNgrams(tokens, n))` without the
+  * interpreted per-index slice/concat lambdas. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def checkInputDataTypes() =
+    if (child.dataType == ArrayType(StringType) ||
+        child.dataType == ArrayType(StringType, containsNull = false))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"graft_shingles expects array<string>, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements() - (n - 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        // concat_ws semantics: null elements are skipped along with
+        // their separator (split output never contains nulls, but the
+        // expression must match the built-in spec exactly).
+        if (!arr.isNullAt(i + k)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + k).toString)
+        }
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `graft_minhash_sigs(shingles array<string>, perms)` — all `perms`
   * MinHash signature values in ONE pass over the shingle array:
   * element p is the minimum (lexicographic = numeric for fixed-width

@@ -45,7 +45,7 @@ object TextQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val arrs = Tables.spread(docs).select(col("doc_id"), col("lang"),
-      array_distinct(TF.wordNgrams(TF.tokens(col("text")), 3)).as("gs"))
+      call_function("graft_shingles", TF.tokens(col("text")), lit(3)).as("gs"))
     val sh = arrs.select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
     // Per-doc shingle counts come from the array size — no second
     // consumer of the exploded table, so nothing needs caching.

@@ -34,8 +34,8 @@ object MinHashLSH {
   def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     graft.Tables.spread(docs).select(col(idCol),
-      array_distinct(TextFunctions.wordNgrams(
-        TextFunctions.tokens(col(textCol)), n)).as("shingles"))
+      call_function("graft_shingles",
+        TextFunctions.tokens(col(textCol)), lit(n)).as("shingles"))
 
   /** Exploded (id, shingle) view — for tests and inverted-index uses. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

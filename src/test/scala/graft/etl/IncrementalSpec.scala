@@ -40,6 +40,18 @@ class IncrementalSpec extends SparkSpec {
     assert(fresh.collect().head.getLong(0) == 2L)
   }
 
+  test("fullRefresh swaps the target atomically (S7 rename/drop analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    Sink.fullRefresh(df(Seq((1L, "a"), (2L, "b"), (3L, "c"))), path)
+    assert(spark.read.parquet(path).count() == 3)
+    Sink.fullRefresh(df(Seq((9L, "z"), (8L, "y"))), path)
+    val rows = spark.read.parquet(path).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(8L, 9L))
+    assert(!new java.io.File(path + "__staging").exists())
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
   test("second run is a no-op (idempotent load via Sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toFile
     val path = new java.io.File(dir, "t").getAbsolutePath

@@ -47,6 +47,18 @@ class ExpressionsSpec extends SparkSpec {
     assert(native == spec)
   }
 
+  test("graft_shingles == array_distinct(wordNgrams) incl. short inputs") {
+    for (n <- Seq(2, 3)) {
+      val rows = texts.toDF("t").select(
+        call_function("graft_shingles", TextFunctions.tokens(col("t")), lit(n))
+          .as("native"),
+        array_distinct(TextFunctions.wordNgrams(TextFunctions.tokens(col("t")), n))
+          .as("builtin"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
+
   test("prefixLong and prefixHexBytes agree with conv/substring semantics") {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest("sim:probe".getBytes)
