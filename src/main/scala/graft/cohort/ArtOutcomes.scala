@@ -69,17 +69,21 @@ object ArtOutcomes {
     val spineAgg = spine.agg(min(col("as_of")).as("lo"), max(col("as_of")).as("hi"))
 
     // 1. earliest visible spine month per fact; latest fact per bucket.
+    //    `max_by` over the (date, tiebreak...) ordering struct instead
+    //    of a row_number window: partial aggregation combines map-side,
+    //    so the shuffle carries one row per (patient, bucket) per map
+    //    partition rather than sorting every fact row. Equivalent to
+    //    "order desc, keep first" whenever the tiebreak is a total
+    //    order (it is: unique ids).
     val bucketed = facts
       .join(broadcast(spineAgg))
       .filter(col(dateCol) <= col("hi"))
       .withColumn("__bucket", greatest(last_day(col(dateCol)), col("lo")))
       .drop("lo", "hi")
-    val wb = Window.partitionBy(col("patient_id"), col("__bucket"))
-      .orderBy((col(dateCol).desc +: tiebreak.map(col(_).desc)): _*)
-    val perBucket = bucketed.withColumn("__rn", row_number().over(wb))
-      .filter(col("__rn") === 1)
-      .select(col("patient_id"), col("__bucket"),
-        struct(payloadCols.map(col): _*).as("__payload"))
+    val orderStruct = struct((dateCol +: tiebreak).map(col): _*)
+    val perBucket = bucketed
+      .groupBy(col("patient_id"), col("__bucket"))
+      .agg(max_by(struct(payloadCols.map(col): _*), orderStruct).as("__payload"))
 
     // 2. lattice x forward-fill (struct travels as a unit).
     val lattice = perBucket.select("patient_id").distinct()

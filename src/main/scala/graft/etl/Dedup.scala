@@ -27,8 +27,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** One row per `keys`, the greatest by `order` columns (descending,
-    * nulls last). Deterministic iff `order` is a total order per key. */
+    * nulls last). Deterministic iff `order` is a total order per key.
+    *
+    * Implemented as `max_by` over the ordering struct, not a
+    * row_number window: the aggregate combines map-side (partial
+    * aggregation), so the shuffle moves one candidate row per key per
+    * input partition instead of sorting the whole table — the
+    * difference between O(n log n) sort-exchange and near-O(n) at
+    * 100 TB. Column order of the output is preserved. */
   def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val payload = df.columns.toSeq
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(order.map(col): _*)).as("__best"))
+      .select(payload.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  /** Window-based formulation of [[latestPerKey]] (kept as the
+    * executable reference spec; identical results for total orders). */
+  def latestPerKeyWindow(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order.map(c => col(c).desc_nulls_last): _*)
     df.withColumn("__rn", row_number().over(w))

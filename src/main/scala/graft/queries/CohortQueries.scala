@@ -48,18 +48,18 @@ object CohortQueries {
   /** J7 — standalone full-outer last-encounter: latest order per
     * customer vs latest event per user, keys coalesced. */
   def fullOuterEncounter(spark: SparkSession, dir: String): DataFrame = {
-    val wo = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("d").desc, col("o_orderkey").desc)
+    // Partial-aggregating struct-max (map-side combine) instead of a
+    // sort window — see Dedup.latestPerKey.
     val lastOrder = Tables.orders(spark, dir)
       .withColumn("d", col("o_orderdate").cast("date"))
-      .withColumn("__rn", row_number().over(wo)).filter(col("__rn") === 1)
-      .select(col("o_custkey").as("o_pid"), col("d").as("last_order"))
-    val we = Window.partitionBy(col("user_id"))
-      .orderBy(col("ed").desc, col("event_id").desc)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("d"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey").as("o_pid"), col("m.d").as("last_order"))
     val lastEvent = Tables.events(spark, dir)
       .withColumn("ed", eventDate)
-      .withColumn("__rn", row_number().over(we)).filter(col("__rn") === 1)
-      .select(col("user_id").as("e_pid"), col("ed").as("last_event"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ed"), col("event_id"))).as("m"))
+      .select(col("user_id").as("e_pid"), col("m.ed").as("last_event"))
     lastOrder.join(lastEvent, col("o_pid") <=> col("e_pid"), "full_outer")
       .select(
         coalesce(col("o_pid"), col("e_pid")).as("patient_id"),
