@@ -1,0 +1,83 @@
+package graft.cohort
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Branch-coverage golden test for the ART-outcome CASE — one crafted
+  * patient per branch (SURVEY §7.4 risk 5: branch ORDER is semantic),
+  * plus the 365-day next-appointment fix-up rule, over a single-month
+  * spine (as-of 2024-01-31). */
+class ArtOutcomesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private val asOf = "2024-01-31"
+
+  // (patient, visit_date, visit_id, next_appt)
+  private def visits: DataFrame = Seq(
+    (1L, d("2024-01-10"), 10L, Option(d("2024-02-09"))),  // active
+    (2L, d("2024-01-10"), 11L, Option(d("2024-02-09"))),  // exits anyway
+    (4L, d("2024-03-15"), 12L, Option(d("2024-04-14"))),  // first visit AFTER as-of
+    (5L, d("2024-01-05"), 13L, None),                     // no appointment scheduled
+    (6L, d("2023-10-01"), 14L, Option(d("2023-10-31"))),  // >30 days late
+    (7L, d("2024-01-20"), 15L, Option(d("2024-02-19"))),  // active
+    (8L, d("2023-12-01"), 16L, Option(d("2025-06-01"))))  // implausible appt -> fix-up
+    .toDF("patient_id", "visit_date", "visit_id", "next_appt")
+
+  private def pharmacy: DataFrame = Seq.empty[(Long, java.sql.Date, java.sql.Date, Long, Long)]
+    .toDF("patient_id", "dispense_date", "expected_return", "disp_id", "disp_sub")
+
+  private def exits: DataFrame = Seq(
+    (1L, d("2024-01-15"), "transfer", 100L), // has disc too -> disc must WIN
+    (2L, d("2024-01-15"), "transfer", 101L))
+    .toDF("patient_id", "exit_date", "exit_reason", "exit_id")
+
+  private def disc: DataFrame = Seq(
+    (1L, d("2024-01-20"), 200L))
+    .toDF("patient_id", "disc_date", "disc_id")
+
+  private def patients: DataFrame = (1L to 8L).toDF("patient_id")
+
+  private lazy val result: Map[Long, (String, Option[String])] = {
+    val spine = ArtOutcomes.monthEndSpine(spark,
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 1))
+    ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(4),
+        Option(r.getDate(3)).map(_.toString)))
+      .toMap
+  }
+
+  test("effective discontinuation wins over exit letter (branch order)") {
+    assert(result(1L)._1 == "V")
+  }
+  test("exit -> first letter of reason, uppercased") {
+    assert(result(2L)._1 == "T")
+  }
+  test("never visited -> NP") {
+    assert(result(3L)._1 == "NP")
+  }
+  test("first visit after as-of -> NP") {
+    assert(result(4L)._1 == "NP")
+  }
+  test("visited but no appointment scheduled -> NV") {
+    assert(result(5L)._1 == "NV")
+  }
+  test("more than 30 days past appointment -> uL") {
+    assert(result(6L)._1 == "uL")
+  }
+  test("active with upcoming appointment -> V") {
+    assert(result(7L)._1 == "V")
+  }
+  test("365-day fix-up replaces implausible appointment, changes outcome") {
+    // raw appt 2025-06-01 is >= 365 days past the 2023-12-01 encounter:
+    // next_expected becomes 2023-12-31, which is >30 days before as-of -> uL
+    assert(result(8L)._2.contains("2023-12-31"))
+    assert(result(8L)._1 == "uL")
+  }
+}
