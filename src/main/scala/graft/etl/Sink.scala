@@ -26,6 +26,21 @@ object Sink {
     out.write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Bucketed managed table: co-locates data by join key at WRITE time
+    * so repeated joins/aggregations on `bucketCols` plan with no
+    * shuffle exchange at all — the 100 TB answer for fact-to-fact
+    * joins re-run every load cycle (the anti-join's source and target
+    * sides bucketed on the logical key never reshuffle). Buckets are
+    * sorted for sort-merge locality. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
   /** S7-style full refresh: the reference's metadata jobs rebuild the
     * target and swap it in via driver-side `renameTable`/`dropTable`
     * (`Core/.../DatabaseUtils.java:31-52`). The lake-native equivalent
