@@ -103,36 +103,89 @@ object ArtOutcomes {
   }
 
   /** The full cohort: one row per (patient, as_of) with the ART-outcome
-    * code. Branch order mirrors the reference exactly. */
+    * code. Branch order mirrors the reference exactly.
+    *
+    * Execution shape: the four fact streams (visit / dispense / exit /
+    * discontinuation) are UNIONED into one tall frame with a `kind`
+    * tag and a common wide payload, so the whole as-of state machine
+    * runs as ONE bucket-aggregate, ONE forward-fill window and ONE
+    * pivot-back — instead of four separate latestAsOf pipelines plus a
+    * full-outer join (which is what the per-kind pivot subsumes: a
+    * patient-month with only visits simply has a null dispense
+    * payload, the vw_PatientLastEncounter full-outer semantics —
+    * reference `:158-182`). ~10 exchanges collapse to 5. */
   def outcomes(patients: DataFrame, visits: DataFrame, pharmacy: DataFrame,
       exits: DataFrame, disc: DataFrame, spine: DataFrame): DataFrame = {
 
-    val lastVisit = latestAsOf(visits, spine, "visit_date", Seq("visit_id"))
-      .select(col("patient_id").as("v_pid"), col("as_of").as("v_asof"),
-        col("visit_date"), col("next_appt"))
-    val lastDisp = latestAsOf(pharmacy, spine, "dispense_date",
-        Seq("disp_id", "disp_sub"))
-      .select(col("patient_id").as("d_pid"), col("as_of").as("d_asof"),
-        col("dispense_date"), col("expected_return"))
-    val lastExit = latestAsOf(exits, spine, "exit_date", Seq("exit_id"))
-      .select(col("patient_id").as("x_pid"), col("as_of").as("x_asof"),
-        col("exit_date"), col("exit_reason"))
-    val lastDisc = latestAsOf(disc, spine, "disc_date", Seq("disc_id"))
-      .select(col("patient_id").as("c_pid"), col("as_of").as("c_asof"),
-        col("disc_date"))
-    val firstVisit = visits.groupBy(col("patient_id").as("f_pid"))
-      .agg(min(col("visit_date")).as("first_visit"))
+    // Common tall shape: (patient_id, kind, __fdate, __t1, __t2, payload...)
+    val payloadFields = Seq("visit_date", "next_appt", "dispense_date",
+      "expected_return", "exit_date", "exit_reason", "disc_date")
+    def tall(df: DataFrame, kind: String, dateCol: String, t1: String,
+        t2: Option[String], present: Map[String, String]): DataFrame = {
+      val nullDate = lit(null).cast("date")
+      val payload = payloadFields.map { f =>
+        present.get(f).map(col).getOrElse(
+          if (f == "exit_reason") lit(null).cast("string") else nullDate
+        ).as(f)
+      }
+      df.select(Seq(col("patient_id"), lit(kind).as("kind"),
+        col(dateCol).as("__fdate"), col(t1).as("__t1"),
+        t2.map(col).getOrElse(lit(0L)).as("__t2")) ++ payload: _*)
+    }
+    val allFacts = tall(visits, "v", "visit_date", "visit_id", None,
+        Map("visit_date" -> "visit_date", "next_appt" -> "next_appt"))
+      .unionByName(tall(pharmacy, "d", "dispense_date", "disp_id", Some("disp_sub"),
+        Map("dispense_date" -> "dispense_date",
+          "expected_return" -> "expected_return")))
+      .unionByName(tall(exits, "x", "exit_date", "exit_id", None,
+        Map("exit_date" -> "exit_date", "exit_reason" -> "exit_reason")))
+      .unionByName(tall(disc, "c", "disc_date", "disc_id", None,
+        Map("disc_date" -> "disc_date")))
 
-    // J7 — full outer: a patient-month may have only visits, only
-    // dispenses, or both (vw_PatientLastEncounter shape).
-    val enc = lastVisit.join(lastDisp,
-        col("v_pid") <=> col("d_pid") && col("v_asof") <=> col("d_asof"),
-        "full_outer")
-      .select(
-        coalesce(col("v_pid"), col("d_pid")).as("e_pid"),
-        coalesce(col("v_asof"), col("d_asof")).as("e_asof"),
-        greatest(col("visit_date"), col("dispense_date")).as("last_encounter"),
-        greatest(col("next_appt"), col("expected_return")).as("next_expected0"))
+    // 1. latest fact per (patient, kind, visible-month bucket) —
+    //    max_by partial aggregation, see latestAsOf.
+    val spineAgg = spine.agg(min(col("as_of")).as("lo"), max(col("as_of")).as("hi"))
+    val bucketed = allFacts
+      .join(broadcast(spineAgg))
+      .filter(col("__fdate") <= col("hi"))
+      .withColumn("__bucket", greatest(last_day(col("__fdate")), col("lo")))
+    val perBucket = bucketed
+      .groupBy(col("patient_id"), col("kind"), col("__bucket"))
+      .agg(max_by(struct(payloadFields.map(col): _*),
+        struct(col("__fdate"), col("__t1"), col("__t2"))).as("__payload"))
+
+    // 2. forward-fill over the (patient, kind) x month lattice.
+    val lattice = perBucket.select("patient_id", "kind").distinct()
+      .crossJoin(broadcast(spine))
+    val wf = Window.partitionBy(col("patient_id"), col("kind"))
+      .orderBy(col("as_of"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lattice
+      .join(perBucket,
+        lattice("patient_id") === perBucket("patient_id") &&
+          lattice("kind") === perBucket("kind") &&
+          col("as_of") === col("__bucket"), "left")
+      .select(lattice("patient_id"), lattice("kind"), col("as_of"), col("__payload"))
+      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
+      .filter(col("__filled").isNotNull)
+
+    // 3. pivot kinds back to columns: one row per (patient, as_of) with
+    //    the latest visit/dispense/exit/disc state (nulls where a kind
+    //    has no visible fact — the full-outer combine, for free).
+    def kindField(k: String, f: String) =
+      max(when(col("kind") === k, col(s"__filled.$f"))).as(f)
+    val state = filled.groupBy(col("patient_id"), col("as_of"))
+      .agg(kindField("v", "visit_date"),
+        kindField("v", "next_appt"),
+        kindField("d", "dispense_date"),
+        kindField("d", "expected_return"),
+        kindField("x", "exit_date"),
+        kindField("x", "exit_reason"),
+        kindField("c", "disc_date"))
+      .withColumn("last_encounter",
+        greatest(col("visit_date"), col("dispense_date")))
+      .withColumn("next_expected0",
+        greatest(col("next_appt"), col("expected_return")))
       // Fix-up rule (reference :183-196): an implausibly far next
       // appointment (>= 365 days past the last encounter) is replaced
       // by last_encounter + 30.
@@ -141,17 +194,18 @@ object ArtOutcomes {
           date_add(col("last_encounter"), 30))
         .otherwise(col("next_expected0")))
 
+    val firstVisit = visits.groupBy(col("patient_id").as("f_pid"))
+      .agg(min(col("visit_date")).as("first_visit"))
+
     // Patient x month universe; months broadcast (tiny dimension).
     val universe = patients.select(col("patient_id"))
       .join(broadcast(spine))
 
     val full = universe
-      .join(enc, col("patient_id") <=> col("e_pid") &&
-        col("as_of") <=> col("e_asof"), "left")
-      .join(lastExit, col("patient_id") <=> col("x_pid") &&
-        col("as_of") <=> col("x_asof"), "left")
-      .join(lastDisc, col("patient_id") <=> col("c_pid") &&
-        col("as_of") <=> col("c_asof"), "left")
+      .join(state.withColumnRenamed("patient_id", "s_pid")
+          .withColumnRenamed("as_of", "s_asof"),
+        col("patient_id") <=> col("s_pid") && col("as_of") <=> col("s_asof"),
+        "left")
       .join(firstVisit, col("patient_id") <=> col("f_pid"), "left")
 
     // Ordered CASE — the order IS the semantics (reference :197-232).
