@@ -58,11 +58,15 @@ object EtlQueries {
         col("o_orderpriority"))
   }
 
-  /** J5/W1 — latest-record-per-key dedup via window row_number. */
+  /** J5/W1 — latest-record-per-key dedup via window row_number (the
+    * SURVEY §2.6 W1 mapping; the max_by-aggregate variant in
+    * Dedup.latestPerKey is the better plan when keys are heavily
+    * duplicated, but lineitem keys here are near-unique and the window
+    * sort measures faster). */
   def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .withColumn("l_shipdate", col("l_shipdate").cast("date"))
-    Dedup.latestPerKey(li, Seq("l_orderkey", "l_partkey"),
+    Dedup.latestPerKeyWindow(li, Seq("l_orderkey", "l_partkey"),
         Seq("l_shipdate", "l_linenumber"))
       .select(
         col("l_orderkey"), col("l_partkey"),
