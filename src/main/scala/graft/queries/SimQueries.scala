@@ -55,9 +55,19 @@ object SimQueries {
       .filter(col("score_c") >= 400000L)
   }
 
+  /** Multi-probe IVF: the query fans out to its 2 nearest centroid
+    * cells — the recall knob of a real IVF index (corpus side stays
+    * single-assigned, so probes scale only the tiny query side). */
+  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.ivfTopK(v.filter(col("id") < 8), v,
+      v.filter(col("id") % 50 === 7), K, nprobe = 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"        -> (annTopK _),
     "ann_ivf"         -> (annIvf _),
+    "ann_ivf_probe2"  -> (annIvfProbe2 _),
     "embedding_dedup" -> (embeddingDedup _)
   )
 
@@ -100,6 +110,29 @@ object SimQueries {
         |       ${cosScaledSql("a.vec", "b.vec")} AS score_c
         |FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id
         |WHERE ${cosScaledSql("a.vec", "b.vec")} >= 400000""".stripMargin,
+    "ann_ivf_probe2" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
+        |ranked_assign AS (
+        |  SELECT v.id, v.vec, c.c_id AS bucket,
+        |         row_number() OVER (PARTITION BY v.id
+        |           ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
+        |  FROM v CROSS JOIN c
+        |), assign AS (
+        |  SELECT id, vec, bucket FROM ranked_assign WHERE rn = 1
+        |), q AS (
+        |  SELECT id AS q_id, vec AS q_vec, bucket
+        |  FROM ranked_assign WHERE id < 8 AND rn <= 2
+        |), scored AS (
+        |  SELECT q.q_id, a.id AS n_id, ${cosScaledSql("q.q_vec", "a.vec")} AS score_c
+        |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),

@@ -80,9 +80,11 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Nearest-centroid assignment: (id, vec, bucket). Centroids are
-    * broadcast; ties broken by centroid id. */
-  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  /** `nearest`-centroid assignment: (id, vec, bucket) — one row per
+    * vector per rank up to `nearest`. Centroids are broadcast; ties
+    * broken by centroid id. `nearest = 1` is the classic IVF cell
+    * assignment; higher values give multi-probe search. */
+  def assign(vectors: DataFrame, centroids: DataFrame, nearest: Int = 1): DataFrame = {
     val c = broadcast(withNorm(centroids, "c_"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("c_score").desc, col("c_id").asc)
@@ -91,17 +93,21 @@ object Similarity {
       .withColumn("c_score",
         scaledFromParts(dot(col("vec"), col("c_vec")), col("nrm"), col("c_nrm")))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+      .filter(col("__rn") <= nearest)
       .select(col("id"), col("vec"), col("c_id").as("bucket"))
   }
 
-  /** IVF search: top-k within the query's own centroid bucket. */
+  /** IVF search: top-k within the query's `nprobe` nearest centroid
+    * buckets. `nprobe = 1` searches only the query's own cell; larger
+    * values trade proportional extra work for recall (the corpus side
+    * stays single-assigned — cells partition the corpus, probes fan
+    * out only the tiny query side). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
     val corpusB = assign(corpus, centroids)
     val cB = corpusB.select(col("bucket"), col("id").as("n_id"),
       col("vec").as("n_vec"), norm(col("vec")).as("n_nrm"))
-    val qB = assign(queries, centroids)
+    val qB = assign(queries, centroids, nprobe)
       .select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"),
         norm(col("vec")).as("q_nrm"))
     val scored = qB.join(cB, Seq("bucket"))
