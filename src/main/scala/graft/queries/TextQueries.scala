@@ -40,7 +40,7 @@ object TextQueries {
       ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
 
   /** Exact within-language n-gram Jaccard via the shingle inverted
-    * index (word 2-grams; no crossJoin — pairs emerge only from shared
+    * index (word 3-grams; no crossJoin — pairs emerge only from shared
     * shingles). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
