@@ -129,6 +129,22 @@ object TextQueries {
       .filter(col("hamming") <= 2)
   }
 
+  /** Corpus profiling per language: doc counts, exact distinct
+    * sources, exact interpolated length percentiles, token totals —
+    * the summary a training-data pipeline recomputes per snapshot.
+    * (At 100 TB the approx forms — approx_count_distinct /
+    * approx_percentile — replace the exact ones; exact is used here
+    * because it is oracle-checkable.) */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        EtlQueries.cents(expr("percentile(n_chars, 0.5)")).as("median_chars_c"),
+        EtlQueries.cents(expr("percentile(n_chars, 0.9)")).as("p90_chars_c"),
+        sum(size(TF.tokens(col("text"))).cast("long")).as("total_tokens"))
+
   /** Multimodal plumbing: text treated as an opaque binary payload with
     * typed metadata — byte length, content hash, head bytes. (The real
     * image/audio decode would run over exactly this shape; here the
@@ -149,6 +165,7 @@ object TextQueries {
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
     "simhash_dedup"      -> (simhashDedup _),
+    "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _)
   )
 
@@ -334,6 +351,14 @@ object TextQueries {
         |FROM stats""".stripMargin,
     "doc_fingerprint" -> simhashOracle,
     "simhash_dedup" -> simhashDedupOracle,
+    "corpus_profile" ->
+      s"""SELECT lang,
+        |  count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  ${EtlQueries.centsSql.format("quantile_cont(n_chars, 0.5)")} AS median_chars_c,
+        |  ${EtlQueries.centsSql.format("quantile_cont(n_chars, 0.9)")} AS p90_chars_c,
+        |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
     "multimodal_payload" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
