@@ -29,13 +29,23 @@ object Incremental {
     * The target's key columns are renamed before the join so the
     * condition stays unambiguous even when `target` is derived from
     * `source` (self-referential lineage would otherwise resolve both
-    * sides of `<=>` to the same attribute). */
+    * sides of `<=>` to the same attribute).
+    *
+    * `strictKeys` names components compared with plain `=` instead of
+    * `<=>` — one reference job mixes the two (`Load MNCH Immunization/
+    * .../LoadMNCHImmunization.java:67-68` joins `s.ID = t.ID` amid
+    * `<=>` components), with the consequence that a row whose strict
+    * component is NULL never matches the target and is re-inserted on
+    * every run. That is the reference's live behavior, so literal
+    * parity requires reproducing it on request — default stays
+    * all-null-safe. */
   def newRecords(
       source: DataFrame,
       target: DataFrame,
       keys: Seq[String],
       broadcastTarget: Boolean = false,
-      dedupTarget: Boolean = false): DataFrame = {
+      dedupTarget: Boolean = false,
+      strictKeys: Set[String] = Set.empty): DataFrame = {
     // Column-prune the target to its key set — the part that matters at
     // 100 TB (a full-width scan of the target would dominate cost).
     // Deduping the build side is OPT-IN only: left_anti is insensitive
@@ -48,7 +58,10 @@ object Incremental {
       if (dedupTarget) tgtProj.dropDuplicates(keys.map(k => s"__tgt_$k"))
       else tgtProj
     val tgtKeys = if (broadcastTarget) broadcast(tgtKeys0) else tgtKeys0
-    val cond: Column = keys.map(k => col(k) <=> col(s"__tgt_$k")).reduce(_ && _)
+    val cond: Column = keys.map { k =>
+      if (strictKeys.contains(k)) col(k) === col(s"__tgt_$k")
+      else col(k) <=> col(s"__tgt_$k")
+    }.reduce(_ && _)
     source.join(tgtKeys, cond, "left_anti")
   }
 }

@@ -43,15 +43,26 @@ object Sink {
 
   /** S7-style full refresh: the reference's metadata jobs rebuild the
     * target and swap it in via driver-side `renameTable`/`dropTable`
-    * (`Core/.../DatabaseUtils.java:31-52`). The lake-native equivalent
-    * is write-new-then-atomic-rename: readers of `path` never observe
-    * a half-written table. */
+    * (`Core/.../DatabaseUtils.java:31-52`). The lake equivalent here is
+    * write-new-then-rename. Readers never observe a HALF-WRITTEN table
+    * (the staging write is invisible until renamed), but the two-step
+    * swap itself is not atomic: a crash between the moves leaves the
+    * data parked at `path + "__old"`. That window is recoverable (the
+    * data is intact under a deterministic name, and the next refresh
+    * clears it), matching the reference's own rename/drop swap, which
+    * has the same window (`DatabaseUtils.java:31-52`). True atomicity
+    * on an object store needs a versioned directory + pointer flip (a
+    * table format's job — out of scope for parity). */
   def fullRefresh(df: DataFrame, path: String, writePartitions: Int = 0): Unit = {
     val tmp = path + "__staging"
     val out = if (writePartitions > 0) df.repartition(writePartitions) else df
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = java.nio.file.Paths.get(path)
     val old = java.nio.file.Paths.get(path + "__old")
+    // A stale __old from a prior crash would make the rename throw —
+    // the new data is already safely staged, so clear it first.
+    if (java.nio.file.Files.exists(old))
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
     if (java.nio.file.Files.exists(target)) {
       java.nio.file.Files.move(target, old)
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
@@ -64,15 +75,31 @@ object Sink {
   /** One incremental-load cycle: anti-join the source against the
     * current target state on `keys` (null-safe), append only the new
     * records, return how many were appended (the reference logs this
-    * count in every job). */
+    * count in every job).
+    *
+    * The fresh frame is persisted DISK_ONLY across the count + append
+    * actions — the reference pins its frames for exactly this reason
+    * (`LoadCTPatients.java:59,170`: every job runs >= 2 actions and an
+    * unpinned plan would re-run the whole clean+remap+anti-join per
+    * action; at 100 TB that doubles every load cycle). */
   def incrementalLoad(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], writePartitions: Int = 0): Long = {
     val exists = new java.io.File(path).exists()
     val fresh =
       if (!exists) source
       else Incremental.newRecords(source, spark.read.parquet(path), keys)
-    val n = fresh.count()
-    if (n > 0) append(fresh, path, writePartitions)
-    n
+    runCountedAppend(fresh, path, writePartitions)
+  }
+
+  /** count() + conditional append with a DISK_ONLY pin spanning both
+    * actions, so the upstream plan executes exactly once. */
+  private[graft] def runCountedAppend(fresh: DataFrame, path: String,
+      writePartitions: Int): Long = {
+    fresh.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = fresh.count()
+      if (n > 0) append(fresh, path, writePartitions)
+      n
+    } finally fresh.unpersist()
   }
 }

@@ -38,7 +38,11 @@ final case class JobSpec(
     /** E9 — columns to hash into `<col>Hash`. */
     piiHash: Seq[String] = Seq.empty,
     /** P1 — explicit output column list (schema alignment). */
-    projection: Seq[String] = Seq.empty)
+    projection: Seq[String] = Seq.empty,
+    /** Key components anti-joined with plain `=` instead of `<=>`
+      * (reference-literal nuance — see
+      * [[ReferenceJobs.strictKeyComponents]]). */
+    strictKeys: Set[String] = Set.empty)
 
 object Job {
 
@@ -71,14 +75,19 @@ object Job {
     * append — §3.1 steps 3-10). */
   def run(source: DataFrame, target: DataFrame, spec: JobSpec): DataFrame = {
     val cleaned = transform(source, spec)
-    val fresh = Incremental.newRecords(cleaned, target, spec.keys)
+    val fresh = Incremental.newRecords(cleaned, target, spec.keys,
+      strictKeys = spec.strictKeys)
     val hashed = PiiHash.hashColumns(fresh, spec.piiHash)
     if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
     else hashed
   }
 
   /** run + append to a parquet target path; returns appended count
-    * (§3.1 steps 3-11, with the count the reference logs). */
+    * (§3.1 steps 3-11, with the count the reference logs). The fresh
+    * frame is pinned DISK_ONLY across the count + append actions (via
+    * [[Sink.runCountedAppend]]) so the clean+remap+anti-join plan runs
+    * once, mirroring the reference's `persist(DISK_ONLY)` policy
+    * (`LoadCTPatients.java:59,170`). */
   def load(spark: SparkSession, source: DataFrame, targetPath: String,
       spec: JobSpec, writePartitions: Int = 0): Long = {
     val exists = new java.io.File(targetPath).exists()
@@ -89,8 +98,6 @@ object Job {
         if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
         else hashed
       } else run(source, spark.read.parquet(targetPath), spec)
-    val n = fresh.count()
-    if (n > 0) Sink.append(fresh, targetPath, writePartitions)
-    n
+    Sink.runCountedAppend(fresh, targetPath, writePartitions)
   }
 }

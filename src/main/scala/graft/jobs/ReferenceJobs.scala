@@ -78,6 +78,15 @@ object ReferenceJobs {
     "MNCH_Immunization" -> Seq("SiteCode", "PatientPK", "PatientMnchID", "ID"),
     "MNCH_MotherBabyPairs" -> Seq("PatientPk", "SiteCode"))
 
+  /** Key components the reference compares with plain `=` instead of
+    * `<=>`. Exactly one job mixes the two: `LoadMNCHImmunization.java:
+    * 67-68` writes `s.ID = t.ID` amid three `<=>` components, so a
+    * null-ID immunization row is re-inserted on every run there. Kept
+    * as data so literal replay reproduces the reference bit-for-bit
+    * (see [[graft.etl.Incremental.newRecords]] `strictKeys`). */
+  val strictKeyComponents: Map[String, Set[String]] = Map(
+    "MNCH_Immunization" -> Set("ID"))
+
   /** PII hash columns per family (SURVEY Appendix A footnote). */
   val piiColumns: Map[String, Seq[String]] = Map(
     "CT" -> Seq("PatientID", "PatientPK"),

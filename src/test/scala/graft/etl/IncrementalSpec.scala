@@ -52,6 +52,48 @@ class IncrementalSpec extends SparkSpec {
     assert(!new java.io.File(path + "__old").exists())
   }
 
+  test("strictKeys component uses `=`: null-key rows re-insert forever " +
+      "(LoadMNCHImmunization.java:67-68 literal parity)") {
+    val source = df(Seq((1L, "a"), (null, "b")))
+    val target = df(Seq((1L, "a"), (null, "b"))) // both already loaded
+    // default (all <=>): nothing is new
+    assert(Incremental.newRecords(source, target, Seq("k1", "k2")).count() == 0)
+    // reference-literal mode for k1: NULL = NULL is not true, so the
+    // null-k1 row never matches the target and re-inserts every run
+    val strict = Incremental.newRecords(source, target, Seq("k1", "k2"),
+      strictKeys = Set("k1")).collect()
+    assert(strict.length == 1 && strict.head.isNullAt(0))
+  }
+
+  test("fullRefresh recovers from a stale __old left by a prior crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-refresh2").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    Sink.fullRefresh(df(Seq((1L, "a"))), path)
+    // simulate a crash that left __old behind
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(path + "__old"))
+    Sink.fullRefresh(df(Seq((2L, "b"), (3L, "c"))), path)
+    assert(spark.read.parquet(path).count() == 2)
+    assert(!new java.io.File(path + "__old").exists())
+  }
+
+  test("incrementalLoad executes the upstream plan ONCE across count+append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-once").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    // seed the target so the anti-join path (exists=true) is exercised
+    Sink.incrementalLoad(spark, df(Seq((1L, "a"))), path, Seq("k1", "k2"))
+    val evals = spark.sparkContext.longAccumulator("graft-probe-evals")
+    val probeUdf = org.apache.spark.sql.functions.udf { (k: java.lang.Long) =>
+      evals.add(1L); k
+    }.asNondeterministic()
+    val source = df(Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      .withColumn("k1", probeUdf(org.apache.spark.sql.functions.col("k1")))
+    assert(Sink.incrementalLoad(spark, source, path, Seq("k1", "k2")) == 2)
+    // Without the DISK_ONLY pin the clean+anti-join plan would run twice
+    // (once for count, once for append) and the probe would fire ~2x.
+    assert(evals.value == 3L,
+      s"upstream plan evaluated ${evals.value} source rows; expected 3 (one pass)")
+  }
+
   test("second run is a no-op (idempotent load via Sink)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toFile
     val path = new java.io.File(dir, "t").getAbsolutePath
