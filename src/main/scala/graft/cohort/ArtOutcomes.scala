@@ -85,41 +85,71 @@ object ArtOutcomes {
       .groupBy(col("patient_id"), col("__bucket"))
       .agg(max_by(struct(payloadCols.map(col): _*), orderStruct).as("__payload"))
 
-    // 2. lattice x forward-fill (struct travels as a unit).
-    val lattice = perBucket.select("patient_id").distinct()
+    // 2. lattice x forward-fill (struct travels as a unit). The lattice
+    //    columns are explicitly re-aliased (`__l_pid`): the lattice is
+    //    DERIVED from perBucket, so `lattice("patient_id") ===
+    //    perBucket("patient_id")` would resolve both sides to the same
+    //    attribute id and survive only via Spark's dataset-id self-join
+    //    disambiguation (logged as a "trivially true equals predicate"
+    //    warning) — one refactor away from a silent cartesian.
+    val lattice = perBucket.select(col("patient_id").as("__l_pid")).distinct()
       .crossJoin(broadcast(spine))
-    val wf = Window.partitionBy(col("patient_id")).orderBy(col("as_of"))
+    val wf = Window.partitionBy(col("__l_pid")).orderBy(col("as_of"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lattice
       .join(perBucket,
-        lattice("patient_id") === perBucket("patient_id") &&
+        col("__l_pid") === col("patient_id") &&
           col("as_of") === col("__bucket"), "left")
-      .select(lattice("patient_id"), col("as_of"), col("__payload"))
+      .select(col("__l_pid"), col("as_of"), col("__payload"))
       .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
       .filter(col("__filled").isNotNull)
+      .withColumnRenamed("__l_pid", "patient_id")
     payloadCols.foldLeft(filled)((d, c) =>
         d.withColumn(c, col(s"__filled.$c")))
       .drop("__payload", "__filled")
   }
 
   /** The full cohort: one row per (patient, as_of) with the ART-outcome
-    * code. Branch order mirrors the reference exactly.
+    * code. Fix-up anchor, CASE branch order and branch conditions
+    * mirror the reference (`LoadHistoricalARTOutcomes.sql:183-232`);
+    * see the deviations note at the end of this doc.
     *
-    * Execution shape: the four fact streams (visit / dispense / exit /
-    * discontinuation) are UNIONED into one tall frame with a `kind`
-    * tag and a common wide payload, so the whole as-of state machine
-    * runs as ONE bucket-aggregate, ONE forward-fill window and ONE
-    * pivot-back — instead of four separate latestAsOf pipelines plus a
-    * full-outer join (which is what the per-kind pivot subsumes: a
-    * patient-month with only visits simply has a null dispense
-    * payload, the vw_PatientLastEncounter full-outer semantics —
-    * reference `:158-182`). ~10 exchanges collapse to 5. */
+    * Execution shape: the three AS-OF fact streams (visit / dispense /
+    * exit) are UNIONED into one tall frame with a `kind` tag and a
+    * common wide payload, so the whole as-of state machine runs as ONE
+    * bucket-aggregate, ONE forward-fill window and ONE pivot-back —
+    * instead of per-stream latestAsOf pipelines plus a full-outer join
+    * (which is what the per-kind pivot subsumes: a patient-month with
+    * only visits simply has a null dispense payload, the
+    * vw_PatientLastEncounter full-outer semantics — reference
+    * `:158-182`). The discontinuation stream is NOT as-of windowed:
+    * the reference's `latest_effective_discontinuation` CTE (`:109-128`)
+    * takes the latest record over ALL time (no `<= @as_of_date`
+    * filter), so it reduces to one scalar row per patient, joined to
+    * the universe once.
+    *
+    * Role mapping: `disc` carries (patient_id, disc_date, disc_reason,
+    * disc_id) where disc_date plays EffectiveDiscontinuationDate and
+    * disc_reason plays ExitReason, with rows pre-filtered to non-null
+    * dates (the reference CTE's `ExitDate is not null and
+    * EffectiveDiscontinuationDate is not null`, `:120`); `visits`'
+    * min(visit_date) plays StartARTDate in the NP branch.
+    *
+    * Intentional deviations from the reference, kept because they make
+    * the operator a strict superset (oracle + tests mirror them):
+    *  - Output covers the FULL patient x month universe; the reference
+    *    emits rows only for patients with >= 1 encounter as of the
+    *    month (`:158-182` drives membership from last_encounter). A
+    *    no-fact patient-month classifies as 'NV' here.
+    *  - The reference orders discontinuations by
+    *    EffectiveDiscontinuationDate alone (`:118` — ties are
+    *    nondeterministic); disc_id breaks ties here so reruns agree. */
   def outcomes(patients: DataFrame, visits: DataFrame, pharmacy: DataFrame,
       exits: DataFrame, disc: DataFrame, spine: DataFrame): DataFrame = {
 
     // Common tall shape: (patient_id, kind, __fdate, __t1, __t2, payload...)
     val payloadFields = Seq("visit_date", "next_appt", "dispense_date",
-      "expected_return", "exit_date", "exit_reason", "disc_date")
+      "expected_return", "exit_date", "exit_reason")
     def tall(df: DataFrame, kind: String, dateCol: String, t1: String,
         t2: Option[String], present: Map[String, String]): DataFrame = {
       val nullDate = lit(null).cast("date")
@@ -139,8 +169,6 @@ object ArtOutcomes {
           "expected_return" -> "expected_return")))
       .unionByName(tall(exits, "x", "exit_date", "exit_id", None,
         Map("exit_date" -> "exit_date", "exit_reason" -> "exit_reason")))
-      .unionByName(tall(disc, "c", "disc_date", "disc_id", None,
-        Map("disc_date" -> "disc_date")))
 
     // 1. latest fact per (patient, kind, visible-month bucket) —
     //    max_by partial aggregation, see latestAsOf.
@@ -154,48 +182,64 @@ object ArtOutcomes {
       .agg(max_by(struct(payloadFields.map(col): _*),
         struct(col("__fdate"), col("__t1"), col("__t2"))).as("__payload"))
 
-    // 2. forward-fill over the (patient, kind) x month lattice.
-    val lattice = perBucket.select("patient_id", "kind").distinct()
+    // 2. forward-fill over the (patient, kind) x month lattice. The
+    //    lattice columns are explicitly re-aliased: the lattice derives
+    //    from perBucket, so unaliased join columns would resolve to the
+    //    same attribute ids and lean on dataset-id disambiguation (the
+    //    "trivially true equals predicate" warning) — fragile.
+    val lattice = perBucket
+      .select(col("patient_id").as("__l_pid"), col("kind").as("__l_kind"))
+      .distinct()
       .crossJoin(broadcast(spine))
-    val wf = Window.partitionBy(col("patient_id"), col("kind"))
+    val wf = Window.partitionBy(col("__l_pid"), col("__l_kind"))
       .orderBy(col("as_of"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lattice
       .join(perBucket,
-        lattice("patient_id") === perBucket("patient_id") &&
-          lattice("kind") === perBucket("kind") &&
+        col("__l_pid") === col("patient_id") &&
+          col("__l_kind") === col("kind") &&
           col("as_of") === col("__bucket"), "left")
-      .select(lattice("patient_id"), lattice("kind"), col("as_of"), col("__payload"))
+      .select(col("__l_pid"), col("__l_kind"), col("as_of"), col("__payload"))
       .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
       .filter(col("__filled").isNotNull)
 
     // 3. pivot kinds back to columns: one row per (patient, as_of) with
-    //    the latest visit/dispense/exit/disc state (nulls where a kind
-    //    has no visible fact — the full-outer combine, for free).
+    //    the latest visit/dispense/exit state (nulls where a kind has
+    //    no visible fact — the full-outer combine, for free).
     def kindField(k: String, f: String) =
-      max(when(col("kind") === k, col(s"__filled.$f"))).as(f)
-    val state = filled.groupBy(col("patient_id"), col("as_of"))
+      max(when(col("__l_kind") === k, col(s"__filled.$f"))).as(f)
+    val state = filled.groupBy(col("__l_pid").as("patient_id"), col("as_of"))
       .agg(kindField("v", "visit_date"),
         kindField("v", "next_appt"),
         kindField("d", "dispense_date"),
         kindField("d", "expected_return"),
         kindField("x", "exit_date"),
-        kindField("x", "exit_reason"),
-        kindField("c", "disc_date"))
+        kindField("x", "exit_reason"))
       .withColumn("last_encounter",
         greatest(col("visit_date"), col("dispense_date")))
       .withColumn("next_expected0",
         greatest(col("next_appt"), col("expected_return")))
-      // Fix-up rule (reference :183-196): an implausibly far next
-      // appointment (>= 365 days past the last encounter) is replaced
-      // by last_encounter + 30.
+      // Fix-up rule (reference :192): an appointment >= 365 days past
+      // the AS-OF date is implausible and replaced by last_encounter +
+      // 30 — `datediff(dd, @as_of_date, NextAppointmentDate) >= 365`,
+      // anchored on the as-of date, not the last encounter.
       .withColumn("next_expected",
-        when(datediff(col("next_expected0"), col("last_encounter")) >= 365,
+        when(datediff(col("next_expected0"), col("as_of")) >= 365,
           date_add(col("last_encounter"), 30))
         .otherwise(col("next_expected0")))
 
+    // StartARTDate analog (NP branch) — earliest visit per patient.
     val firstVisit = visits.groupBy(col("patient_id").as("f_pid"))
       .agg(min(col("visit_date")).as("first_visit"))
+
+    // Latest effective discontinuation per patient over ALL time
+    // (reference :109-128; scalar per patient, not as-of windowed).
+    val latestDisc = disc
+      .groupBy(col("patient_id").as("c_pid"))
+      .agg(max_by(struct(col("disc_date"), col("disc_reason")),
+        struct(col("disc_date"), col("disc_id"))).as("__c"))
+      .select(col("c_pid"), col("__c.disc_date").as("disc_date"),
+        col("__c.disc_reason").as("disc_reason"))
 
     // Patient x month universe; months broadcast (tiny dimension).
     val universe = patients.select(col("patient_id"))
@@ -207,17 +251,29 @@ object ArtOutcomes {
         col("patient_id") <=> col("s_pid") && col("as_of") <=> col("s_asof"),
         "left")
       .join(firstVisit, col("patient_id") <=> col("f_pid"), "left")
+      .join(broadcast(latestDisc), col("patient_id") <=> col("c_pid"), "left")
 
-    // Ordered CASE — the order IS the semantics (reference :197-232).
+    // Ordered CASE — the order IS the semantics (reference :211-222):
+    //   1. future-dated effective discontinuation (reason <> 'DIED',
+    //      EffectiveDiscontinuationDate > eomonth(as_of))      -> 'V'
+    //   2. ART start after the as-of month                     -> 'NP'
+    //   3. exited                         -> first letter of reason
+    //   4. appointment ahead or <= 30 days past                -> 'V'
+    //   5. > 30 days past appointment                          -> 'uL'
+    //   6. no appointment                                      -> 'NV'
+    //   7. (fallback)                                          -> NULL
+    // A null disc_reason falls through branch 1 (SQL `<> 'DIED'` is
+    // unknown on NULL); a null first_visit falls through branch 2.
     val outcome =
-      when(col("disc_date").isNotNull, lit("V"))
-        .when(col("exit_date").isNotNull,
-          upper(substring(col("exit_reason"), 1, 1)))
-        .when(col("first_visit").isNull || col("first_visit") > col("as_of"),
-          lit("NP"))
-        .when(col("next_expected").isNull, lit("NV"))
+      when(col("disc_date").isNotNull &&
+          col("disc_reason") =!= "DIED" && col("disc_date") > col("as_of"),
+          lit("V"))
+        .when(col("first_visit") > col("as_of"), lit("NP"))
+        .when(col("exit_date").isNotNull, substring(col("exit_reason"), 1, 1))
+        .when(col("as_of") < col("next_expected") ||
+          datediff(col("as_of"), col("next_expected")) <= 30, lit("V"))
         .when(datediff(col("as_of"), col("next_expected")) > 30, lit("uL"))
-        .otherwise(lit("V"))
+        .when(col("next_expected").isNull, lit("NV"))
 
     full.select(col("patient_id"), col("as_of"),
       col("last_encounter"), col("next_expected"), outcome.as("outcome"))

@@ -75,11 +75,16 @@ object CohortQueries {
       LocalDate.of(1998, 1, 1), LocalDate.of(1998, 12, 1))
     val patients = Tables.customer(spark, dir)
       .select(col("c_custkey").as("patient_id"))
+    // 'P' orders model unscheduled visits; urgent orders model the
+    // data-entry garbage the reference's :192 fix-up exists for (an
+    // appointment ~400 days out).
     val visits = Tables.orders(spark, dir).select(
       col("o_custkey").as("patient_id"),
       col("o_orderdate").cast("date").as("visit_date"),
       col("o_orderkey").as("visit_id"),
       when(col("o_orderstatus") === "P", lit(null))
+        .when(col("o_orderpriority") === "1-URGENT",
+          date_add(col("o_orderdate").cast("date"), 400))
         .otherwise(date_add(col("o_orderdate").cast("date"), 30)).as("next_appt"))
     val pharmacy = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
@@ -93,8 +98,12 @@ object CohortQueries {
     val exits = ev.filter(col("event_type").isin("error", "signup")).select(
       col("user_id").as("patient_id"), eventDate.as("exit_date"),
       col("event_type").as("exit_reason"), col("event_id").as("exit_id"))
+    // Every 5th purchase models a 'DIED' exit reason so the disc
+    // branch's `<> 'DIED'` guard (reference :212) is exercised.
     val disc = ev.filter(col("event_type") === "purchase").select(
       col("user_id").as("patient_id"), eventDate.as("disc_date"),
+      when(col("event_id") % 5 === 0, lit("DIED")).otherwise(lit("STOPPED"))
+        .as("disc_reason"),
       col("event_id").as("disc_id"))
     ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine)
       .select(col("patient_id"), iso(col("as_of")).as("as_of"),
@@ -142,6 +151,12 @@ object CohortQueries {
         |            WHEN o_pid IS NOT NULL THEN 'order_only'
         |            ELSE 'event_only' END AS src
         |FROM lo FULL JOIN le ON o_pid = e_pid""".stripMargin,
+    // Independent formulation: per-month fan-out joins + row_number
+    // windows (the reference's own CTE shape) vs the engine's
+    // bucket+forward-fill — a hash match is therefore evidence, not
+    // self-confirmation. CASE order and conditions mirror
+    // LoadHistoricalARTOutcomes.sql:211-222; the fix-up anchors on the
+    // as-of date (:192); disc is latest over ALL time (:109-128).
     "art_outcome" ->
       s"""WITH spine AS (
         |  SELECT last_day(CAST(unnest(generate_series(
@@ -149,6 +164,7 @@ object CohortQueries {
         |), visits AS (
         |  SELECT o_custkey AS pid, CAST(o_orderdate AS DATE) AS vdate, o_orderkey AS vid,
         |         CASE WHEN o_orderstatus = 'P' THEN NULL
+        |              WHEN o_orderpriority = '1-URGENT' THEN CAST(o_orderdate AS DATE) + 400
         |              ELSE CAST(o_orderdate AS DATE) + 30 END AS next_appt
         |  FROM orders
         |), pharm AS (
@@ -161,7 +177,9 @@ object CohortQueries {
         |         event_type AS reason, event_id AS xid
         |  FROM events WHERE event_type IN ('error','signup')
         |), disc AS (
-        |  SELECT user_id AS pid, $eventDateSql AS cdate, event_id AS cid
+        |  SELECT user_id AS pid, $eventDateSql AS cdate,
+        |         CASE WHEN event_id % 5 = 0 THEN 'DIED' ELSE 'STOPPED' END AS creason,
+        |         event_id AS cid
         |  FROM events WHERE event_type = 'purchase'
         |), lv AS (
         |  SELECT pid, as_of, vdate, next_appt FROM (
@@ -180,17 +198,17 @@ object CohortQueries {
         |        PARTITION BY x.pid, s.as_of ORDER BY x.xdate DESC, x.xid DESC) AS rn
         |    FROM exits x JOIN spine s ON x.xdate <= s.as_of) WHERE rn = 1
         |), lc AS (
-        |  SELECT pid, as_of, cdate FROM (
-        |    SELECT c.*, s.as_of, row_number() OVER (
-        |        PARTITION BY c.pid, s.as_of ORDER BY c.cdate DESC, c.cid DESC) AS rn
-        |    FROM disc c JOIN spine s ON c.cdate <= s.as_of) WHERE rn = 1
+        |  SELECT pid, cdate, creason FROM (
+        |    SELECT c.*, row_number() OVER (
+        |        PARTITION BY c.pid ORDER BY c.cdate DESC, c.cid DESC) AS rn
+        |    FROM disc c) WHERE rn = 1
         |), fv AS (
         |  SELECT pid, min(vdate) AS first_visit FROM visits GROUP BY pid
         |), enc AS (
         |  SELECT coalesce(lv.pid, ld.pid) AS pid,
         |         coalesce(lv.as_of, ld.as_of) AS as_of,
         |         greatest(lv.vdate, ld.ddate) AS last_encounter,
-        |         CASE WHEN date_diff('day', greatest(lv.vdate, ld.ddate),
+        |         CASE WHEN date_diff('day', coalesce(lv.as_of, ld.as_of),
         |                        greatest(lv.next_appt, ld.expret)) >= 365
         |              THEN greatest(lv.vdate, ld.ddate) + 30
         |              ELSE greatest(lv.next_appt, ld.expret) END AS next_expected
@@ -201,16 +219,19 @@ object CohortQueries {
         |SELECT u.pid AS patient_id, strftime(u.as_of, '%Y-%m-%d') AS as_of,
         |       strftime(e.last_encounter, '%Y-%m-%d') AS last_encounter,
         |       strftime(e.next_expected, '%Y-%m-%d') AS next_expected,
-        |       CASE WHEN lc.cdate IS NOT NULL THEN 'V'
-        |            WHEN lx.xdate IS NOT NULL THEN upper(substr(lx.reason, 1, 1))
-        |            WHEN fv.first_visit IS NULL OR fv.first_visit > u.as_of THEN 'NP'
-        |            WHEN e.next_expected IS NULL THEN 'NV'
+        |       CASE WHEN lc.cdate IS NOT NULL AND lc.creason <> 'DIED'
+        |                 AND lc.cdate > u.as_of THEN 'V'
+        |            WHEN fv.first_visit > u.as_of THEN 'NP'
+        |            WHEN lx.xdate IS NOT NULL THEN substr(lx.reason, 1, 1)
+        |            WHEN u.as_of < e.next_expected
+        |                 OR date_diff('day', e.next_expected, u.as_of) <= 30 THEN 'V'
         |            WHEN date_diff('day', e.next_expected, u.as_of) > 30 THEN 'uL'
-        |            ELSE 'V' END AS outcome
+        |            WHEN e.next_expected IS NULL THEN 'NV'
+        |            END AS outcome
         |FROM uni u
         |LEFT JOIN enc e ON u.pid = e.pid AND u.as_of = e.as_of
         |LEFT JOIN lx ON u.pid = lx.pid AND u.as_of = lx.as_of
-        |LEFT JOIN lc ON u.pid = lc.pid AND u.as_of = lc.as_of
+        |LEFT JOIN lc ON u.pid = lc.pid
         |LEFT JOIN fv ON u.pid = fv.pid""".stripMargin
   )
 }

@@ -9,39 +9,48 @@ import graft.SparkSpec
 /** Branch-coverage golden test for the ART-outcome CASE — one crafted
   * patient per branch (SURVEY §7.4 risk 5: branch ORDER is semantic),
   * plus the 365-day next-appointment fix-up rule, over a single-month
-  * spine (as-of 2024-01-31). */
+  * spine (as-of 2024-01-31). Branch order and conditions mirror
+  * `LoadHistoricalARTOutcomes.sql:211-222`: a discontinuation fires 'V'
+  * only when its reason is not 'DIED' AND its effective date is in the
+  * FUTURE of the as-of month; 'NP' outranks the exit letter; the exit
+  * letter is the raw (not uppercased) first character; the fix-up
+  * anchors on the as-of date (`:192`). */
 class ArtOutcomesSpec extends SparkSpec {
 
   import spark.implicits._
 
   private def d(s: String) = java.sql.Date.valueOf(s)
 
-  private val asOf = "2024-01-31"
-
   // (patient, visit_date, visit_id, next_appt)
   private def visits: DataFrame = Seq(
-    (1L, d("2024-01-10"), 10L, Option(d("2024-02-09"))),  // active
+    (1L, d("2024-01-10"), 10L, Option(d("2024-02-09"))),  // disc'd (future)
     (2L, d("2024-01-10"), 11L, Option(d("2024-02-09"))),  // exits anyway
     (4L, d("2024-03-15"), 12L, Option(d("2024-04-14"))),  // first visit AFTER as-of
     (5L, d("2024-01-05"), 13L, None),                     // no appointment scheduled
     (6L, d("2023-10-01"), 14L, Option(d("2023-10-31"))),  // >30 days late
     (7L, d("2024-01-20"), 15L, Option(d("2024-02-19"))),  // active
-    (8L, d("2023-12-01"), 16L, Option(d("2025-06-01"))))  // implausible appt -> fix-up
+    (8L, d("2023-12-01"), 16L, Option(d("2025-06-01"))),  // implausible appt -> fix-up
+    (9L, d("2024-01-10"), 17L, Option(d("2024-02-09"))),  // DIED disc must NOT fire
+    (11L, d("2024-03-15"), 18L, Option(d("2024-04-14")))) // NP outranks exit
     .toDF("patient_id", "visit_date", "visit_id", "next_appt")
 
   private def pharmacy: DataFrame = Seq.empty[(Long, java.sql.Date, java.sql.Date, Long, Long)]
     .toDF("patient_id", "dispense_date", "expected_return", "disp_id", "disp_sub")
 
   private def exits: DataFrame = Seq(
-    (1L, d("2024-01-15"), "transfer", 100L), // has disc too -> disc must WIN
-    (2L, d("2024-01-15"), "transfer", 101L))
+    (2L, d("2024-01-15"), "transfer", 101L),
+    (9L, d("2024-01-15"), "moved", 102L),
+    (11L, d("2024-01-15"), "transfer", 103L))
     .toDF("patient_id", "exit_date", "exit_reason", "exit_id")
 
+  // (patient, disc_date = EffectiveDiscontinuationDate, reason, id)
   private def disc: DataFrame = Seq(
-    (1L, d("2024-01-20"), 200L))
-    .toDF("patient_id", "disc_date", "disc_id")
+    (1L, d("2024-06-01"), "STOPPED", 200L), // future, not DIED -> branch 1
+    (9L, d("2024-06-01"), "DIED", 201L),    // future but DIED  -> falls through
+    (10L, d("2024-01-10"), "STOPPED", 202L)) // PAST            -> falls through
+    .toDF("patient_id", "disc_date", "disc_reason", "disc_id")
 
-  private def patients: DataFrame = (1L to 8L).toDF("patient_id")
+  private def patients: DataFrame = (1L to 11L).toDF("patient_id")
 
   private lazy val result: Map[Long, (String, Option[String])] = {
     val spine = ArtOutcomes.monthEndSpine(spark,
@@ -53,17 +62,26 @@ class ArtOutcomesSpec extends SparkSpec {
       .toMap
   }
 
-  test("effective discontinuation wins over exit letter (branch order)") {
+  test("future-dated effective discontinuation wins (branch 1)") {
     assert(result(1L)._1 == "V")
   }
-  test("exit -> first letter of reason, uppercased") {
-    assert(result(2L)._1 == "T")
+  test("DIED discontinuation falls through to the exit letter") {
+    assert(result(9L)._1 == "m")
   }
-  test("never visited -> NP") {
-    assert(result(3L)._1 == "NP")
+  test("past-dated discontinuation falls through (no facts -> NV)") {
+    assert(result(10L)._1 == "NV")
+  }
+  test("exit -> first letter of reason, raw case") {
+    assert(result(2L)._1 == "t")
+  }
+  test("never visited, no facts at all -> NV (universe superset)") {
+    assert(result(3L)._1 == "NV")
   }
   test("first visit after as-of -> NP") {
     assert(result(4L)._1 == "NP")
+  }
+  test("NP outranks the exit letter (branch order :214-216)") {
+    assert(result(11L)._1 == "NP")
   }
   test("visited but no appointment scheduled -> NV") {
     assert(result(5L)._1 == "NV")
@@ -74,10 +92,13 @@ class ArtOutcomesSpec extends SparkSpec {
   test("active with upcoming appointment -> V") {
     assert(result(7L)._1 == "V")
   }
-  test("365-day fix-up replaces implausible appointment, changes outcome") {
-    // raw appt 2025-06-01 is >= 365 days past the 2023-12-01 encounter:
-    // next_expected becomes 2023-12-31, which is >30 days before as-of -> uL
+  test("365-day fix-up (anchored on as-of) replaces implausible appointment") {
+    // raw appt 2025-06-01 is >= 365 days past as-of 2024-01-31: replaced
+    // by last_encounter (2023-12-01) + 30 = 2023-12-31 -> >30 days late -> uL
     assert(result(8L)._2.contains("2023-12-31"))
     assert(result(8L)._1 == "uL")
+  }
+  test("plausible appointment is NOT fixed up (patient 7 keeps raw date)") {
+    assert(result(7L)._2.contains("2024-02-19"))
   }
 }
