@@ -35,22 +35,34 @@ object Bench {
     }
     // Min of two measured passes per query: host-level CPU noise was
     // observed to swing single measurements 2-4x; the minimum is the
-    // standard low-noise estimator of steady-state runtime.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // standard low-noise estimator of steady-state runtime. A query
+    // that throws records the sentinel -1 (NOT its time-to-failure,
+    // which would read as a healthy fast run) and is listed in
+    // "failed" so the JSON can't mistake failure for speed.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> math.min(timeOnce(name, fn), timeOnce(name, fn))
+      name -> ((timeOnce(name, fn), timeOnce(name, fn)) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => -1.0
+      })
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

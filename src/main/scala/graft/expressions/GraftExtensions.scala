@@ -33,5 +33,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigsExpr].getName, "graft_minhash_sigs"),
       (children: Seq[Expression]) =>
         MinHashSigsExpr(children.head, intLit(children(1), "perms"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_centers"),
+      new ExpressionInfo(classOf[TopCentersExpr].getName, "graft_top_centers"),
+      (children: Seq[Expression]) =>
+        TopCentersExpr(children.head, children(1), children(2),
+          intLit(children(3), "nearest"))))
   }
 }

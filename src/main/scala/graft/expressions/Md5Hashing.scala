@@ -105,11 +105,21 @@ case class SimHashExpr(child: Expression, bits: Int)
 /** `graft_shingles(tokens array<string>, n)` — distinct space-joined
   * word n-grams, first-occurrence order: identical to
   * `array_distinct(TextFunctions.wordNgrams(tokens, n))` without the
-  * interpreted per-index slice/concat lambdas. */
+  * interpreted per-index slice/concat lambdas. NULL input yields an
+  * EMPTY array, exactly like the builtin spec: `wordNgrams` guards
+  * with `size(toks) >= n`, and `size(NULL)` is -1 under the legacy
+  * (non-ANSI) semantics this engine runs with, so the guard falls
+  * through to the empty-array branch. */
 case class ShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[AnyRef]) else nullSafeEval(v)
+  }
   override def checkInputDataTypes() =
     if (child.dataType == ArrayType(StringType) ||
         child.dataType == ArrayType(StringType, containsNull = false))

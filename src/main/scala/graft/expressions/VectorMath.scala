@@ -1,0 +1,207 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `graft_dot(a array<float|double>, b array<float|double>)` — the
+  * double-precision left-fold dot product, bit-identical to the
+  * built-in formulation
+  * `aggregate(zip_with(a_d, b_d, (x, y) => x * y), 0d, (acc, p) => acc + p)`
+  * (with both sides element-cast to double first): the accumulator
+  * starts at 0.0 and each step is exactly `acc + a(i) * b(i)` in IEEE
+  * double, ascending index — the same fold order DuckDB's
+  * `list_reduce(list_transform(...))` oracle uses, so scaled-BIGINT
+  * cosine scores keep hash-matching.
+  *
+  * The HOF chain evaluates interpreted (one lambda call per element
+  * per pair); this is a tight JVM loop — the ANN pair-scoring hot
+  * path. Null semantics match the builtins: null array, mismatched
+  * lengths, or any null element → null (zip_with pads the shorter
+  * side with nulls and a null product poisons the whole fold). Empty
+  * arrays → 0.0 (the fold's init value).
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemOk(dt: DataType) = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes() =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float|double>, got ${left.dataType}, ${right.dataType}")
+
+  private val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  /** Real codegen (not CodegenFallback): the loop inlines into the
+    * surrounding whole-stage-generated join/projection code — the
+    * fallback's per-row interpreted-eval boundary measured ~6 µs per
+    * pair in the BroadcastNestedLoopJoin hot path, ~100x the actual
+    * 64-element fold. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = ctx.freshName("a")
+    val b = ctx.freshName("b")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
+    val bad = ctx.freshName("bad")
+    val arrCls = classOf[ArrayData].getName
+    def get(arr: String, isFloat: Boolean) =
+      if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    ev.copy(code = code"""
+      ${leftGen.code}
+      ${rightGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${leftGen.isNull} && !${rightGen.isNull}) {
+        $arrCls $a = ${leftGen.value};
+        $arrCls $b = ${rightGen.value};
+        int $n = $a.numElements();
+        if ($n == $b.numElements()) {
+          boolean $bad = false;
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+            $acc += ${get(a, leftIsFloat)} * ${get(b, rightIsFloat)};
+          }
+          if (!$bad) { ${ev.isNull} = false; ${ev.value} = $acc; }
+        }
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_top_centers(vec array<float>, nrm double, centers
+  * array<array<float>> LITERAL, nearest)` — indices (0-based, rank
+  * order) of the `nearest` centers with the highest scaled cosine to
+  * `vec`, ties broken by smaller index. Scores are computed exactly as
+  * `Similarity.scaledFromParts(dot, nrm, centerNorm)` — double
+  * left-fold dot, `floor(dot / (nrm * cnorm) * 1e6 + 0.5)` — so the
+  * assignment is bit-identical to scoring each center with
+  * [[DotExpr]] columns.
+  *
+  * One expression eval per ROW does all k dot products in a tight
+  * loop over cached center arrays. The alternative — an `array()` of
+  * k per-center score structs — generates k inlined loops whose
+  * code size kicks the whole stage out of whole-stage codegen (the
+  * projection went interpreted, measured seconds per small scan).
+  * A CodegenFallback boundary once per row is noise by comparison.
+  */
+case class TopCentersExpr(vec: Expression, nrm: Expression,
+    centers: Expression, nearest: Int)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec, nrm, centers)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  override def checkInputDataTypes() = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val cOk = centers.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    if (vecOk && nrm.dataType == DoubleType && cOk && centers.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_top_centers expects (array<float>, double, foldable array<array<float>>)")
+  }
+
+  // Centers are a literal: parse + norm them once per expression
+  // instance, not per row.
+  @transient private lazy val centerVecs: Array[Array[Float]] = {
+    val arr = centers.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      arr.getArray(i).toFloatArray()
+    }.toArray
+  }
+  @transient private lazy val centerNorms: Array[Double] =
+    centerVecs.map { c =>
+      var acc = 0d
+      c.foreach(x => acc += x.toDouble * x.toDouble)
+      math.sqrt(acc)
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val n = nrm.eval(input)
+    if (v == null || n == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val vn = n.asInstanceOf[Double]
+    val dim = arr.numElements()
+    val k = centerVecs.length
+    val take = math.min(nearest, k)
+    // Top-`take` selection by (score desc, index asc); `nearest` is
+    // tiny (1-2), so insertion into parallel arrays beats sorting k.
+    val topScore = Array.fill(take)(Double.NegativeInfinity)
+    val topIdx = Array.fill(take)(-1)
+    var c = 0
+    while (c < k) {
+      val cv = centerVecs(c)
+      if (cv.length == dim) {
+        var acc = 0d
+        var i = 0
+        while (i < dim) { acc += arr.getFloat(i).toDouble * cv(i); i += 1 }
+        val s = math.floor(acc / (vn * centerNorms(c)) * 1e6 + 0.5)
+        var pos = take
+        while (pos > 0 && s > topScore(pos - 1)) pos -= 1
+        if (pos < take) {
+          var j = take - 1
+          while (j > pos) {
+            topScore(j) = topScore(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
+          }
+          topScore(pos) = s
+          topIdx(pos) = c
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(topIdx.filter(_ >= 0).map(_.toLong.asInstanceOf[AnyRef]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), nrm = newChildren(1), centers = newChildren(2))
+}

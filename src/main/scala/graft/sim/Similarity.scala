@@ -25,20 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def toDouble(arr: Column): Column =
-    transform(arr, x => x.cast("double"))
+  /** Double left-fold dot product — the native [[graft.expressions.DotExpr]]
+    * (bit-identical to the `aggregate`/`zip_with` builtin formulation,
+    * which evaluates interpreted and dominated the ANN pair-scoring
+    * cost; see ExpressionsSpec for the bit-equality proof). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  /** Left-fold sum of an array<double> — matches DuckDB list_reduce. */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0d), (acc, x) => acc + x)
-
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
-
-  def norm(a: Column): Column = {
-    val d = toDouble(a)
-    sqrt(foldSum(zip_with(d, d, (x, y) => x * y)))
-  }
+  def norm(a: Column): Column = sqrt(call_function("graft_dot", a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -95,6 +88,73 @@ object Similarity {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= nearest)
       .select(col("id"), col("vec"), col("c_id").as("bucket"))
+  }
+
+  /** Shuffle-free centroid ranking against DRIVER-SIDE centers (the
+    * spark.ml pattern — k·dim floats are bytes, not data): per row,
+    * the k scores are an array of (score, -centroid_id) structs built
+    * from literal vectors, sorted descending, top `nearest` kept. A
+    * pure projection — no join, no window, no exchange — with the
+    * same (score desc, centroid_id asc) tie-break as [[assign]].
+    * Returns (id, vec, nrm, bucket, __rn 1-based). */
+  private def rankedCells(vectors: DataFrame,
+      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame = {
+    // All k center scores in ONE native expression eval per row
+    // (TopCentersExpr); an array() of k per-center score columns
+    // generated k inlined dot loops whose code size kicked the stage
+    // out of whole-stage codegen. Buckets come back as center
+    // INDICES; one element_at against the literal id array translates
+    // to the centroid ids callers key on.
+    val sorted = centers.sortBy(_._1)
+    val centersLit = typedlit(sorted.map(_._2.toSeq).toSeq)
+    val idsLit = typedlit(sorted.map(_._1).toSeq)
+    withNorm(vectors, "")
+      .withColumn("__top", call_function("graft_top_centers",
+        col("vec"), col("nrm"), centersLit, lit(nearest)))
+      .select(col("id"), col("vec"), col("nrm"),
+        posexplode(col("__top")).as(Seq("__pos", "__idx")))
+      .select(col("id"), col("vec"), col("nrm"),
+        element_at(idsLit, col("__idx").cast("int") + 1).as("bucket"),
+        (col("__pos") + 1).as("__rn"))
+  }
+
+  /** Nearest-center assignment from driver-side centers: (id, vec,
+    * bucket), one row per vector, shuffle-free (see [[rankedCells]]). */
+  def assignByCenters(vectors: DataFrame,
+      centers: Array[(Long, Array[Float])]): DataFrame =
+    rankedCells(vectors, centers, 1)
+      .select(col("id"), col("vec"), col("bucket"))
+
+  /** Self-kNN over the whole corpus via IVF cells: every vector is
+    * both query and candidate, so the centroid scoring is done ONCE —
+    * rank-1 rows are the (disjoint) cell assignment, ranks <= nprobe
+    * the probe fan-out. Because cells are disjoint, a (q, n) pair can
+    * only surface in the single cell that owns n — no dedup needed.
+    * Cell ranking is the shuffle-free [[rankedCells]] projection, so
+    * the whole plan is: one corpus scan, one bucket-keyed self-join,
+    * one top-k window — O(n·k) projection work + O(n²·nprobe/k) in-cell
+    * pair scores against the brute pass's O(n²). */
+  def knnGraphTopK(corpus: DataFrame, centers: Array[(Long, Array[Float])],
+      k: Int, nprobe: Int = 1): DataFrame = {
+    // One explicit exchange by cell, BEFORE deriving the two join
+    // sides: cells and probes then share an identical exchange subtree
+    // (reused, so the corpus is scanned and rank-projected once), and
+    // the bucket-keyed self-join below needs no further shuffle — the
+    // data already hash-partitions on its key.
+    val ranked = rankedCells(corpus, centers, nprobe)
+      .repartition(col("bucket"))
+    val cells = ranked.filter(col("__rn") === 1)
+      .select(col("bucket"), col("id").as("n_id"), col("vec").as("n_vec"),
+        col("nrm").as("n_nrm"))
+    val probes = ranked
+      .select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = probes.join(cells, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+    topK(scored, k)
   }
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid

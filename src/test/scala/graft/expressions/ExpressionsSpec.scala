@@ -59,6 +59,49 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_shingles on NULL tokens == builtin spec (empty array, not null)") {
+    val rows = Seq[Option[String]](None, Some("a b c")).toDF("t").select(
+      call_function("graft_shingles",
+        when(col("t").isNotNull, TextFunctions.tokens(col("t"))), lit(2))
+        .as("native"),
+      array_distinct(TextFunctions.wordNgrams(
+        when(col("t").isNotNull, TextFunctions.tokens(col("t"))), 2))
+        .as("builtin"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getSeq[String](0) == r.getSeq[String](1))
+    }
+  }
+
+  test("graft_dot == aggregate/zip_with double left-fold, incl. edge cases") {
+    val hof = {
+      // The builtin formulation the DuckDB oracles replay.
+      (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        aggregate(
+          zip_with(transform(a, x => x.cast("double")),
+            transform(b, x => x.cast("double")), (x, y) => x * y),
+          lit(0d), (acc, x) => acc + x)
+    }
+    val data = Seq(
+      (Option(Seq(1.5f, -2.25f, 3.125f)), Option(Seq(0.5f, 4f, -1f))),
+      (Option(Seq.empty[Float]), Option(Seq.empty[Float])),     // empty -> 0.0
+      (Option(Seq(1f, 2f)), Option(Seq(1f))),                   // mismatch -> null
+      (None, Option(Seq(1f, 2f))),                              // null array -> null
+      (Option((1 to 64).map(i => (math.sin(i) * 0.5).toFloat)),
+       Option((1 to 64).map(i => (math.cos(i) * 0.5).toFloat))))
+    val rows = data.toDF("a", "b").select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      hof(col("a"), col("b")).as("builtin")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      // Bit-equality, not approximate: the fold order is identical.
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    assert(rows.count(_.isNullAt(0)) == 2)
+  }
+
   test("prefixLong and prefixHexBytes agree with conv/substring semantics") {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest("sim:probe".getBytes)

