@@ -26,9 +26,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * connection count; the range-partitioned scan is the only way to
   * parallelize a JDBC read without a pushed-down split column, and its
   * bounds should cover the real key domain (the reference hardcodes
-  * SiteCode in [10019, 28742]). There is no offline database in this
-  * environment, so this layer is exercised by compilation and by the
-  * parquet-backed equivalents in [[graft.Tables]].
+  * SiteCode in [10019, 28742]). The layer is exercised end-to-end by
+  * `JdbcIntegrationSpec` against embedded Derby (scan variants, the
+  * append sink, and the scan → anti-join → append idempotency loop);
+  * the oracle-checked parity suite runs over parquet equivalents in
+  * [[graft.Tables]].
   */
 object Jdbc {
 
