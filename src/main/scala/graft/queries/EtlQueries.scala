@@ -87,6 +87,24 @@ object EtlQueries {
         min(iso(col("l_shipdate"))).as("min_ship"),
         max(iso(col("l_shipdate"))).as("max_ship"))
 
+  /** J5′ — reference-literal GROUP-BY-MAX dedup (`Load Source CT
+    * Patients/.../LoadSourceCTPatients.sql:10-17`): keep rows matching
+    * BOTH independent per-key maxima. Unlike `latest_per_key`, a key
+    * whose max-date row and max-linenumber row are DIFFERENT rows
+    * keeps neither (the drop-on-tie semantics this idiom is known
+    * for); the row counts differ accordingly. */
+  def maxFieldsDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("l_shipdate", col("l_shipdate").cast("date"))
+    Dedup.maxFieldsDedup(li, Seq("l_orderkey", "l_partkey"),
+        Seq("l_shipdate", "l_linenumber"))
+      .select(
+        col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        iso(col("l_shipdate")).as("l_shipdate"),
+        cents(col("l_quantity")).as("l_quantity_c"))
+  }
+
   /** E9/U1 — PII hash: UPPER(SHA2-256(string form)). */
   def piiHash(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
@@ -97,6 +115,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_antijoin" -> (incrementalAntijoin _),
     "latest_per_key"       -> (latestPerKey _),
+    "max_fields_dedup"     -> (maxFieldsDedupQ _),
     "pricing_summary"      -> (pricingSummary _),
     "pii_hash"             -> (piiHash _)
   )
@@ -130,6 +149,22 @@ object EtlQueries {
         |    ) AS rn
         |  FROM lineitem
         |) WHERE rn = 1""".stripMargin,
+    // Independent formulation: the reference's own GROUP-BY-MAX
+    // self-join (vs the engine's windowed rewrite) — a hash match is
+    // evidence, not self-confirmation.
+    "max_fields_dedup" ->
+      s"""SELECT l.l_orderkey, l.l_partkey,
+        |       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+        |       strftime(CAST(l.l_shipdate AS DATE), '%Y-%m-%d') AS l_shipdate,
+        |       ${centsSql.format("l.l_quantity")} AS l_quantity_c
+        |FROM lineitem l
+        |JOIN (
+        |  SELECT l_orderkey, l_partkey,
+        |         max(CAST(l_shipdate AS DATE)) AS msd,
+        |         max(l_linenumber) AS mln
+        |  FROM lineitem GROUP BY 1, 2
+        |) m ON l.l_orderkey = m.l_orderkey AND l.l_partkey = m.l_partkey
+        |   AND CAST(l.l_shipdate AS DATE) = m.msd AND l.l_linenumber = m.mln""".stripMargin,
     "pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       count(*) AS n_rows,
