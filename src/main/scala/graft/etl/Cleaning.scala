@@ -59,12 +59,30 @@ object Cleaning {
     when(f.lt(lit(lo)) || f.gt(lit(hi)), lit(sentinel)).otherwise(f)
   }
 
+  private def strLit(s: String): Column =
+    if (s == null) lit(null).cast("string") else lit(s)
+
   /** E5 — value-set canonicalization: ordered (valueSet -> canonical)
-    * CASE-IN chain; first match wins, no match keeps the original. */
-  def canonicalize(mapping: Seq[(Seq[String], String)])(c: Column): Column =
-    mapping.foldRight(c) { case ((values, canon), acc) =>
-      when(c.isin(values.map(lit): _*), lit(canon)).otherwise(acc)
+    * CASE-IN chain; first match wins. A no-match keeps the original —
+    * unless the mapping carries an EMPTY-value-set entry, which acts
+    * as the `otherwise(...)` default (the closed-vocabulary form:
+    * HTS Client Tests maps every recognized variant and nulls — or
+    * "Not Done"s — everything else, `Load HTS Client Tests/...
+    * /LoadHtsClientTests.java:81-109`). A null canonical value is a
+    * real NULL target (the reference's `"" -> null` branches). */
+  def canonicalize(mapping: Seq[(Seq[String], String)])(c: Column): Column = {
+    val (defaults, cases) = mapping.partition(_._1.isEmpty)
+    val base = defaults.lastOption.map(d => strLit(d._2)).getOrElse(c)
+    cases.foldRight(base) { case ((values, canon), acc) =>
+      when(c.isin(values.map(lit): _*), strLit(canon)).otherwise(acc)
     }
+  }
+
+  /** E4′ — numeric high-bound null-out: values above `hi` become NULL
+    * (no sentinel). The reference nulls MonthsSinceLastTest > 1540
+    * (`LoadHtsClientTests.java:111-112`). */
+  def nullAboveNum(hi: Double)(c: Column): Column =
+    when(c.gt(lit(hi)), lit(null)).otherwise(c)
 
   /** E7/E8 — exact-value recode map (binary recodes, EMR/project
     * normalization). Unmatched values keep the original. */

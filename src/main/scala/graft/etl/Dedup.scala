@@ -73,4 +73,33 @@ object Dedup {
       .reduce(_ && _)
     withMax.filter(cond).drop(maxCols.indices.map(i => s"__max_$i"): _*)
   }
+
+  /** Multi-group form of [[maxFieldsDedup]]: every (keys, maxCols)
+    * group's maxima are computed over the SAME input frame and a row
+    * must match ALL of them. This mirrors the reference jobs that
+    * stack several GROUP-BY-MAX self-joins against the ORIGINAL table
+    * (PrEP Visits joins both a (max Created, max ID) and a
+    * (max DateExtracted, max ID) subquery — `Load Prep Visits/src/main/
+    * resources/LoadPrepVisits.sql:66-75`) — which is NOT equivalent to
+    * applying [[maxFieldsDedup]] sequentially: a sequential second
+    * pass would recompute its maxima over the survivors of the first,
+    * resurrecting rows the reference drops. Groups sharing a key set
+    * collapse into one window; distinct key sets each get their own
+    * (still one scan — the windows stack over the same frame). */
+  def maxFieldsDedupMulti(df: DataFrame,
+      groups: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    val tagged = groups.zipWithIndex
+    val withMax = tagged.foldLeft(df) { case (d, ((keys, maxCols), gi)) =>
+      val w = Window.partitionBy(keys.map(col): _*)
+      maxCols.zipWithIndex.foldLeft(d) { case (dd, (c, i)) =>
+        dd.withColumn(s"__max_${gi}_$i", max(col(c)).over(w))
+      }
+    }
+    val cond: Column = tagged.flatMap { case ((_, maxCols), gi) =>
+      maxCols.zipWithIndex.map { case (c, i) => col(c) === col(s"__max_${gi}_$i") }
+    }.reduce(_ && _)
+    withMax.filter(cond).drop(tagged.flatMap { case ((_, maxCols), gi) =>
+      maxCols.indices.map(i => s"__max_${gi}_$i")
+    }: _*)
+  }
 }

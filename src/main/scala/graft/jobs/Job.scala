@@ -23,10 +23,22 @@ final case class JobSpec(
     /** Latest-record dedup: (partition keys, descending order columns);
       * None when the source is already one row per key. */
     dedup: Option[(Seq[String], Seq[String])] = None,
+    /** Row-level DISTINCT before anything else (the reference's
+      * `SELECT DISTINCT` extract queries, e.g. `LoadPrepVisits.sql:1`). */
+    distinctFirst: Boolean = false,
+    /** Reference-literal stacked GROUP-BY-MAX dedups: a row must match
+      * EVERY group's per-key maxima, all computed over the SAME input
+      * frame (PrEP Visits stacks TWO — (Created,ID) and
+      * (DateExtracted,ID) — `LoadPrepVisits.sql:66-75`; see
+      * [[graft.etl.Dedup.maxFieldsDedupMulti]] for why sequential
+      * application would diverge). */
+    maxDedups: Seq[(Seq[String], Seq[String])] = Seq.empty,
     /** E1 — per-column date clamp bounds (today injected). */
     dateClamps: Map[String, (LocalDate, LocalDate)] = Map.empty,
     /** E4 — per-column numeric clamp bounds (sentinel 999). */
     numClamps: Map[String, (Double, Double)] = Map.empty,
+    /** E4′ — per-column high bound above which the value nulls out. */
+    numNullAbove: Map[String, Double] = Map.empty,
     /** E6 — columns where "" means NULL. */
     emptyToNull: Seq[String] = Seq.empty,
     /** E7/E8 — exact recode maps per column. */
@@ -48,14 +60,23 @@ object Job {
 
   /** Cleaning + remap portion (no target needed) — useful on its own. */
   def transform(source: DataFrame, spec: JobSpec): DataFrame = {
-    val deduped = spec.dedup.fold(source) { case (k, o) =>
-      Dedup.latestPerKey(source, k, o)
+    val distincted = if (spec.distinctFirst) source.distinct() else source
+    // All maxDedup groups evaluate over the SAME frame (the reference
+    // stacks its GROUP-BY-MAX self-joins against the original table).
+    val maxDeduped =
+      if (spec.maxDedups.isEmpty) distincted
+      else Dedup.maxFieldsDedupMulti(distincted, spec.maxDedups)
+    val deduped = spec.dedup.fold(maxDeduped) { case (k, o) =>
+      Dedup.latestPerKey(maxDeduped, k, o)
     }
     val dated = spec.dateClamps.foldLeft(deduped) { case (d, (c, (lo, hi))) =>
       d.withColumn(c, Cleaning.clampDate(lo, hi)(col(c).cast("date")))
     }
-    val nummed = spec.numClamps.foldLeft(dated) { case (d, (c, (lo, hi))) =>
+    val nummed0 = spec.numClamps.foldLeft(dated) { case (d, (c, (lo, hi))) =>
       d.withColumn(c, Cleaning.clampNum(lo, hi)(col(c)))
+    }
+    val nummed = spec.numNullAbove.foldLeft(nummed0) { case (d, (c, hi)) =>
+      d.withColumn(c, Cleaning.nullAboveNum(hi)(col(c)))
     }
     val blanked = spec.emptyToNull.foldLeft(nummed)((d, c) =>
       d.withColumn(c, Cleaning.emptyToNull(col(c))))

@@ -139,4 +139,201 @@ object ReferenceJobs {
     * no cleaning, no PII, single natural key — rebuilt wholesale via
     * [[graft.etl.Sink.fullRefresh]] rather than appended. */
   def facilities(): JobSpec = JobSpec(keys = antiJoinKeys("ALL_EMRSites"))
+
+  /** CT Patient Visits shape (`Load CT Patient Visits/...
+    * /LoadPatientVisits.java:75-114`). Notables: OIDate's tighter
+    * 2000-01-01 floor; NextAppointmentDate's TODAY+1YR ceiling (E3 —
+    * appointments legitimately live in the near future); varchar
+    * numeric clamps (Weight to [0,200], Height to [0,259], sentinel
+    * 999); and the DifferentiatedCare vocabulary whose charset-garbage
+    * variant (`Community ART distribution � Peer led` — a
+    * mis-decoded en-dash baked into the reference source) must be
+    * matched byte-for-byte to canonicalize the historical rows. */
+  def ctPatientVisits(today: LocalDate, familyPlanningLkp: DataFrame,
+      pwpLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_PatientVisits"),
+    dateClamps = Map(
+      "OIDate" -> (LocalDate.of(2000, 1, 1), today),
+      "VisitDate" -> (DateLo, today),
+      "NextAppointmentDate" -> (DateLo, today.plusYears(1))),
+    numClamps = Map("Weight" -> (0d, 200d), "Height" -> (0d, 259d)),
+    canonicalize = Map(
+      "Pregnant" -> Seq(
+        (Seq("True", "LIVE BIRTH"), "Yes"),
+        (Seq("No - Miscarriage (mc)", "No - Induced Abortion (ab)",
+          "RECENTLY MISCARRIAGED"), "No"),
+        (Seq("UNKNOWN", ""), null)),
+      "StabilityAssessment" -> Seq(
+        (Seq("Stable1"), "Stable"),
+        (Seq("Not Stable"), "Unstable"),
+        (Seq(""), null)),
+      "DifferentiatedCare" -> Seq(
+        (Seq("Express Care", "Express", "Fast Track care",
+          "Differentiated care model", "MmasRecommendation0"), "Fast Track"),
+        (Seq("Community ART Distribution_Point",
+          "Individual Patient ART Distribution_community",
+          "Community Based Dispensing",
+          "Community ART distribution - HCW led",
+          "Community_Based_Dispensing"), "Community ART Distribution HCW Led"),
+        (Seq("Community ART distribution � Peer led",
+          "Community ART Distribution - Peer Led"),
+          "Community ART Distribution peer led"),
+        (Seq("Facility ART Distribution Group", "FADG"),
+          "Facility ART distribution Group"),
+        (Seq(""), null))),
+    lookups = Seq("FamilyPlanningMethod" -> familyPlanningLkp,
+      "PwP" -> pwpLkp),
+    piiHash = piiColumns("CT"))
+
+  /** CT Adverse Events shape (`Load CT Adverse Events/...
+    * /LoadAdverseEvents.java:79-112`) — dominated by the ~130-literal
+    * AdverseEventCause triage into ARV / ARV + OTHER DRUGS / NON-ARVS
+    * (`:100-104`), transcribed verbatim: it is the reference's
+    * hand-curated clinical vocabulary (typos, trailing spaces,
+    * duplicates and all) and IS the spec. */
+  def ctAdverseEvents(today: LocalDate, regimenLkp: DataFrame,
+      adverseEventLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_AdverseEvents"),
+    dateClamps = Map(
+      "AdverseEventStartDate" -> (DateLo, today),
+      "AdverseEventEndDate" -> (DateLo, today)),
+    canonicalize = Map(
+      "Severity" -> Seq(
+        (Seq("Mild", "Mild|Mild|Mild"), "Mild"),
+        (Seq("Moderate", "Moderate|Moderate", "Moderate|Moderate|Moderate"),
+          "Moderate"),
+        (Seq("Severe", "Fatal", "Severe|Severe", "Severe|Severe|Severe"),
+          "Severe"),
+        (Seq("Mild|Moderate", "Moderate|Mild", "Severe|Moderate",
+          "Unknown|Moderate", "Moderate|Severe"), "Unknown"),
+        (Seq(""), null)),
+      "AdverseEventActionTaken" -> Seq(
+        (Seq("Medicine not changed", "CONTINUE REGIMEN",
+          "CONTINUE REGIMEN|CONTINUE REGIMEN"), "Drug not Changed"),
+        (Seq("Dose reduced"), "Drug Reduced"),
+        (Seq("SUBSTITUTED DRUG"), "Drug Substituted"),
+        (Seq("Medicine causing AE substituted/withdrawn", "STOP",
+          "STOP|STOP", "All drugs stopped", "STOP|STOP|STOP", "Other|STOP",
+          "NONE|STOP"), "Drug Withdrawn"),
+        (Seq("Other", "NONE", "Select", "SUBSTITUTED DRUG|STOP",
+          "Other|Other"), "OTHER"),
+        (Seq("SWITCHED REGIMEN"), "Regimen Switched"),
+        (Seq(""), null)),
+      "AdverseEventCause" -> Seq(
+        (Seq("3TC/D4T", "3TC/TDF/NVP", "ABACAVIR", "abacavirwhen she was using",
+          "ABC", "ABC+3TC", "abc/3tc/efv", "AF2B", "af2b- avonza", "ALL ARV",
+          "ALUVIA", "art", "ARV", "arvs", "atanzanavir", "atavanavir",
+          "ataz/rit", "atazanavir", "Atazanavir/Rironavir",
+          "atazanavir/ritonavir", "ATV", "ATV/r", "ATVr", "AZT",
+          "AZT+3TC+EFV", "AZT/3TC/NVP", "AZT/ATV", "AZT/KALETRA",
+          "ctx/3tc/tdf/efv", "D4T", "D4T / 3TC / NVP", "D4T/3TC", "D4T/AZT",
+          "DDI", "Dolotegravir", "doluteglavir", "dolutegravir", "DTG",
+          "DTG Aurobindo", "dultegravir", "EFARIRENZ", "EFAVIRENCE",
+          "Efavirens", "efavirenz", "efavirenze", "efavirez", "efervirence",
+          "efervirenz", "efevurence", "EFV", "EFV 600MG", "EFV/NVP",
+          "efv/rhze", "HAART", "KALETRA", "lopinanavir", "LOPINAVIR", "LPV",
+          "LPV/r", "lpvr", "NVP", "NVP/ABC", "pep", "TDF", "tdf dtg",
+          "TDF/3TC/", "tdf/3tc/dtg", "tdf/3tc/efv", "Tenoforvir",
+          "tenofovir", "TLD", "TLE ", "TLE 400", "TRIMUNE", "ZIDOVUDINE",
+          "EFV", "? NVP", "? TLD", "?ATV/r", "3TC", "3TC/3TC", "D4T",
+          "EFAVIRENZ"), "ARV"),
+        (Seq("ART/TB", "ARVS, CTX , IPT", "CTX OR EFV", "D4T/INH", "INH/NVP",
+          "isoniazid and nevirapine", "isoniazid efavirenz", "NVP/CTX",
+          "tdf dtg ctx 3tc", "inh, tdf,3tc,dtg, ctx"), "ARV + OTHER DRUGS"),
+        (Seq("ANT TB", "ANTI TB", "anti TBs", "ANTI-TB", "Co-trimoxazole",
+          "CONTRIMAZOLE", "cotrimoxasole", "cotrimoxazole",
+          "cotrimoxazole 960mg", "Cotrimoxazole-", "CTX", "CTX /ANTI TB",
+          "Dapson", "fluconazole", "IHN", "INH", "INH (IPT)", "INH/CTX",
+          "IPT", "ipt in 2016", "ipt side effect ", "IRIS", "Isiniazid",
+          "isiniazide", "isonaizid", "isoniaizid", "isoniasid", "isoniazid",
+          "Isoniazid - November 2017", "isoniazide", "isoniazin", "isonizid",
+          "Isonizide and Pyridoxine", "IZONIAZID", "IZONIAZIDE",
+          "pyrazinamid", "pyrazinamide", "PYRIDOXINE", "RH", "RHE", "RHZE",
+          "septin", "SEPTRIN", "septrine", "Streptomycin", "sulfa",
+          "sulphonamides", "SULPHONOMIDES", "SULPHUR", "TB", "TB DRUGS",
+          "tb meds", "2RHZ/4RH(children)", "2RHZE/10RH", "2RHZE/4RH",
+          "2SRHZE/1RHZE/", "INH, SEPTRIN"), "NON-ARVS"),
+        (Seq(""), null)),
+      "AdverseEventClinicalOutcome" -> Seq(
+        (Seq("Recovered/Resolved"), "Recovered"),
+        (Seq("Recovering/Resolving"), "Recovering"),
+        (Seq("Requires intervention to prevent permanent damage"), "OTHER"),
+        (Seq(""), null))),
+    lookups = Seq("AdverseEventRegimen" -> regimenLkp,
+      "AdverseEvent" -> adverseEventLkp),
+    piiHash = piiColumns("CT"))
+
+  /** HTS Client Tests shape (`Load HTS Client Tests/...
+    * /LoadHtsClientTests.java:81-112`) — CLOSED vocabularies: every
+    * recognized variant maps and everything else hits the default
+    * (NULL, or "Not Done" for TbScreening) — the empty-value-set
+    * entries below are [[graft.etl.Cleaning.canonicalize]]'s
+    * `otherwise` defaults. MonthsSinceLastTest > 1540 nulls out. The
+    * TestStrategy lookup's physical columns are
+    * (Source_htsStrategy, Target_htsStrategy) — rename to
+    * (source_name, target_name) when loading the dim. */
+  def htsClientTests(patientSourceLkp: DataFrame,
+      htsStrategyLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_ClientTests"),
+    numNullAbove = Map("MonthsSinceLastTest" -> 1540d),
+    canonicalize = Map(
+      "ClientTestedAs" -> Seq(
+        (Seq("C: Couple (includes polygamous)", "Couple"), "Couple"),
+        (Seq("I: Individual", "Individual"), "Individual"),
+        (Seq(), null)),
+      "TbScreening" -> Seq(
+        (Seq("No Signs", "No TB", "No TB signs", "Yes"), "No Signs"),
+        (Seq("On TB Treatment", "INH", "TB Rx", "TBRx"), "On TB Treatment"),
+        (Seq("Presumed TB", "PrTB"), "Presumed TB"),
+        (Seq("TB Confirmed"), "TB Confirmed"),
+        (Seq(), "Not Done")),
+      "ClientSelfTested" -> Seq(
+        (Seq("1", "Yes"), "Yes"),
+        (Seq("0", "No"), "No"),
+        (Seq("NA"), "NA"),
+        (Seq(), null)),
+      "CoupleDiscordant" -> Seq(
+        (Seq("Yes"), "Yes"),
+        (Seq("No"), "No"),
+        (Seq(), null)),
+      "TestType" -> Seq(
+        (Seq("Initial", "Initial Test"), "Initial Test"),
+        (Seq("Repeat", "Repeat Test"), "Repeat Test"),
+        (Seq("Retest"), "Retest"),
+        (Seq(), null)),
+      "Consent" -> Seq(
+        (Seq("No"), "No"),
+        (Seq("Yes"), "Yes"),
+        (Seq(), null)),
+      "Setting" -> Seq(
+        (Seq("Facility", "Tent"), "Facility"),
+        (Seq("Community", "Medical Camp"), "Community"),
+        (Seq(), null)),
+      "Approach" -> Seq(
+        (Seq("CITC", "Client Initiated Testing (CITC)"),
+          "Client Initiated Testing (CITC)"),
+        (Seq("PITC", "Provider Initiated Testing(PITC)"),
+          "Provider Initiated Testing(PITC)"),
+        (Seq(), null))),
+    lookups = Seq("EntryPoint" -> patientSourceLkp,
+      "TestStrategy" -> htsStrategyLkp),
+    piiHash = piiColumns("HTS"))
+
+  /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,
+    * 66-75`): `SELECT DISTINCT` plus TWO stacked GROUP-BY-MAX dedups on
+    * (PatientPk, SiteCode) — one against (max Created, max ID), one
+    * against (max DateExtracted, max ID); a row survives only if it
+    * matches all four maxima. The reference compares the date columns
+    * at DATE granularity (`cast(Created as date)`), so feed this spec
+    * date-typed Created/DateExtracted. No further cleaning — the Java
+    * side only PII-hashes (`LoadPrepVisits.java:77-78`). */
+  def prepVisits(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_Visits"),
+    distinctFirst = true,
+    maxDedups = Seq(
+      Seq("PatientPk", "SiteCode") -> Seq("Created", "ID"),
+      Seq("PatientPk", "SiteCode") -> Seq("DateExtracted", "ID")),
+    // PrEP physical columns spell PatientPk (lower k), unlike the CT
+    // family — the hash column names follow the physical spelling.
+    piiHash = Seq("PatientPk", "PrepNumber"))
 }

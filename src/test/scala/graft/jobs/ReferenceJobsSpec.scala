@@ -2,6 +2,8 @@ package graft.jobs
 
 import java.time.LocalDate
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Sanity for the transcribed reference job catalog and one end-to-end
@@ -24,6 +26,161 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(ReferenceJobs.antiJoinKeys("MNCH_Labs") ==
       Seq("PatientPk", "SiteCode", "VisitID", "TestName", "TestResult"))
     assert(ReferenceJobs.antiJoinKeys("CT_IITRiskScores") == Seq("ID"))
+  }
+
+  test("ctPatientVisits spec: clamps, vocab (incl. charset garbage), lookups") {
+    val today = LocalDate.of(2026, 1, 1)
+    val source = Seq(
+      // (ID, SiteCode, PatientPK, VisitID, OIDate, VisitDate, NextAppointmentDate,
+      //  Weight, Height, Pregnant, StabilityAssessment, DifferentiatedCare, FamilyPlanningMethod, PwP)
+      (1L, 100L, 1L, 10L, "1999-12-31", "2024-01-01", "2026-06-01",
+        "80", "170", "True", "Stable1",
+        "Community ART distribution � Peer led", "fp-old", "pwp-old"),
+      (2L, 100L, 2L, 11L, "2024-01-01", "1979-01-01", "2027-06-01",
+        "250", "300", "UNKNOWN", "", "FADG", "none", "x"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "OIDate", "VisitDate",
+        "NextAppointmentDate", "Weight", "Height", "Pregnant",
+        "StabilityAssessment", "DifferentiatedCare", "FamilyPlanningMethod",
+        "PwP")
+    val fpLkp = Seq(("fp-old", "FP Canonical")).toDF("source_name", "target_name")
+    val pwpLkp = Seq(("pwp-old", "PwP Canonical")).toDF("source_name", "target_name")
+    val out = Job.transform(source,
+        ReferenceJobs.ctPatientVisits(today, fpLkp, pwpLkp))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+
+    // OIDate floor is 2000-01-01 (tighter than the 1980 default).
+    assert(out(1L).getAs[java.sql.Date]("OIDate").toString == "1900-01-01")
+    // NextAppointmentDate may run 1 year into the future (E3)...
+    assert(out(1L).getAs[java.sql.Date]("NextAppointmentDate").toString == "2026-06-01")
+    // ...but not beyond it.
+    assert(out(2L).getAs[java.sql.Date]("NextAppointmentDate").toString == "1900-01-01")
+    assert(out(2L).getAs[java.sql.Date]("VisitDate").toString == "1900-01-01")
+    // Varchar numeric clamps -> 999 sentinel.
+    assert(out(2L).getAs[Double]("Weight") == 999d)
+    assert(out(2L).getAs[Double]("Height") == 999d)
+    assert(out(1L).getAs[Double]("Weight") == 80d)
+    // Vocabulary, including the mis-decoded en-dash literal.
+    assert(out(1L).getAs[String]("Pregnant") == "Yes")
+    assert(out(1L).getAs[String]("DifferentiatedCare") ==
+      "Community ART Distribution peer led")
+    assert(out(2L).getAs[String]("DifferentiatedCare") ==
+      "Facility ART distribution Group")
+    assert(out(2L).getAs[String]("Pregnant") == null)
+    assert(out(2L).getAs[String]("StabilityAssessment") == null)
+    // Lookup remap overwrites on hit, keeps original on miss.
+    assert(out(1L).getAs[String]("FamilyPlanningMethod") == "FP Canonical")
+    assert(out(2L).getAs[String]("FamilyPlanningMethod") == "none")
+    assert(out(1L).getAs[String]("PwP") == "PwP Canonical")
+  }
+
+  test("ctAdverseEvents spec: ARV cause triage verbatim") {
+    val today = LocalDate.of(2026, 1, 1)
+    val source = Seq(
+      (1L, 100L, 1L, "2024-01-01", "efavirenze", "Mild|Mild|Mild",
+        "CONTINUE REGIMEN", "Recovered/Resolved", "reg-old", "ae-old"),
+      (2L, 100L, 2L, "2024-01-01", "inh, tdf,3tc,dtg, ctx", "Moderate|Mild",
+        "SUBSTITUTED DRUG|STOP", "Requires intervention to prevent permanent damage",
+        "r", "a"),
+      (3L, 100L, 3L, "2024-01-01", "ipt side effect ", "", "", "", "r", "a"),
+      (4L, 100L, 4L, "2024-01-01", "aspirin", "Severe", "STOP|STOP", "Ongoing",
+        "r", "a"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitDate", "AdverseEventCause",
+        "Severity", "AdverseEventActionTaken", "AdverseEventClinicalOutcome",
+        "AdverseEventRegimen", "AdverseEvent")
+      .withColumn("AdverseEventStartDate", lit("2024-01-01"))
+      .withColumn("AdverseEventEndDate", lit("2030-01-01"))
+    val lkp = Seq(("reg-old", "TDF/3TC/DTG"), ("ae-old", "Rash"))
+      .toDF("source_name", "target_name")
+    val out = Job.transform(source,
+        ReferenceJobs.ctAdverseEvents(today, lkp, lkp))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+
+    assert(out(1L).getAs[String]("AdverseEventCause") == "ARV")          // typo variant
+    assert(out(2L).getAs[String]("AdverseEventCause") == "ARV + OTHER DRUGS")
+    assert(out(3L).getAs[String]("AdverseEventCause") == "NON-ARVS")     // trailing space
+    assert(out(4L).getAs[String]("AdverseEventCause") == "aspirin")      // open vocab: kept
+    assert(out(1L).getAs[String]("Severity") == "Mild")
+    assert(out(2L).getAs[String]("Severity") == "Unknown")
+    assert(out(3L).getAs[String]("Severity") == null)
+    assert(out(2L).getAs[String]("AdverseEventActionTaken") == "OTHER")
+    assert(out(4L).getAs[String]("AdverseEventActionTaken") == "Drug Withdrawn")
+    assert(out(2L).getAs[String]("AdverseEventClinicalOutcome") == "OTHER")
+    assert(out(4L).getAs[String]("AdverseEventClinicalOutcome") == "Ongoing")
+    // End date beyond today -> sentinel; regimen/event remapped.
+    assert(out(1L).getAs[java.sql.Date]("AdverseEventEndDate").toString == "1900-01-01")
+    assert(out(1L).getAs[String]("AdverseEventRegimen") == "TDF/3TC/DTG")
+    assert(out(1L).getAs[String]("AdverseEvent") == "Rash")
+  }
+
+  test("htsClientTests spec: CLOSED vocabularies default instead of keeping") {
+    val source = Seq(
+      (1L, 100L, 1L, "E1", "C: Couple (includes polygamous)", "No TB signs",
+        "1", "whatever", "Initial", "maybe", "Tent", "CITC", 12, "ep-old", "ts-old"),
+      (2L, 100L, 2L, "E2", "garbage", "garbage", "garbage", "Yes", "garbage",
+        "Yes", "garbage", "garbage", 2000, "none", "none"))
+      .toDF("ID", "SiteCode", "PatientPK", "EncounterId", "ClientTestedAs",
+        "TbScreening", "ClientSelfTested", "CoupleDiscordant", "TestType",
+        "Consent", "Setting", "Approach", "MonthsSinceLastTest",
+        "EntryPoint", "TestStrategy")
+    val psLkp = Seq(("ep-old", "OPD")).toDF("source_name", "target_name")
+    val tsLkp = Seq(("ts-old", "HP: Provider initiated"))
+      .toDF("source_name", "target_name")
+    val out = Job.transform(source,
+        ReferenceJobs.htsClientTests(psLkp, tsLkp))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+
+    assert(out(1L).getAs[String]("ClientTestedAs") == "Couple")
+    assert(out(1L).getAs[String]("TbScreening") == "No Signs")
+    assert(out(1L).getAs[String]("ClientSelfTested") == "Yes")
+    assert(out(1L).getAs[String]("TestType") == "Initial Test")
+    assert(out(1L).getAs[String]("Setting") == "Facility")
+    assert(out(1L).getAs[String]("Approach") == "Client Initiated Testing (CITC)")
+    // CLOSED vocab: unrecognized values default (null / "Not Done"),
+    // they do NOT pass through.
+    assert(out(2L).getAs[String]("ClientTestedAs") == null)
+    assert(out(2L).getAs[String]("TbScreening") == "Not Done")
+    assert(out(2L).getAs[String]("ClientSelfTested") == null)
+    assert(out(2L).getAs[String]("TestType") == null)
+    // "whatever"/"maybe" are not Yes/No -> null even though non-empty.
+    assert(out(1L).getAs[String]("CoupleDiscordant") == null)
+    assert(out(1L).getAs[String]("Consent") == null)
+    assert(out(2L).getAs[String]("CoupleDiscordant") == "Yes")
+    assert(out(2L).getAs[String]("Consent") == "Yes")
+    // MonthsSinceLastTest nulls above 1540, kept below.
+    assert(out(1L).getAs[Integer]("MonthsSinceLastTest") == 12)
+    assert(out(2L).getAs[Integer]("MonthsSinceLastTest") == null)
+    // Lookups: hit remaps, miss keeps.
+    assert(out(1L).getAs[String]("EntryPoint") == "OPD")
+    assert(out(1L).getAs[String]("TestStrategy") == "HP: Provider initiated")
+    assert(out(2L).getAs[String]("EntryPoint") == "none")
+  }
+
+  test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val source = Seq(
+      // Key (1, 100): row 12 has max Created, max DateExtracted AND max ID -> survives.
+      (10L, 1L, 100L, d("2024-01-01"), d("2024-01-05"), "v1"),
+      (12L, 1L, 100L, d("2024-02-01"), d("2024-02-05"), "v2"),
+      // Key (2, 100): max Created on ID 21, max DateExtracted on ID 22 ->
+      // no row matches both maxima (plus MaxID) -> key DROPS entirely.
+      (21L, 2L, 100L, d("2024-03-01"), d("2024-01-05"), "v3"),
+      (22L, 2L, 100L, d("2024-01-01"), d("2024-03-05"), "v4"),
+      // Key (3, 100): exact duplicate rows -> DISTINCT collapses them first.
+      (30L, 3L, 100L, d("2024-01-01"), d("2024-01-05"), "v5"),
+      (30L, 3L, 100L, d("2024-01-01"), d("2024-01-05"), "v5"),
+      // Key (4, 100): ID 41 holds max Created AND max ID, but ID 40
+      // alone holds max DateExtracted. SIMULTANEOUS evaluation (the
+      // reference's) drops the whole key; a sequential second pass
+      // would wrongly resurrect ID 41 (its DateExtracted becomes the
+      // max among survivors).
+      (41L, 4L, 100L, d("2024-05-01"), d("2024-01-05"), "v6"),
+      (40L, 4L, 100L, d("2024-01-01"), d("2024-05-05"), "v7"))
+      .toDF("ID", "PatientPk", "SiteCode", "Created", "DateExtracted", "Visit")
+      .withColumn("PrepNumber", $"PatientPk" + 500)
+    val out = Job.transform(source, ReferenceJobs.prepVisits())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(out.keySet == Set(12L, 30L))
+    assert(out(12L).getAs[String]("Visit") == "v2")
   }
 
   test("htsClients spec runs end-to-end on an HTS-shaped frame") {
