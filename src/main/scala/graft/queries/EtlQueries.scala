@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.etl.{Dedup, Incremental, PiiHash}
+import graft.etl.{Dedup, Incremental, PiiHash, Skew}
 
 /** Operator-parity queries over the driver's TPC-H-ish parquet tables
   * (role mapping per /root/repo/FIXTURES.md §B). Each entry here has a
@@ -105,6 +105,54 @@ object EtlQueries {
         cents(col("l_quantity")).as("l_quantity_c"))
   }
 
+  /** Deliberately skewed frame: ~99% of lineitem rows collapse onto
+    * hot_key 0 (only orderkeys divisible by 100 keep their own key),
+    * with a per-row-unique value — the "one hot GROUP BY key" shape
+    * AQE cannot fix for aggregations (AQE's skew handling splits
+    * JOIN partitions, not aggregation groups). */
+  private def skewed(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      when(col("l_orderkey") % 100 === 0, col("l_orderkey")).otherwise(lit(0L))
+        .as("hot_key"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("v"))
+
+  /** THE skew killer, measured: latest-record-per-key as a row_number
+    * WINDOW. Window functions cannot split a partition, so the hot
+    * key's ~594k rows (sf0.1) sort in ONE task while 31 cores idle —
+    * serialization that grows linearly with the hot key no matter the
+    * cluster size. The bench pairs this against [[skewLatestMaxby]]
+    * (same result, partial-aggregation plan) — the measured gap IS
+    * the skew penalty. */
+  def skewLatestWindow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestPerKeyWindow(skewed(spark, dir), Seq("hot_key"), Seq("v"))
+
+  /** The mitigation: `max_by` partial aggregation — every map task
+    * pre-collapses its slice of the hot key to ONE candidate row, so
+    * the shuffle moves ~32 rows per key instead of 594k and no task
+    * inherits the whole hot partition. Same one-row-per-key result as
+    * the window plan (v is unique per row, so the order is total). */
+  def skewLatestMaxby(spark: SparkSession, dir: String): DataFrame =
+    Dedup.latestPerKey(skewed(spark, dir), Seq("hot_key"), Seq("v"))
+
+  /** Skew.saltedAgg wiring proof: per-key distinct-value sets built
+    * with salt = hash(value), so each (key, salt) bucket holds a
+    * DISJOINT slice of the set and the final pass just sums sizes.
+    * At sf0.1 the plain collect_set's single-reducer merge is largely
+    * absorbed by ObjectHashAggregate (~0.25 s of single-thread hash
+    * inserts), so the bench pair reads near-even here — the salted
+    * form is the 100 TB shape, where the hot set outgrows one
+    * executor's heap; the serialized-sort penalty that IS measurable
+    * at this scale is the `skew_latest_*` pair above. */
+  def skewCollectUnsalted(spark: SparkSession, dir: String): DataFrame =
+    skewed(spark, dir)
+      .groupBy(col("hot_key"))
+      .agg(size(collect_set(col("v"))).cast("long").as("n_distinct"))
+
+  /** See [[skewCollectUnsalted]]. */
+  def skewCollectSalted(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(skewed(spark, dir), Seq("hot_key"), col("v"), 16)(
+      "n_distinct" -> (size(collect_set(col("v"))).cast("long"), sum(_)))
+
   /** E9/U1 — PII hash: UPPER(SHA2-256(string form)). */
   def piiHash(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
@@ -117,7 +165,11 @@ object EtlQueries {
     "latest_per_key"       -> (latestPerKey _),
     "max_fields_dedup"     -> (maxFieldsDedupQ _),
     "pricing_summary"      -> (pricingSummary _),
-    "pii_hash"             -> (piiHash _)
+    "pii_hash"             -> (piiHash _),
+    "skew_collect_unsalted" -> (skewCollectUnsalted _),
+    "skew_collect_salted"   -> (skewCollectSalted _),
+    "skew_latest_window"    -> (skewLatestWindow _),
+    "skew_latest_maxby"     -> (skewLatestMaxby _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -174,6 +226,26 @@ object EtlQueries {
         |       max(strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS max_ship
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // Identical oracle for both skew entries: the salted rewrite must
+    // produce byte-identical counts to the plain aggregation.
+    "skew_collect_unsalted" ->
+      """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |       count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "skew_collect_salted" ->
+      """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |       count(DISTINCT l_orderkey * 10 + l_linenumber) AS n_distinct
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // Same oracle for both skew_latest entries: v is unique per row,
+    // so "latest by v" is exactly max(v) per key in either plan.
+    "skew_latest_window" ->
+      """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |       max(l_orderkey * 10 + l_linenumber) AS v
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "skew_latest_maxby" ->
+      """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |       max(l_orderkey * 10 + l_linenumber) AS v
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "pii_hash" ->
       """SELECT c_custkey,
         |       upper(sha256(CAST(c_custkey AS VARCHAR))) AS c_custkeyHash,
