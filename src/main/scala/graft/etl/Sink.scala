@@ -44,31 +44,37 @@ object Sink {
   /** S7-style full refresh: the reference's metadata jobs rebuild the
     * target and swap it in via driver-side `renameTable`/`dropTable`
     * (`Core/.../DatabaseUtils.java:31-52`). The lake equivalent here is
-    * write-new-then-rename. Readers never observe a HALF-WRITTEN table
-    * (the staging write is invisible until renamed), but the two-step
-    * swap itself is not atomic: a crash between the moves leaves the
-    * data parked at `path + "__old"`. That window is recoverable (the
-    * data is intact under a deterministic name, and the next refresh
-    * clears it), matching the reference's own rename/drop swap, which
-    * has the same window (`DatabaseUtils.java:31-52`). True atomicity
-    * on an object store needs a versioned directory + pointer flip (a
-    * table format's job — out of scope for parity). */
+    * write-new-then-rename, through the Hadoop FileSystem API so the
+    * same code runs on local disk, HDFS, or an s3a/abfs bucket.
+    * Readers never observe a HALF-WRITTEN table (the staging write is
+    * invisible until renamed), but the two-step swap itself is not
+    * atomic: a crash between the renames leaves the data parked at
+    * `path + "__old"`. That window is recoverable (the data is intact
+    * under a deterministic name, and the next refresh clears it),
+    * matching the reference's own rename/drop swap, which has the same
+    * window. Caveats by filesystem: HDFS renames are atomic metadata
+    * ops; S3A "renames" are copy+delete (slower window, still
+    * staged-then-swapped). True atomicity on an object store needs a
+    * versioned directory + pointer flip (a table format's job — out of
+    * scope for parity). */
   def fullRefresh(df: DataFrame, path: String, writePartitions: Int = 0): Unit = {
     val tmp = path + "__staging"
     val out = if (writePartitions > 0) df.repartition(writePartitions) else df
     out.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = java.nio.file.Paths.get(path)
-    val old = java.nio.file.Paths.get(path + "__old")
-    // A stale __old from a prior crash would make the rename throw —
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    val staging = new org.apache.hadoop.fs.Path(tmp)
+    // A stale __old from a prior crash would make the rename fail —
     // the new data is already safely staged, so clear it first.
-    if (java.nio.file.Files.exists(old))
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    if (java.nio.file.Files.exists(target)) {
-      java.nio.file.Files.move(target, old)
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) {
+      require(fs.rename(target, old), s"could not park $path as __old")
+      require(fs.rename(staging, target), s"could not swap staging into $path")
+      fs.delete(old, true)
     } else {
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+      require(fs.rename(staging, target), s"could not move staging into $path")
     }
   }
 
@@ -84,11 +90,18 @@ object Sink {
     * action; at 100 TB that doubles every load cycle). */
   def incrementalLoad(spark: SparkSession, source: DataFrame, path: String,
       keys: Seq[String], writePartitions: Int = 0): Long = {
-    val exists = new java.io.File(path).exists()
+    val exists = pathExists(spark, path)
     val fresh =
       if (!exists) source
       else Incremental.newRecords(source, spark.read.parquet(path), keys)
     runCountedAppend(fresh, path, writePartitions)
+  }
+
+  /** Target existence through the Hadoop FS API (local/HDFS/object
+    * store alike — a `java.io.File` probe only works on local disk). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** count() + conditional append with a DISK_ONLY pin spanning both

@@ -111,7 +111,7 @@ object Job {
     * (`LoadCTPatients.java:59,170`). */
   def load(spark: SparkSession, source: DataFrame, targetPath: String,
       spec: JobSpec, writePartitions: Int = 0): Long = {
-    val exists = new java.io.File(targetPath).exists()
+    val exists = Sink.pathExists(spark, targetPath)
     val fresh =
       if (!exists) {
         val cleaned = transform(source, spec)

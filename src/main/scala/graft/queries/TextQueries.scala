@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{MinHashLSH, TextFunctions => TF}
+import graft.text.{Components, MinHashLSH, TextFunctions => TF}
 
 /** Oracle-checked queries for the training-data text pipeline over the
   * `documents` table: exact + MinHash-LSH near-dup dedup, n-gram
@@ -38,6 +38,13 @@ object TextQueries {
   def minhashDedup(spark: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
       ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
+
+  /** Near-dup components: the MinHash pair graph closed transitively
+    * ([[graft.text.Components]]) — (doc_id, comp) where comp = min
+    * doc_id of the cluster, i.e. the canonical document to KEEP. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    Components.connected(minhashDedup(spark, dir), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
 
   /** Document-frequency cap for the n-gram inverted index: a shingle
     * appearing in d documents emits d²/2 candidate rows from the
@@ -188,7 +195,8 @@ object TextQueries {
     "doc_fingerprint"    -> (docFingerprint _),
     "simhash_dedup"      -> (simhashDedup _),
     "corpus_profile"     -> (corpusProfile _),
-    "multimodal_payload" -> (multimodalPayload _)
+    "multimodal_payload" -> (multimodalPayload _),
+    "dedup_components"   -> (dedupComponents _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -201,7 +209,10 @@ object TextQueries {
   private def ngramsSql(t: String, n: Int) =
     s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
 
-  private val minhashOracle: String = {
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard_c)` — the full
+    * MinHash-LSH replay, shared by the pair oracle and the
+    * connected-components oracle. */
+  private val minhashPairsCtes: String = {
     val sigCols = (0 until Perms)
       .map(p => s"min(${TF.portableHashHexSql("shingle", s"p$p")}) AS sig$p")
       .mkString(",\n    ")
@@ -233,16 +244,37 @@ object TextQueries {
       |  JOIN sh a ON a.doc_id = c.doc_a
       |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
       |  GROUP BY 1, 2
-      |)
-      |SELECT i.doc_a, i.doc_b,
-      |       CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
-      |            AS BIGINT) AS jaccard_c
-      |FROM inter i
-      |JOIN cnt ca ON i.doc_a = ca.doc_id
-      |JOIN cnt cb ON i.doc_b = cb.doc_id
-      |WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
-      |           AS BIGINT) >= 500000""".stripMargin
+      |), pairs AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |         CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |              AS BIGINT) AS jaccard_c
+      |  FROM inter i
+      |  JOIN cnt ca ON i.doc_a = ca.doc_id
+      |  JOIN cnt cb ON i.doc_b = cb.doc_id
+      |  WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |             AS BIGINT) >= 500000
+      |)""".stripMargin
   }
+
+  private val minhashOracle: String =
+    minhashPairsCtes + "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
+
+  /** Transitive closure of the verified pair graph via a recursive
+    * CTE — an INDEPENDENT formulation of what the engine computes by
+    * iterative min-label propagation, so a hash match is evidence. */
+  private val componentsOracle: String =
+    minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs
+        |), reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS doc_id, min(comp) AS comp
+        |FROM reach GROUP BY id""".stripMargin
 
   /** DuckDB CTEs computing the `bits`-wide SimHash per doc as `s` —
     * integer-identical to [[TF.simHash]] (vote sums are ints, so the
@@ -322,6 +354,7 @@ object TextQueries {
         |       substr(md5(norm), 1, 16) AS fp
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
+    "dedup_components" -> componentsOracle,
     "ngram_jaccard" ->
       s"""WITH sh AS (
         |  SELECT doc_id, lang,
