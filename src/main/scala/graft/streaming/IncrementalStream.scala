@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming counterpart of the batch incremental load.
@@ -38,4 +38,39 @@ object IncrementalStream {
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"),
         category, col("n"))
+
+  /** A keyed record for the custom-state operator: `seq` orders
+    * records within a key (extraction id / event time as long), `value`
+    * is the payload. */
+  final case class Rec(key: Long, seq: Long, value: String)
+
+  /** Custom-state streaming operator (`flatMapGroupsWithState`): the
+    * streaming analog of [[graft.etl.Dedup.latestPerKey]] as a CHANGE
+    * stream — per key, keep the greatest-(seq, value) record ever seen
+    * in [[org.apache.spark.sql.streaming.GroupState]] and emit a row
+    * only when a batch ADVANCES it. Late or replayed records (seq not
+    * past the stored one) emit nothing, so downstream sees exactly the
+    * upsert sequence a batch anti-join load would have appended, one
+    * event per actual change.
+    *
+    * State is one record per key — the 100 TB concern is key
+    * cardinality, not throughput; bound it with a state timeout
+    * (processing-time) when the key space is unbounded. */
+  def latestChanges(stream: Dataset[Rec]): Dataset[Rec] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .groupByKey(_.key)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[Rec, Rec](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Rec], state: GroupState[Rec]) =>
+          val candidates = state.getOption.iterator ++ rows
+          val newest = candidates.maxBy(r => (r.seq, r.value))
+          if (state.getOption.contains(newest)) Iterator.empty
+          else {
+            state.update(newest)
+            Iterator.single(newest)
+          }
+      }(org.apache.spark.sql.Encoders.product[Rec],
+        org.apache.spark.sql.Encoders.product[Rec])
+  }
 }

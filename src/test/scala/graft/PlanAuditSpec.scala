@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Incremental, LookupRemap}
+
+/** Plan audits: the scale story, machine-checked. A plan that scans
+  * all columns for a 2-column projection, or fails to push a filter
+  * into the parquet scan, or shuffles a 3-row lookup dim, is wrong at
+  * 100 TB no matter what it benches at test scale — so the shapes are
+  * asserted here, not just eyeballed in `.explain` output. */
+class PlanAuditSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val table: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-audit").toString
+    (1L to 1000L).map(i => (i, i % 7, s"name$i", s"pad$i", i * 1.5))
+      .toDF("id", "grp", "name", "pad", "x")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("filter predicates push down into the parquet scan") {
+    val df = spark.read.parquet(table).filter($"id" === 5L).select("id", "name")
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters:"), scan)
+    assert(scan.contains("EqualTo(id,5)") || scan.contains("EqualTo(id, 5)"),
+      s"filter did not reach the scan:\n$scan")
+  }
+
+  test("column pruning: the scan reads only the projected columns") {
+    val df = spark.read.parquet(table).filter($"id" > 10L).select("id", "name")
+    val scan = df.queryExecution.executedPlan.toString()
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$scan"))
+    assert(readSchema.contains("id") && readSchema.contains("name"))
+    assert(!readSchema.contains("pad"),
+      s"scan reads unprojected columns:\n$readSchema")
+  }
+
+  test("lookup remap plans as a broadcast hash join (no dim shuffle)") {
+    val facts = spark.read.parquet(table)
+    val lkp = Seq(("name1", "N1"), ("name2", "N2"))
+      .toDF("source_name", "target_name")
+    val plan = LookupRemap.remap(facts, lkp, "name")
+      .queryExecution.sparkPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("broadcast-target anti-join: zero shuffle of the source side") {
+    val source = spark.read.parquet(table)
+    val target = spark.read.parquet(table).filter($"id" <= 100L)
+    val plan = Incremental
+      .newRecords(source, target, Seq("id"), broadcastTarget = true)
+      .queryExecution.sparkPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("default anti-join: key-hash exchanges, never a nested loop") {
+    val source = spark.read.parquet(table)
+    val target = spark.read.parquet(table).filter($"id" <= 100L)
+    val plan = Incremental.newRecords(source, target, Seq("id"))
+      .queryExecution.sparkPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}

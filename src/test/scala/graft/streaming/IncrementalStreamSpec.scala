@@ -57,6 +57,29 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows == Map("click" -> 2L, "view" -> 1L))
   }
 
+  test("latestChanges emits one event per actual per-key advance") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[IncrementalStream.Rec]
+    val out = IncrementalStream.latestChanges(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("latest_out")
+      .outputMode("update").start()
+    ms.addData(
+      IncrementalStream.Rec(1L, 10L, "a"),
+      IncrementalStream.Rec(1L, 20L, "b"), // same batch: only the max emits
+      IncrementalStream.Rec(2L, 5L, "x"))
+    q.processAllAvailable()
+    ms.addData(
+      IncrementalStream.Rec(1L, 15L, "late"), // behind state -> silent
+      IncrementalStream.Rec(2L, 6L, "y"))     // advance -> emits
+    q.processAllAvailable()
+    ms.addData(IncrementalStream.Rec(2L, 6L, "y")) // exact replay -> silent
+    q.processAllAvailable()
+    val rows = spark.table("latest_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, 20L, "b"), (2L, 5L, "x"), (2L, 6L, "y")))
+  }
+
   test("Resources.loadText reads classpath SQL (S8)") {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
