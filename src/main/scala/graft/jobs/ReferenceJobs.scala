@@ -125,14 +125,47 @@ object ReferenceJobs {
     lookups = Seq("MaritalStatus" -> maritalLkp),
     piiHash = piiColumns("HTS"))
 
-  /** PrEP Patient shape (`Load Prep Patient/.../LoadPrepPatient.java`):
-    * fifteen empty-string-to-null columns dominate. */
+  /** PrEP Patient shape (`Load Prep Patient/.../LoadPrepPatient.java:
+    * 55-115`): fifteen empty-string-to-null columns, concept-id
+    * recodes (KeyPopulationType, Inschool), the MaritalStatus
+    * harmonization, and the hand-curated County repair — ward/
+    * constituency names and typos folded back to real counties, with
+    * two garbage literals sent to 'NOT DOCUMENTED'. */
   def prepPatient(today: LocalDate): JobSpec = JobSpec(
     keys = antiJoinKeys("PrEP_Patient"),
     dedup = Some(Seq("SiteCode", "PatientPk") -> Seq("Created", "ID")),
     dateClamps = Map("DateStartedPrEP" -> (DateLo, today)),
-    emptyToNull = Seq("ClientType", "Refferedfrom", "TransferIn",
-      "TransferInDate", "County", "SubCounty", "Location"),
+    emptyToNull = Seq("DateLastUsedPrev", "PrevPrepReg",
+      "ClientPreviouslyonPrep", "DateStartedPrEPattransferringfacility",
+      "TransferFromFacility", "TransferInDate", "Refferedfrom",
+      "PopulationType", "ReferralPoint", "ClientType", "Ward", "LandMark",
+      "SubCounty", "CountyofBirth", "Sex"),
+    recodes = Map(
+      "KeyPopulationType" -> Map("160579" -> "FSW", "160578" -> "MSM",
+        "165084" -> "MSW", "105" -> "PWID"),
+      "Inschool" -> Map("1" -> "Yes", "2" -> "No")),
+    canonicalize = Map(
+      "MaritalStatus" -> Seq(
+        (Seq("Married"), "Married Monogamous"),
+        (Seq("Never married"), "Single"),
+        (Seq("Living with partner"), "Cohabiting"),
+        (Seq("Polygamous"), "Married Polygamous"),
+        (Seq("OTHER NON-CODED"), "Unknown"),
+        (Seq("Separated"), "Divorced")),
+      "County" -> Seq(
+        (Seq("THARAKA - NITHI", "Tharaka-Nithi"), "Tharaka Nithi"),
+        (Seq("North Alego", "West Sakwa", "Ugunja", "North Ugenya",
+          "Ugenya West", "Ukwala", "West Alego"), "Siaya"),
+        (Seq("Kabuoch South/Pala", "Gwassi North", "Homa Bay Arunjo",
+          "HOMABAY", "Kendu Bay Town", "Kwabwai", "Homa Bay East"),
+          "Homa Bay"),
+        (Seq("Kamahuha", "Kambiti", "Nginda", "Muranga"), "Murang'a"),
+        (Seq("KIAMBU''"), "Kiambu"),
+        (Seq("Majoge"), "Kisii"),
+        (Seq("Nangina"), "Busia"),
+        (Seq("Shamata"), "Nyandarua"),
+        (Seq("Kagen", "..."), "NOT DOCUMENTED"),
+        (Seq(""), null))),
     piiHash = Seq("PatientPk", "PrepNumber"))
 
   /** Facilities full-refresh shape (`Load CT Facilities Spark/...`):

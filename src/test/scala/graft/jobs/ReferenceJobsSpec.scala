@@ -155,6 +155,45 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(2L).getAs[String]("EntryPoint") == "none")
   }
 
+  test("prepPatient spec: County repair, concept recodes, marital harmonization") {
+    def row(id: Long, county: String, kp: String, ms: String, school: String) =
+      (id, 100L, id, "2024-01-01", county, kp, ms, school, "x")
+    val source = Seq(
+      row(1L, "West Sakwa", "160579", "Never married", "1"),
+      row(2L, "KIAMBU''", "105", "Living with partner", "2"),
+      row(3L, "...", "whatever", "Separated", "3"),
+      row(4L, "", "160578", "Married", ""),
+      row(5L, "Nairobi", "165084", "Widowed", "1"))
+      .toDF("ID", "SiteCode", "PatientPk", "Created", "County",
+        "KeyPopulationType", "MaritalStatus", "Inschool", "Sex")
+      .withColumn("DateStartedPrEP", lit("2024-01-01"))
+      .withColumn("PrepNumber", $"PatientPk" + 700)
+    val extra = Seq("DateLastUsedPrev", "PrevPrepReg",
+      "ClientPreviouslyonPrep", "DateStartedPrEPattransferringfacility",
+      "TransferFromFacility", "TransferInDate", "Refferedfrom",
+      "PopulationType", "ReferralPoint", "ClientType", "Ward", "LandMark",
+      "SubCounty", "CountyofBirth")
+      .foldLeft(source)((d, c) => d.withColumn(c, lit("")))
+    val out = Job.transform(extra, ReferenceJobs.prepPatient(LocalDate.of(2026, 1, 1)))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+
+    assert(out(1L).getAs[String]("County") == "Siaya")      // ward -> county
+    assert(out(2L).getAs[String]("County") == "Kiambu")     // quote garbage
+    assert(out(3L).getAs[String]("County") == "NOT DOCUMENTED")
+    assert(out(4L).getAs[String]("County") == null)         // "" -> null
+    assert(out(5L).getAs[String]("County") == "Nairobi")    // open vocab: kept
+    assert(out(1L).getAs[String]("KeyPopulationType") == "FSW")
+    assert(out(3L).getAs[String]("KeyPopulationType") == "whatever")
+    assert(out(1L).getAs[String]("MaritalStatus") == "Single")
+    assert(out(2L).getAs[String]("MaritalStatus") == "Cohabiting")
+    assert(out(5L).getAs[String]("MaritalStatus") == "Widowed")
+    assert(out(1L).getAs[String]("Inschool") == "Yes")
+    assert(out(3L).getAs[String]("Inschool") == "3")        // unmapped kept
+    // The fifteen empty-string columns null out.
+    assert(out(1L).getAs[String]("Ward") == null)
+    assert(out(4L).getAs[String]("Inschool") == "")         // NOT in the empty-null list
+  }
+
   test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val source = Seq(
