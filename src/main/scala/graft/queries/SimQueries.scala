@@ -55,6 +55,31 @@ object SimQueries {
       .filter(col("score_c") >= 400000L)
   }
 
+  /** Embedding near-dup pairs over TRAINED cells: same operator shape
+    * as [[embeddingDedup]] but the blocking cells come from
+    * `KMeans.fitCenters` (fixed k, shuffle-free assignment) instead of
+    * the corpus-slice centroids the DuckDB oracle can replay — the
+    * production wiring, where |cells| is a user-chosen index parameter
+    * rather than a function of corpus size. Rows-checked by the
+    * driver; `SimilaritySpec` bounds its recall against brute-force
+    * threshold pairs. */
+  def embeddingDedupTrained(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val assigned = Similarity.assignByCenters(v, centers)
+      .repartition(col("bucket"))
+    val a = assigned.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), Similarity.norm(col("vec")).as("nrm_a"))
+    val b = assigned.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
+      col("vec").as("vec_b"), Similarity.norm(col("vec")).as("nrm_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
   /** Multi-probe IVF: the query fans out to its 2 nearest centroid
     * cells — the recall knob of a real IVF index (corpus side stays
     * single-assigned, so probes scale only the tiny query side). */
@@ -134,6 +159,7 @@ object SimQueries {
     "ann_ivf"         -> (annIvf _),
     "ann_ivf_probe2"  -> (annIvfProbe2 _),
     "embedding_dedup" -> (embeddingDedup _),
+    "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _)
   )

@@ -50,6 +50,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size <= brute.size + 0) // top-k bounded per query
   }
 
+  test("trained-cell near-dup blocking is sound and recalls >= 80% of threshold pairs") {
+    val rnd = new scala.util.Random(7)
+    val cs = Array.fill(8)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 160).map { i =>
+      val c = cs(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq)
+    }
+    val v = rows.toDF("id", "vec")
+    val thr = 950000L
+    // Ground truth: all pairs with scaled cosine >= threshold.
+    val w = Similarity.bruteForceTopK(v, v, 200) // k > n: every scored pair
+      .filter($"score_c" >= thr && $"q_id" < $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val centers = KMeans.fitCenters(v, 0L until 8L, iters = 2)
+    val assigned = Similarity.assignByCenters(v, centers)
+    val a = assigned.select($"bucket", $"id".as("id_a"), $"vec".as("vec_a"))
+    val b = assigned.select($"bucket".as("bb"), $"id".as("id_b"), $"vec".as("vec_b"))
+    val blocked = a.join(b, $"bucket" === $"bb" && $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Similarity.cosineScaled($"vec_a", $"vec_b").as("s"))
+      .filter($"s" >= thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(w), "blocking must never invent pairs")
+    assert(w.nonEmpty)
+    val recall = (w & blocked).size.toDouble / w.size
+    assert(recall >= 0.8, s"recall $recall over ${w.size} true pairs")
+  }
+
   test("IVF assigns to nearest centroid and searches only the bucket") {
     // Two clear clusters around e1 and e2; centroids are one member of each.
     val v = vecs(
