@@ -87,6 +87,22 @@ object ReferenceJobs {
   val strictKeyComponents: Map[String, Set[String]] = Map(
     "MNCH_Immunization" -> Set("ID"))
 
+  /** Live reference defects, cataloged rather than reproduced: the
+    * family specs implement the evident INTENT, and these notes record
+    * where the shipped code differs so a bit-parity replay knows what
+    * it is signing up for. */
+  val referenceQuirks: Map[String, String] = Map(
+    "CT_ARTPatients" ->
+      ("LoadARTPatients.java:149-150: on a regimen-lookup MISS, " +
+        "PreviousARTRegimen is overwritten with ExitReason " +
+        "(`.otherwise(col(\"ExitReason\"))` — a copy-paste slip from the " +
+        "branch above). The spec remaps PreviousARTRegimen to itself on " +
+        "miss, like every other lookup in the codebase."),
+    "MNCH_Immunization" ->
+      ("LoadMNCHImmunization.java:67-68: plain `=` on ID amid `<=>` " +
+        "components — null-ID rows re-insert every run. Reproducible via " +
+        "strictKeyComponents."))
+
   /** PII hash columns per family (SURVEY Appendix A footnote). */
   val piiColumns: Map[String, Seq[String]] = Map(
     "CT" -> Seq("PatientID", "PatientPK"),
@@ -172,6 +188,45 @@ object ReferenceJobs {
     * no cleaning, no PII, single natural key — rebuilt wholesale via
     * [[graft.etl.Sink.fullRefresh]] rather than appended. */
   def facilities(): JobSpec = JobSpec(keys = antiJoinKeys("ALL_EMRSites"))
+
+  /** CT ART Patients shape (`Load CT ART Patients/...
+    * /LoadARTPatients.java:88-155`): nine 1980-floored date clamps
+    * plus DOB's 1900 floor; EMR/Project normalization (E8); Duration's
+    * one-sided negative clamp; three age clamps to [0,120] → 999; and
+    * FOUR lookups of which three are the same regimen dim joined under
+    * different aliases (J2 — Previous/Start/Last regimen), expressed
+    * here as three [[graft.etl.LookupRemap.remap]] calls against one
+    * frame. The reference's PreviousARTRegimen miss-branch bug is
+    * cataloged in [[referenceQuirks]], not reproduced. */
+  def ctArtPatients(today: LocalDate, exitReasonLkp: DataFrame,
+      regimenLkp: DataFrame, patientSourceLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_ARTPatients"),
+    dedup = Some(Seq("SiteCode", "PatientPK") -> Seq("Created", "ID")),
+    dateClamps = Map("DOB" -> (Sentinel19th, today)) ++
+      Seq("StartARTDate", "StartARTAtThisFacility", "LastARTDate",
+        "RegistrationDate", "PreviousARTStartDate", "ExpectedReturn",
+        "LastVisit", "ExitDate").map(_ -> (DateLo, today)).toMap,
+    numClamps = Map(
+      "Duration" -> (0d, Double.MaxValue),
+      "AgeARTStart" -> (0d, 120d),
+      "AgeLastVisit" -> (0d, 120d),
+      "AgeEnrollment" -> (0d, 120d)),
+    recodes = Map(
+      "Emr" -> Map(
+        "Open Medical Records System - OpenMRS" -> "OpenMRS",
+        "Ampath AMRS" -> "AMRS")),
+    canonicalize = Map(
+      "Project" -> Seq(
+        (Seq("Ampathplus", "AMPATH"), "Ampath Plus"),
+        (Seq("UCSF Clinical Kisumu", "CHAP Uzima", "DREAM", "IRDO"),
+          "Kenya HMIS II"))),
+    lookups = Seq(
+      "ExitReason" -> exitReasonLkp,
+      "PreviousARTRegimen" -> regimenLkp,
+      "StartRegimen" -> regimenLkp,
+      "LastRegimen" -> regimenLkp,
+      "PatientSource" -> patientSourceLkp),
+    piiHash = piiColumns("CT"))
 
   /** CT Patient Visits shape (`Load CT Patient Visits/...
     * /LoadPatientVisits.java:75-114`). Notables: OIDate's tighter

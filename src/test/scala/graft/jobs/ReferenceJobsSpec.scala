@@ -28,6 +28,60 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(ReferenceJobs.antiJoinKeys("CT_IITRiskScores") == Seq("ID"))
   }
 
+  test("ctArtPatients spec: DOB 1900 floor, triple regimen self-remap, age clamps") {
+    val today = LocalDate.of(2026, 1, 1)
+    val source = Seq(
+      (1L, 100L, 10L, "1950-06-01", "1979-12-31", "reg-old", "reg-old", "keep-me",
+        "Open Medical Records System - OpenMRS", "CHAP Uzima", 130, "exit-old", "2024-01-01"),
+      (2L, 100L, 11L, "1899-12-31", "2024-01-01", "r2", "reg-old", "reg-old",
+        "Other EMR", "Ampathplus", 42, "none", "2024-01-01"))
+      .toDF("ID", "SiteCode", "PatientPK", "DOB", "StartARTDate",
+        "PreviousARTRegimen", "StartRegimen", "LastRegimen", "Emr", "Project",
+        "AgeARTStart", "ExitReason", "Created")
+      .withColumn("PatientID", $"PatientPK" + 7000)
+      .withColumn("StartARTAtThisFacility", lit("2024-01-01"))
+      .withColumn("LastARTDate", lit("2024-01-01"))
+      .withColumn("RegistrationDate", lit("2024-01-01"))
+      .withColumn("PreviousARTStartDate", lit("2024-01-01"))
+      .withColumn("ExpectedReturn", lit("2024-01-01"))
+      .withColumn("LastVisit", lit("2024-01-01"))
+      .withColumn("ExitDate", lit("2024-01-01"))
+      .withColumn("Duration", lit("-5"))
+      .withColumn("AgeLastVisit", lit(50))
+      .withColumn("AgeEnrollment", lit(200))
+      .withColumn("PatientSource", lit("vct"))
+    val regLkp = Seq(("reg-old", "TDF/3TC/DTG")).toDF("source_name", "target_name")
+    val exitLkp = Seq(("exit-old", "Transfer Out")).toDF("source_name", "target_name")
+    val psLkp = Seq(("nothing", "x")).toDF("source_name", "target_name")
+    val out = Job.transform(source,
+        ReferenceJobs.ctArtPatients(today, exitLkp, regLkp, psLkp))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+
+    // DOB floor is 1900 (1950 passes; 1899 sentinels); ART dates floor at 1980.
+    assert(out(1L).getAs[java.sql.Date]("DOB").toString == "1950-06-01")
+    assert(out(2L).getAs[java.sql.Date]("DOB").toString == "1900-01-01")
+    assert(out(1L).getAs[java.sql.Date]("StartARTDate").toString == "1900-01-01")
+    // Triple self-remap: each regimen column remaps INDEPENDENTLY, and a
+    // miss keeps the column's own value (the reference's
+    // PreviousARTRegimen/ExitReason slip is documented, not reproduced).
+    assert(out(1L).getAs[String]("PreviousARTRegimen") == "TDF/3TC/DTG")
+    assert(out(1L).getAs[String]("StartRegimen") == "TDF/3TC/DTG")
+    assert(out(1L).getAs[String]("LastRegimen") == "keep-me")
+    assert(out(2L).getAs[String]("PreviousARTRegimen") == "r2")
+    assert(out(1L).getAs[String]("ExitReason") == "Transfer Out")
+    // EMR/Project normalization; open vocab preserved.
+    assert(out(1L).getAs[String]("Emr") == "OpenMRS")
+    assert(out(2L).getAs[String]("Emr") == "Other EMR")
+    assert(out(1L).getAs[String]("Project") == "Kenya HMIS II")
+    assert(out(2L).getAs[String]("Project") == "Ampath Plus")
+    // Age/duration clamps: [0,120] -> 999; negative duration -> 999.
+    assert(out(1L).getAs[Double]("AgeARTStart") == 999d)
+    assert(out(2L).getAs[Double]("AgeARTStart") == 42d)
+    assert(out(1L).getAs[Double]("AgeEnrollment") == 999d)
+    assert(out(1L).getAs[Double]("Duration") == 999d)
+    assert(ReferenceJobs.referenceQuirks.contains("CT_ARTPatients"))
+  }
+
   test("ctPatientVisits spec: clamps, vocab (incl. charset garbage), lookups") {
     val today = LocalDate.of(2026, 1, 1)
     val source = Seq(
