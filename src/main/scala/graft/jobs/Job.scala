@@ -35,6 +35,10 @@ final case class JobSpec(
     maxDedups: Seq[(Seq[String], Seq[String])] = Seq.empty,
     /** E1 — per-column date clamp bounds (today injected). */
     dateClamps: Map[String, (LocalDate, LocalDate)] = Map.empty,
+    /** E2 — per-column date bounds outside which the value NULLS (no
+      * sentinel); one-sided checks use a far bound (HTS Eligibility
+      * nulls only below a floor — `LoadHtsEligibility.java:96-102`). */
+    dateNullOutside: Map[String, (LocalDate, LocalDate)] = Map.empty,
     /** E4 — per-column numeric clamp bounds (sentinel 999). */
     numClamps: Map[String, (Double, Double)] = Map.empty,
     /** E4′ — per-column high bound above which the value nulls out. */
@@ -69,8 +73,11 @@ object Job {
     val deduped = spec.dedup.fold(maxDeduped) { case (k, o) =>
       Dedup.latestPerKey(maxDeduped, k, o)
     }
-    val dated = spec.dateClamps.foldLeft(deduped) { case (d, (c, (lo, hi))) =>
+    val dated0 = spec.dateClamps.foldLeft(deduped) { case (d, (c, (lo, hi))) =>
       d.withColumn(c, Cleaning.clampDate(lo, hi)(col(c).cast("date")))
+    }
+    val dated = spec.dateNullOutside.foldLeft(dated0) { case (d, (c, (lo, hi))) =>
+      d.withColumn(c, Cleaning.nullOutsideDate(lo, hi)(col(c).cast("date")))
     }
     val nummed0 = spec.numClamps.foldLeft(dated) { case (d, (c, (lo, hi))) =>
       d.withColumn(c, Cleaning.clampNum(lo, hi)(col(c)))

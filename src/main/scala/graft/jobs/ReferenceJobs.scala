@@ -112,6 +112,7 @@ object ReferenceJobs {
 
   private val DateLo = LocalDate.of(1980, 1, 1)
   private val Sentinel19th = LocalDate.of(1900, 1, 1)
+  private val FarFuture = LocalDate.of(9999, 12, 31)
 
   /** CT Patients shape (`Load CT Patients Job/.../LoadCTPatients.java`):
     * ten date clamps, gender/marital recodes, 4 lookup remaps, dedup by
@@ -405,6 +406,63 @@ object ReferenceJobs {
         (Seq(), null))),
     lookups = Seq("EntryPoint" -> patientSourceLkp,
       "TestStrategy" -> htsStrategyLkp),
+    piiHash = piiColumns("HTS"))
+
+  /** CT Contact Listing shape (`Load CT Contact Listing/...
+    * /LoadCTContactListing.java:59-81`): ContactAge clamp to
+    * [0,120] → 999 and four categorical vocabularies, including the
+    * concept-id leakage ("1065"/"1066" as IPV outcomes, "664"/"703"/
+    * "1067" as HIV-status knowledge) and the "Nice" → "Niece" typo
+    * repair. */
+  def ctContactListing(): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_ContactListing"),
+    numClamps = Map("ContactAge" -> (0d, 120d)),
+    canonicalize = Map(
+      "ContactSex" -> Seq(
+        (Seq("U"), "Undefined"),
+        (Seq("M"), "Male"),
+        (Seq("F"), "Female")),
+      "RelationshipWithPatient" -> Seq(
+        (Seq("Daughter", "Son"), "Child"),
+        (Seq("Co-wife"), "Sexual Partner"),
+        (Seq("Select"), "OTHER"),
+        (Seq("undefined", "None"), "Undefined"),
+        (Seq("Nice"), "Niece")),
+      "IPVScreeningOutcome" -> Seq(
+        (Seq("0"), "False"),
+        (Seq("No"), "False"),
+        (Seq("Yes"), "True"),
+        (Seq("1065", "1066"), "OTHER")),
+      "KnowledgeOfHivStatus" -> Seq(
+        (Seq("Negative", "Yes", "Positive", "Exposed Infant", "Exposed",
+          "664", "703"), "Yes"),
+        (Seq("No", "Unknown", "1067", "0"), "No"))),
+    piiHash = piiColumns("CT"))
+
+  /** HTS Eligibility shape (`Load HTS Eligibility Extract/...
+    * /LoadHtsEligibility.java:61-102`): five 0/1 → No/Yes screening
+    * recodes, the PatientType prefix strip, seven empty-to-null
+    * columns, and the family's E2 exemplar — dates NULL (not
+    * sentinel) below a floor, with DIFFERENT floors per column
+    * (DateTestedProvider < 1980, VisitDate < 2019; no upper bound in
+    * the reference, hence the far ceiling). */
+  def htsEligibility(): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_EligibilityExtract"),
+    dateNullOutside = Map(
+      "DateTestedProvider" -> (LocalDate.of(1980, 1, 1), FarFuture),
+      "VisitDate" -> (LocalDate.of(2019, 1, 1), FarFuture)),
+    emptyToNull = Seq("TypeGBV", "ReceivedServices", "ResultOfHIVSelf",
+      "ReasonsForIneligibility", "ChildReasonsForIneligibility",
+      "PartnerHIVStatus", "RelationshipWithContact"),
+    recodes = Map(
+      "WeightLoss" -> Map("0" -> "No", "1" -> "Yes"),
+      "NightSweats" -> Map("0" -> "No", "1" -> "Yes"),
+      "Pregnant" -> Map("0" -> "No", "1" -> "Yes"),
+      "Cough" -> Map("0" -> "No", "1" -> "Yes"),
+      "IsHealthWorker" -> Map("0" -> "No", "1" -> "Yes"),
+      "PatientType" -> Map(
+        "HP:Hospital Patient" -> "Hospital Patient",
+        "NP:Non-Hospital Patient" -> "Non-Hospital Patient")),
     piiHash = piiColumns("HTS"))
 
   /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,

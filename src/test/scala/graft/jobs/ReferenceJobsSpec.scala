@@ -248,6 +248,59 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(4L).getAs[String]("Inschool") == "")         // NOT in the empty-null list
   }
 
+  test("ctContactListing spec: concept-id leakage and typo repair") {
+    val source = Seq(
+      (1L, 100L, 1L, 150, "U", "Nice", "1065", "664"),
+      (2L, 100L, 2L, 30, "F", "Daughter", "No", "1067"),
+      (3L, 100L, 3L, 30, "X", "Friend", "Maybe", "huh"))
+      .toDF("ID", "SiteCode", "PatientPK", "ContactAge", "ContactSex",
+        "RelationshipWithPatient", "IPVScreeningOutcome", "KnowledgeOfHivStatus")
+      .withColumn("PatientID", $"PatientPK" + 100)
+    val out = Job.transform(source, ReferenceJobs.ctContactListing())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(out(1L).getAs[Double]("ContactAge") == 999d)
+    assert(out(1L).getAs[String]("ContactSex") == "Undefined")
+    assert(out(1L).getAs[String]("RelationshipWithPatient") == "Niece")
+    assert(out(1L).getAs[String]("IPVScreeningOutcome") == "OTHER")
+    assert(out(1L).getAs[String]("KnowledgeOfHivStatus") == "Yes")
+    assert(out(2L).getAs[String]("RelationshipWithPatient") == "Child")
+    assert(out(2L).getAs[String]("IPVScreeningOutcome") == "False")
+    assert(out(2L).getAs[String]("KnowledgeOfHivStatus") == "No")
+    // Open vocabularies: unmapped values pass through.
+    assert(out(3L).getAs[String]("ContactSex") == "X")
+    assert(out(3L).getAs[String]("RelationshipWithPatient") == "Friend")
+    assert(out(3L).getAs[String]("KnowledgeOfHivStatus") == "huh")
+  }
+
+  test("htsEligibility spec: per-column null-out floors, 0/1 recodes") {
+    val source = Seq(
+      (1L, 100L, 1L, "1", "0", "HP:Hospital Patient", "1975-06-01", "2018-12-31"),
+      (2L, 100L, 2L, "Yes", "", "walk-in", "1985-06-01", "2019-01-01"))
+      .toDF("ID", "SiteCode", "PatientPk", "Cough", "Pregnant", "PatientType",
+        "DateTestedProvider", "VisitDate")
+      .withColumn("HtsNumber", $"PatientPk" + 300)
+      .withColumn("PatientPK", $"PatientPk")
+    val extra = Seq("WeightLoss", "NightSweats", "IsHealthWorker", "TypeGBV",
+      "ReceivedServices", "ResultOfHIVSelf", "ReasonsForIneligibility",
+      "ChildReasonsForIneligibility", "PartnerHIVStatus",
+      "RelationshipWithContact")
+      .foldLeft(source)((d, c) => d.withColumn(c, lit("")))
+    val out = Job.transform(extra, ReferenceJobs.htsEligibility())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    // Below-floor dates NULL (no sentinel), different floors per column.
+    assert(out(1L).getAs[java.sql.Date]("DateTestedProvider") == null)
+    assert(out(1L).getAs[java.sql.Date]("VisitDate") == null)
+    assert(out(2L).getAs[java.sql.Date]("DateTestedProvider").toString == "1985-06-01")
+    assert(out(2L).getAs[java.sql.Date]("VisitDate").toString == "2019-01-01")
+    assert(out(1L).getAs[String]("Cough") == "Yes")
+    assert(out(2L).getAs[String]("Cough") == "Yes") // already canonical: kept
+    assert(out(1L).getAs[String]("Pregnant") == "No")
+    assert(out(2L).getAs[String]("Pregnant") == "") // "" not in recode map, not empty-nulled
+    assert(out(1L).getAs[String]("PatientType") == "Hospital Patient")
+    assert(out(2L).getAs[String]("PatientType") == "walk-in")
+    assert(out(1L).getAs[String]("TypeGBV") == null)
+  }
+
   test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val source = Seq(
