@@ -101,7 +101,12 @@ object ReferenceJobs {
     "MNCH_Immunization" ->
       ("LoadMNCHImmunization.java:67-68: plain `=` on ID amid `<=>` " +
         "components — null-ID rows re-insert every run. Reproducible via " +
-        "strictKeyComponents."))
+        "strictKeyComponents."),
+    "CT_PatientPharmacy" ->
+      ("LoadPatientPharmacy.java:91,95: the Duration and PeriodTaken " +
+        "clamps have NO `.otherwise(...)` — every row that does not hit " +
+        "the out-of-range branch becomes NULL, wiping all valid values. " +
+        "The spec clamps with pass-through, the evident intent."))
 
   /** PII hash columns per family (SURVEY Appendix A footnote). */
   val piiColumns: Map[String, Seq[String]] = Map(
@@ -464,6 +469,52 @@ object ReferenceJobs {
         "HP:Hospital Patient" -> "Hospital Patient",
         "NP:Non-Hospital Patient" -> "Non-Hospital Patient")),
     piiHash = piiColumns("HTS"))
+
+  /** CT Patient Pharmacy shape (`Load CT Patient Pharmacy/...
+    * /LoadPatientPharmacy.java:90-118`): one-sided numeric clamps
+    * (negative Duration, non-positive PeriodTaken → 999 — the
+    * reference's missing-`otherwise` defect is cataloged in
+    * [[referenceQuirks]], the spec implements the evident intent),
+    * a floor-only ExpectedReturn sentinel clamp, EMR/Project
+    * normalization, and three lookups (Drug → regimen dim,
+    * TreatmentType, ProphylaxisType). PII hashing is commented out in
+    * this job — the spec faithfully hashes nothing. */
+  def ctPatientPharmacy(regimenLkp: DataFrame, treatmentLkp: DataFrame,
+      prophylaxisLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_PatientPharmacy"),
+    dateClamps = Map("ExpectedReturn" -> (Sentinel19th, FarFuture)),
+    numClamps = Map(
+      "Duration" -> (0d, Double.MaxValue),
+      // `leq(0)` in the reference; Double.MinPositiveValue as the
+      // exclusive floor makes clampNum's `lt(lo)` match exactly the
+      // values <= 0 (no double exists strictly between them).
+      "PeriodTaken" -> (Double.MinPositiveValue, Double.MaxValue)),
+    recodes = Map(
+      "Emr" -> Map(
+        "Open Medical Records System - OpenMRS" -> "OpenMRS",
+        "Ampath AMRS" -> "AMRS")),
+    canonicalize = Map(
+      "Project" -> Seq(
+        (Seq("Ampathplus", "AMPATH"), "Ampath Plus"),
+        (Seq("UCSF Clinical Kisumu", "CHAP Uzima", "DREAM", "IRDO"),
+          "Kenya HMIS II"))),
+    lookups = Seq(
+      "Drug" -> regimenLkp,
+      "TreatmentType" -> treatmentLkp,
+      "ProphylaxisType" -> prophylaxisLkp))
+
+  /** PrEP Behaviour Risk shape (`Load PrEP Behaviour Risk/...
+    * /LoadPrepBehaviourRisk.java:56-82`): pure empty-string-to-null
+    * over thirteen columns; PII hashing is commented out in the
+    * reference (`:104-106`), so the spec hashes nothing. */
+  def prepBehaviourRisk(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_BehaviourRisk"),
+    emptyToNull = Seq("NumberofchildrenWithPartner", "SexWithoutCondom",
+      "MonthsknownHIVSerodiscordant", "HIVPartnerARTStartDate",
+      "PartnerEnrolledtoCCC", "ReferralToOtherPrevServices",
+      "RiskReductionEducationOffered", "PrEPDeclineReason",
+      "ClientWillingToTakePrep", "ClientRisk", "IsPartnerHighrisk",
+      "IsHIVPositivePartnerCurrentonART", "SexPartnerHIVStatus"))
 
   /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,
     * 66-75`): `SELECT DISTINCT` plus TWO stacked GROUP-BY-MAX dedups on

@@ -301,6 +301,41 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(1L).getAs[String]("TypeGBV") == null)
   }
 
+  test("ctPatientPharmacy spec: one-sided clamps with pass-through, no PII") {
+    val source = Seq(
+      (1L, 100L, 1L, 10L, "-3", "0", "1850-01-01", "drug-old", "t", "p"),
+      (2L, 100L, 2L, 11L, "30", "14", "2024-06-01", "other", "t", "p"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "Duration",
+        "PeriodTaken", "ExpectedReturn", "Drug", "TreatmentType",
+        "ProphylaxisType")
+      .withColumn("Emr", lit("Ampath AMRS"))
+      .withColumn("Project", lit("DREAM"))
+    val lkp = Seq(("drug-old", "TDF/3TC/DTG")).toDF("source_name", "target_name")
+    val spec = ReferenceJobs.ctPatientPharmacy(lkp, lkp, lkp)
+    val out = Job.transform(source, spec)
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(out(1L).getAs[Double]("Duration") == 999d)
+    assert(out(2L).getAs[Double]("Duration") == 30d)   // pass-through (quirk NOT reproduced)
+    assert(out(1L).getAs[Double]("PeriodTaken") == 999d) // 0 is out of range (leq)
+    assert(out(2L).getAs[Double]("PeriodTaken") == 14d)
+    assert(out(1L).getAs[java.sql.Date]("ExpectedReturn").toString == "1900-01-01")
+    assert(out(2L).getAs[java.sql.Date]("ExpectedReturn").toString == "2024-06-01")
+    assert(out(1L).getAs[String]("Drug") == "TDF/3TC/DTG")
+    assert(spec.piiHash.isEmpty) // hashing commented out in the reference
+    assert(ReferenceJobs.referenceQuirks.contains("CT_PatientPharmacy"))
+  }
+
+  test("prepBehaviourRisk spec: thirteen empty-to-null columns, no PII") {
+    val spec = ReferenceJobs.prepBehaviourRisk()
+    assert(spec.emptyToNull.size == 13 && spec.piiHash.isEmpty)
+    val source = spec.emptyToNull
+      .foldLeft(Seq((1L, 100L, 1L, 10L))
+        .toDF("ID", "SiteCode", "PatientPk", "VisitID"))((d, c) =>
+        d.withColumn(c, lit("")))
+    val row = Job.transform(source, spec).collect().head
+    spec.emptyToNull.foreach(c => assert(row.getAs[String](c) == null, c))
+  }
+
   test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val source = Seq(
