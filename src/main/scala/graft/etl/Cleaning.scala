@@ -84,6 +84,12 @@ object Cleaning {
   def nullAboveNum(hi: Double)(c: Column): Column =
     when(c.gt(lit(hi)), lit(null)).otherwise(c)
 
+  /** E4″ — numeric range null-out: values outside [lo, hi] become
+    * NULL (Partner Notification Services nulls Age outside [0, 100] —
+    * `LoadPartnerNotificationServices.java:76-77`). */
+  def nullOutsideNum(lo: Double, hi: Double)(c: Column): Column =
+    when(c.lt(lit(lo)) || c.gt(lit(hi)), lit(null)).otherwise(c)
+
   /** E7/E8 — exact-value recode map (binary recodes, EMR/project
     * normalization). Unmatched values keep the original. */
   def recode(mapping: Map[String, String])(c: Column): Column =

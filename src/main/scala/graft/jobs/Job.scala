@@ -43,6 +43,11 @@ final case class JobSpec(
     numClamps: Map[String, (Double, Double)] = Map.empty,
     /** E4′ — per-column high bound above which the value nulls out. */
     numNullAbove: Map[String, Double] = Map.empty,
+    /** E4″ — per-column numeric range outside which the value NULLS. */
+    numNullOutside: Map[String, (Double, Double)] = Map.empty,
+    /** E15 — per-column literal sentinel value that means NULL
+      * ("N/A", "0001-01-01", ...). */
+    valueToNull: Map[String, String] = Map.empty,
     /** E6 — columns where "" means NULL. */
     emptyToNull: Seq[String] = Seq.empty,
     /** E7/E8 — exact recode maps per column. */
@@ -82,8 +87,14 @@ object Job {
     val nummed0 = spec.numClamps.foldLeft(dated) { case (d, (c, (lo, hi))) =>
       d.withColumn(c, Cleaning.clampNum(lo, hi)(col(c)))
     }
-    val nummed = spec.numNullAbove.foldLeft(nummed0) { case (d, (c, hi)) =>
+    val nummed1 = spec.numNullAbove.foldLeft(nummed0) { case (d, (c, hi)) =>
       d.withColumn(c, Cleaning.nullAboveNum(hi)(col(c)))
+    }
+    val nummed2 = spec.numNullOutside.foldLeft(nummed1) { case (d, (c, (lo, hi))) =>
+      d.withColumn(c, Cleaning.nullOutsideNum(lo, hi)(col(c)))
+    }
+    val nummed = spec.valueToNull.foldLeft(nummed2) { case (d, (c, v)) =>
+      d.withColumn(c, Cleaning.sentinelToNull(v)(col(c)))
     }
     val blanked = spec.emptyToNull.foldLeft(nummed)((d, c) =>
       d.withColumn(c, Cleaning.emptyToNull(col(c))))

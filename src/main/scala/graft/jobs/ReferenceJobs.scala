@@ -516,6 +516,51 @@ object ReferenceJobs {
       "ClientWillingToTakePrep", "ClientRisk", "IsPartnerHighrisk",
       "IsHIVPositivePartnerCurrentonART", "SexPartnerHIVStatus"))
 
+  /** PrEP Adverse Events shape (`Load PrEP Adverse Events/...
+    * /LoadPrepAdverseEvents.java:60-77`): eight empty-to-null columns
+    * and nothing else — unlike the CT adverse-events job, no
+    * vocabulary triage and (per the commented-out hash block) no PII
+    * hashing. */
+  def prepAdverseEvents(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_AdverseEvent"),
+    emptyToNull = Seq("AdverseEventRegimen", "AdverseEventIsPregnant",
+      "AdverseEventClinicalOutcome", "AdverseEventActionTaken", "Severity",
+      "AdverseEventEndDate", "AdverseEventStartDate", "AdverseEvent"))
+
+  /** HTS Partner Notification Services shape (`Load HTS Partner
+    * Notification Services/.../LoadPartnerNotificationServices.java:
+    * 60-77`): referral-approach harmonization (dual referral folds
+    * into provider referral), Y/N and 0 recodes, the "N/A" literal
+    * nulling ScreenedForIpv (E15 as config), and Age nulled OUTSIDE
+    * [0, 100] — a null-out, not a 999 sentinel. */
+  def htsPartnerNotificationServices(): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_PartnerNotificationServices"),
+    emptyToNull = Seq("FacilityLinkedTo", "CccNumber"),
+    numNullOutside = Map("Age" -> (0d, 100d)),
+    valueToNull = Map("ScreenedForIpv" -> "N/A"),
+    canonicalize = Map(
+      "PnsApproach" -> Seq(
+        (Seq("Pr: Provider Referral", "D: Dual Referral"), "Provider Referral"),
+        (Seq("Cr: Passive Referral"), "Passive Referral"))),
+    recodes = Map(
+      "LinkedToCare" -> Map("Y" -> "Yes", "N" -> "No"),
+      "PnsConsent" -> Map("0" -> "No")),
+    piiHash = piiColumns("HTS"))
+
+  /** CT Covid shape (`Load CT Covid/.../LoadCTCovid.java:59-73`):
+    * three standard date clamps and the vaccination-status
+    * harmonization. */
+  def ctCovid(today: LocalDate): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_Covid"),
+    dateClamps = Seq("Covid19AssessmentDate", "DateGivenFirstDose",
+      "DateGivenSecondDose").map(_ -> (DateLo, today)).toMap,
+    canonicalize = Map(
+      "VaccinationStatus" -> Seq(
+        (Seq("Fully - Details not Available"), "Fully Vaccinated"),
+        (Seq("Partial", "Partial - Details not Available"),
+          "Partially Vaccinated"))),
+    piiHash = piiColumns("CT"))
+
   /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,
     * 66-75`): `SELECT DISTINCT` plus TWO stacked GROUP-BY-MAX dedups on
     * (PatientPk, SiteCode) — one against (max Created, max ID), one

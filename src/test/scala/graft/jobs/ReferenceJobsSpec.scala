@@ -336,6 +336,52 @@ class ReferenceJobsSpec extends SparkSpec {
     spec.emptyToNull.foreach(c => assert(row.getAs[String](c) == null, c))
   }
 
+  test("htsPartnerNotificationServices spec: N/A literal, range null-out") {
+    val source = Seq(
+      (1L, 100L, 1L, 5L, "D: Dual Referral", "Y", "0", "N/A", 120, ""),
+      (2L, 100L, 2L, 6L, "walk-in", "maybe", "Yes", "Yes", 33, "ccc-1"))
+      .toDF("ID", "SiteCode", "PatientPk", "PartnerPatientPk", "PnsApproach",
+        "LinkedToCare", "PnsConsent", "ScreenedForIpv", "Age", "CccNumber")
+      .withColumn("FacilityLinkedTo", lit(""))
+      .withColumn("PatientPK", $"PatientPk")
+      .withColumn("HtsNumber", $"PatientPk" + 40)
+    val out = Job.transform(source,
+        ReferenceJobs.htsPartnerNotificationServices())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(out(1L).getAs[String]("PnsApproach") == "Provider Referral")
+    assert(out(2L).getAs[String]("PnsApproach") == "walk-in")
+    assert(out(1L).getAs[String]("LinkedToCare") == "Yes")
+    assert(out(2L).getAs[String]("LinkedToCare") == "maybe")
+    assert(out(1L).getAs[String]("PnsConsent") == "No")
+    assert(out(1L).getAs[String]("ScreenedForIpv") == null)   // N/A literal
+    assert(out(2L).getAs[String]("ScreenedForIpv") == "Yes")
+    assert(out(1L).getAs[Integer]("Age") == null)             // outside [0,100]
+    assert(out(2L).getAs[Integer]("Age") == 33)
+    assert(out(1L).getAs[String]("CccNumber") == null)
+  }
+
+  test("ctCovid and prepAdverseEvents specs run end-to-end") {
+    val today = LocalDate.of(2026, 1, 1)
+    val covid = Seq((1L, 100L, 1L, 10L, "2030-01-01", "Partial"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "Covid19AssessmentDate",
+        "VaccinationStatus")
+      .withColumn("DateGivenFirstDose", lit("2021-06-01"))
+      .withColumn("DateGivenSecondDose", lit("2021-09-01"))
+      .withColumn("PatientID", $"PatientPK")
+    val c = Job.transform(covid, ReferenceJobs.ctCovid(today)).collect().head
+    assert(c.getAs[java.sql.Date]("Covid19AssessmentDate").toString == "1900-01-01")
+    assert(c.getAs[java.sql.Date]("DateGivenFirstDose").toString == "2021-06-01")
+    assert(c.getAs[String]("VaccinationStatus") == "Partially Vaccinated")
+
+    val spec = ReferenceJobs.prepAdverseEvents()
+    assert(spec.emptyToNull.size == 8 && spec.piiHash.isEmpty)
+    val ae = spec.emptyToNull
+      .foldLeft(Seq((1L, 100L, 1L)).toDF("ID", "SiteCode", "PatientPk"))(
+        (d, col_) => d.withColumn(col_, lit("")))
+    val row = Job.transform(ae, spec).collect().head
+    spec.emptyToNull.foreach(col_ => assert(row.getAs[String](col_) == null, col_))
+  }
+
   test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val source = Seq(
