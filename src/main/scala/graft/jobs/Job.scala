@@ -2,7 +2,7 @@ package graft.jobs
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash, Sink}
@@ -58,6 +58,11 @@ final case class JobSpec(
     lookups: Seq[(String, DataFrame)] = Seq.empty,
     /** E9 — columns to hash into `<col>Hash`. */
     piiHash: Seq[String] = Seq.empty,
+    /** Escape hatch for one-off column repairs no combinator covers
+      * (CT Patient Labs relabels NEGATIVE numeric TestResults as the
+      * string "Viral Load" — `LoadPatientLabs.java:96-97`). Applied
+      * after the standard cleaning chain, before lookups. */
+    customCols: Map[String, Column] = Map.empty,
     /** P1 — explicit output column list (schema alignment). */
     projection: Seq[String] = Seq.empty,
     /** Key components anti-joined with plain `=` instead of `<=>`
@@ -104,7 +109,10 @@ object Job {
     val canoned = spec.canonicalize.foldLeft(recoded) { case (d, (c, m)) =>
       d.withColumn(c, Cleaning.canonicalize(m)(col(c)))
     }
-    spec.lookups.foldLeft(canoned) { case (d, (c, lkp)) =>
+    val customed = spec.customCols.foldLeft(canoned) { case (d, (c, expr)) =>
+      d.withColumn(c, expr)
+    }
+    spec.lookups.foldLeft(customed) { case (d, (c, lkp)) =>
       LookupRemap.remap(d, lkp, c)
     }
   }

@@ -3,6 +3,7 @@ package graft.jobs
 import java.time.LocalDate
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, when}
 
 /** The reference's job catalog as DATA.
   *
@@ -560,6 +561,75 @@ object ReferenceJobs {
         (Seq("Partial", "Partial - Details not Available"),
           "Partially Vaccinated"))),
     piiHash = piiColumns("CT"))
+
+  /** CT Patient Labs shape (`Load CT Patient Labs/...
+    * /LoadPatientLabs.java:86-101`): two 1900-floored date clamps, the
+    * EMR recode, the TestName lookup, and the one-off repair that
+    * relabels NEGATIVE numeric TestResults as the string "Viral Load"
+    * (a data-entry convention where a negative count encodes a VL
+    * test) — carried as a customCols escape hatch. Also the P6 quirk
+    * home: the source query ships `SELECT distinct top 10`, a
+    * leftover dev limiter that is load-bearing in production. */
+  def ctPatientLabs(today: LocalDate, testNameLkp: DataFrame): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_PatientLabs"),
+    dateClamps = Seq("ReportedbyDate", "OrderedbyDate")
+      .map(_ -> (Sentinel19th, today)).toMap,
+    recodes = Map(
+      "Emr" -> Map(
+        "Open Medical Records System - OpenMRS" -> "OpenMRS",
+        "Ampath AMRS" -> "AMRS")),
+    customCols = Map(
+      "TestResult" -> when(col("TestResult").cast("float").lt(lit(0)),
+        lit("Viral Load")).otherwise(col("TestResult"))),
+    lookups = Seq("TestName" -> testNameLkp),
+    piiHash = piiColumns("CT"))
+
+  /** CT Patient Status shape (`Load CT Patient Status/...
+    * /LoadPatientStatus.java:60-68`): ExitDate floored at 2004 (the
+    * program's own start — earlier exits are data errors), the AMRS
+    * recode, and a Project vocabulary that differs from ART Patients'
+    * by ONE literal ("DREAM Kenya Trusts" here vs "DREAM" there). */
+  def ctPatientStatus(today: LocalDate): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_PatientStatus"),
+    dateClamps = Map("ExitDate" -> (LocalDate.of(2004, 1, 1), today)),
+    recodes = Map("Emr" -> Map("Ampath AMRS" -> "AMRS")),
+    canonicalize = Map(
+      "Project" -> Seq(
+        (Seq("Ampathplus"), "Ampath Plus"),
+        (Seq("UCSF Clinical Kisumu", "CHAP Uzima", "DREAM Kenya Trusts",
+          "IRDO"), "Kenya HMIS II"))),
+    piiHash = piiColumns("CT"))
+
+  /** CT Patient Baselines shape (`Load CT Patient Baselines/...
+    * /LoadPatientBaselines.java:59-68`): one-sided negative bCD4
+    * clamp to 999 and two standard date clamps. */
+  def ctPatientBaselines(today: LocalDate): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_PatientBaselines"),
+    dateClamps = Seq("bWHODate", "bCD4Date").map(_ -> (DateLo, today)).toMap,
+    numClamps = Map("bCD4" -> (0d, Double.MaxValue)),
+    piiHash = piiColumns("CT"))
+
+  /** CT Allergies / Chronic Illness shape (`Load CT Allergies Chronic
+    * Illness/.../LoadCTAllergies.java:59-72,100-115`): a 1900-floored
+    * onset clamp, the pipe-concatenated severity vocabulary, and
+    * three lookups (chronic illness, causative agent, reaction). */
+  def ctAllergies(today: LocalDate, chronicIllnessLkp: DataFrame,
+      causativeAgentLkp: DataFrame, allergicReactionLkp: DataFrame): JobSpec =
+    JobSpec(
+      keys = antiJoinKeys("CT_AllergiesChronicIllness"),
+      dateClamps = Map("ChronicOnsetDate" -> (Sentinel19th, today)),
+      canonicalize = Map(
+        "AllergySeverity" -> Seq(
+          (Seq("Fatal"), "Fatal"),
+          (Seq("Mild|Mild|Mild", "Mild|Mild", "Mild"), "Mild"),
+          (Seq("Moderate|Moderate", "Moderate"), "Moderate"),
+          (Seq("Severe"), "Severe"),
+          (Seq("Unknown", "Moderate|Mild"), "Unknown"))),
+      lookups = Seq(
+        "ChronicIllness" -> chronicIllnessLkp,
+        "AllergyCausativeAgent" -> causativeAgentLkp,
+        "AllergicReaction" -> allergicReactionLkp),
+      piiHash = piiColumns("CT"))
 
   /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,
     * 66-75`): `SELECT DISTINCT` plus TWO stacked GROUP-BY-MAX dedups on

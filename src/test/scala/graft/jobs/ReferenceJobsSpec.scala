@@ -382,6 +382,58 @@ class ReferenceJobsSpec extends SparkSpec {
     spec.emptyToNull.foreach(col_ => assert(row.getAs[String](col_) == null, col_))
   }
 
+  test("ctPatientLabs / ctPatientStatus / ctPatientBaselines / ctAllergies specs") {
+    val today = LocalDate.of(2026, 1, 1)
+    val labs = Seq(
+      (1L, 100L, 1L, 10L, "-1", "tn-old", "1899-01-01"),
+      (2L, 100L, 2L, 11L, "350", "CD4", "2024-01-01"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "TestResult",
+        "TestName", "ReportedbyDate")
+      .withColumn("OrderedbyDate", lit("2024-01-01"))
+      .withColumn("Emr", lit("Ampath AMRS"))
+      .withColumn("PatientID", $"PatientPK")
+    val tnLkp = Seq(("tn-old", "Viral Load Test")).toDF("source_name", "target_name")
+    val l = Job.transform(labs, ReferenceJobs.ctPatientLabs(today, tnLkp))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(l(1L).getAs[String]("TestResult") == "Viral Load") // negative -> relabel
+    assert(l(2L).getAs[String]("TestResult") == "350")
+    assert(l(1L).getAs[java.sql.Date]("ReportedbyDate").toString == "1900-01-01")
+    assert(l(1L).getAs[String]("TestName") == "Viral Load Test")
+    assert(l(1L).getAs[String]("Emr") == "AMRS")
+
+    val status = Seq(
+      (1L, 100L, 1L, "2003-12-31", "DREAM Kenya Trusts"),
+      (2L, 100L, 2L, "2010-06-01", "DREAM")) // NOT in this job's vocab
+      .toDF("ID", "SiteCode", "PatientPK", "ExitDate", "Project")
+      .withColumn("Emr", lit("x")).withColumn("PatientID", $"PatientPK")
+    val s = Job.transform(status, ReferenceJobs.ctPatientStatus(today))
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(s(1L).getAs[java.sql.Date]("ExitDate").toString == "1900-01-01") // 2004 floor
+    assert(s(2L).getAs[java.sql.Date]("ExitDate").toString == "2010-06-01")
+    assert(s(1L).getAs[String]("Project") == "Kenya HMIS II")
+    assert(s(2L).getAs[String]("Project") == "DREAM") // per-job vocab drift preserved
+
+    val base = Seq((1L, 100L, 1L, "-5", "1979-01-01", "2024-01-01"))
+      .toDF("ID", "SiteCode", "PatientPK", "bCD4", "bWHODate", "bCD4Date")
+      .withColumn("PatientID", $"PatientPK")
+    val b = Job.transform(base, ReferenceJobs.ctPatientBaselines(today)).collect().head
+    assert(b.getAs[Double]("bCD4") == 999d)
+    assert(b.getAs[java.sql.Date]("bWHODate").toString == "1900-01-01")
+    assert(b.getAs[java.sql.Date]("bCD4Date").toString == "2024-01-01")
+
+    val allergies = Seq((1L, 100L, 1L, 10L, "Mild|Mild", "ci-old", "a", "b"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "AllergySeverity",
+        "ChronicIllness", "AllergyCausativeAgent", "AllergicReaction")
+      .withColumn("ChronicOnsetDate", lit("2024-01-01"))
+      .withColumn("PatientID", $"PatientPK")
+    val ciLkp = Seq(("ci-old", "Diabetes")).toDF("source_name", "target_name")
+    val a = Job.transform(allergies,
+      ReferenceJobs.ctAllergies(today, ciLkp, ciLkp, ciLkp)).collect().head
+    assert(a.getAs[String]("AllergySeverity") == "Mild")
+    assert(a.getAs[String]("ChronicIllness") == "Diabetes")
+    assert(a.getAs[String]("AllergyCausativeAgent") == "a") // miss keeps
+  }
+
   test("prepVisits spec: distinct + stacked dual GROUP-BY-MAX dedup") {
     def d(s: String) = java.sql.Date.valueOf(s)
     val source = Seq(
