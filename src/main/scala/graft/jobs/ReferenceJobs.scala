@@ -116,6 +116,79 @@ object ReferenceJobs {
     "PrEP" -> Seq("PatientPK", "PrepNumber"),
     "MNCH" -> Seq("PatientPK", "PatientMnchID"))
 
+  /** Per-job PII hash sets, transcribed verbatim from each job's
+    * `hashColumns` map (fed to `DatabaseUtils.hashPIIColumns`, the
+    * post-append side channel — re-expressed compute-before-write
+    * here). The deviations from the family defaults are the point:
+    * CT Patients and MNCH Patients add NUPI, HTS Clients hashes NUPI
+    * and NOT HtsNumber, HTS Client Tests and MNCH Labs hash only
+    * PatientPK, Contact Listing adds the contact's key, CWC Enrolments
+    * hashes the mother's identifiers, and Mother-Baby Pairs hashes all
+    * four patient keys. Jobs absent here (Facilities, Facility
+    * Manifest, MNCH Immunization, the Historical ART rebuild) hash
+    * nothing. */
+  val piiHashColumns: Map[String, Seq[String]] = Map(
+    "CT_Patient" -> Seq("PatientID", "PatientPK", "NUPI"),
+    "CT_ARTPatients" -> Seq("PatientID", "PatientPK"),
+    "CT_PatientVisits" -> Seq("PatientID", "PatientPK"),
+    "CT_PatientPharmacy" -> Seq("PatientID", "PatientPK"),
+    "CT_PatientLabs" -> Seq("PatientID", "PatientPK"),
+    "CT_PatientStatus" -> Seq("PatientID", "PatientPK"),
+    "CT_PatientBaselines" -> Seq("PatientID", "PatientPK"),
+    "CT_AdverseEvents" -> Seq("PatientID", "PatientPK"),
+    "CT_AllergiesChronicIllness" -> Seq("PatientID", "PatientPK"),
+    "CT_ContactListing" -> Seq("PatientID", "PatientPK", "ContactPatientPK"),
+    "CT_Covid" -> Seq("PatientID", "PatientPK"),
+    "CT_DefaulterTracing" -> Seq("PatientID", "PatientPK"),
+    "CT_DepressionScreening" -> Seq("PatientID", "PatientPK"),
+    "CT_DrugAlcoholScreening" -> Seq("PatientID", "PatientPK"),
+    "CT_EnhancedAdherenceCounselling" -> Seq("PatientID", "PatientPK"),
+    "CT_GbvScreening" -> Seq("PatientID", "PatientPK"),
+    "CT_Ipt" -> Seq("PatientID", "PatientPK"),
+    "CT_Otz" -> Seq("PatientID", "PatientPK"),
+    "CT_Ovc" -> Seq("PatientID", "PatientPK"),
+    "CT_CancerScreening" -> Seq("PatientID", "PatientPK"),
+    "CT_CervicalCancerScreening" -> Seq("PatientID", "PatientPK"),
+    "CT_IITRiskScores" -> Seq("PatientID", "PatientPK"),
+    "HTS_clients" -> Seq("NUPI", "PatientPK"),
+    "HTS_ClientTests" -> Seq("PatientPK"),
+    "HTS_ClientLinkages" -> Seq("HtsNumber", "PatientPK"),
+    "HTS_ClientTracing" -> Seq("HtsNumber", "PatientPK"),
+    "HTS_EligibilityExtract" -> Seq("HtsNumber", "PatientPK"),
+    "HTS_PartnerNotificationServices" -> Seq("HtsNumber", "PatientPK"),
+    "HTS_PartnerTracings" -> Seq("HtsNumber", "PatientPK"),
+    "HTS_TestKits" -> Seq("HtsNumber", "PatientPK"),
+    "PrEP_Patient" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_Visits" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_Pharmacy" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_Lab" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_BehaviourRisk" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_CareTermination" -> Seq("PrepNumber", "PatientPK"),
+    "PrEP_AdverseEvent" -> Seq("PrepNumber", "PatientPK"),
+    "MNCH_Patient" -> Seq("PatientMnchID", "NUPI", "PatientPK"),
+    "MNCH_Enrolments" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_AncVisits" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_MatVisits" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_PncVisits" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_CwcEnrolments" -> Seq("MothersPkv", "MothersCCCNo", "PatientPK"),
+    "MNCH_CwcVisits" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_Labs" -> Seq("PatientPK"),
+    "MNCH_Arts" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_HEIs" -> Seq("PatientMnchID", "PatientPK"),
+    "MNCH_MotherBabyPairs" -> Seq("MotherPatientMncHeiID", "PatientPK",
+      "MotherPatientPK", "BabyPatientPK"))
+
+  /** A runnable spec for EVERY cataloged target: anti-join identity +
+    * per-job PII hash set + the strict-key nuance. The named builders
+    * in this file override where a job carries bespoke cleaning; for
+    * the rest the reference's whole transform IS
+    * scan → anti-join → append → hash, so this generic spec is the
+    * complete job, not a placeholder. */
+  def genericSpec(target: String): JobSpec = JobSpec(
+    keys = antiJoinKeys(target),
+    piiHash = piiHashColumns.getOrElse(target, Seq.empty),
+    strictKeys = strictKeyComponents.getOrElse(target, Set.empty))
+
   private val DateLo = LocalDate.of(1980, 1, 1)
   private val Sentinel19th = LocalDate.of(1900, 1, 1)
   private val FarFuture = LocalDate.of(9999, 12, 31)

@@ -462,6 +462,34 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(12L).getAs[String]("Visit") == "v2")
   }
 
+  test("genericSpec resolves every cataloged target; hash sets match the jobs") {
+    ReferenceJobs.antiJoinKeys.keys.foreach { t =>
+      val spec = ReferenceJobs.genericSpec(t)
+      assert(spec.keys.nonEmpty, t)
+    }
+    // Every hash-set target is a cataloged target.
+    assert(ReferenceJobs.piiHashColumns.keySet
+      .subsetOf(ReferenceJobs.antiJoinKeys.keySet))
+    // The transcribed deviations from family defaults.
+    assert(ReferenceJobs.piiHashColumns("CT_Patient").contains("NUPI"))
+    assert(ReferenceJobs.piiHashColumns("HTS_clients") == Seq("NUPI", "PatientPK"))
+    assert(ReferenceJobs.piiHashColumns("HTS_ClientTests") == Seq("PatientPK"))
+    assert(ReferenceJobs.piiHashColumns("MNCH_MotherBabyPairs").size == 4)
+    assert(ReferenceJobs.piiHashColumns("MNCH_CwcEnrolments")
+      .contains("MothersCCCNo"))
+    // No-hash jobs stay empty; the strict-key nuance rides along.
+    assert(ReferenceJobs.genericSpec("ALL_EMRSites").piiHash.isEmpty)
+    assert(ReferenceJobs.genericSpec("MNCH_Immunization").strictKeys == Set("ID"))
+    // The generic spec runs end-to-end (transform is identity + hash).
+    val out = Job.run(
+      Seq((1L, 100L, "h1")).toDF("PatientPK", "SiteCode", "HtsNumber"),
+      Seq((2L, 100L, "h2")).toDF("PatientPK", "SiteCode", "HtsNumber"),
+      ReferenceJobs.genericSpec("HTS_TestKits"))
+    val row = out.collect().head
+    assert(row.getAs[String]("HtsNumberHash") != null &&
+      row.getAs[String]("PatientPKHash") != null)
+  }
+
   test("htsClients spec runs end-to-end on an HTS-shaped frame") {
     val source = Seq(
       (1L, 100L, 200L, "1985-01-01", "0", "M", "married", "2024-01-01"),
