@@ -704,6 +704,25 @@ object ReferenceJobs {
         "AllergicReaction" -> allergicReactionLkp),
       piiHash = piiColumns("CT"))
 
+  /** HTS Test Kits shape (`Load HTS Test Kits/.../LoadHtsTestKits.java:
+    * 48-55` + `CleanTestKits.sql`): the "N/A" literal nulling
+    * TestResult2, two empty-to-null kit names, and the U3 date repair
+    * done COMPUTE-BEFORE-WRITE instead of the reference's post-append
+    * T-SQL `UPDATE ... FROM` pass — `try_cast` first, `convert(...,
+    * 103)` (dd/MM/yyyy) fallback, exactly [[graft.etl.Cleaning
+    * .parseDualFormat]]. (The java-side regex variant of the same
+    * repair is commented out — E10, kept as a combinator.) */
+  def htsTestKits(): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_TestKits"),
+    emptyToNull = Seq("TestKitName2", "TestKitName1"),
+    valueToNull = Map("TestResult2" -> "N/A"),
+    customCols = Map(
+      "TestKitExpiry1" ->
+        graft.etl.Cleaning.parseDualFormat("dd/MM/yyyy")(col("TestKitExpiry1")),
+      "TestKitExpiry2" ->
+        graft.etl.Cleaning.parseDualFormat("dd/MM/yyyy")(col("TestKitExpiry2"))),
+    piiHash = piiHashColumns("HTS_TestKits"))
+
   /** PrEP Visits shape (`Load Prep Visits/.../LoadPrepVisits.sql:1,
     * 66-75`): `SELECT DISTINCT` plus TWO stacked GROUP-BY-MAX dedups on
     * (PatientPk, SiteCode) — one against (max Created, max ID), one

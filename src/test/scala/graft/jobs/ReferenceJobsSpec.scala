@@ -462,6 +462,29 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(12L).getAs[String]("Visit") == "v2")
   }
 
+  test("htsTestKits spec: dual-format expiry repair compute-before-write") {
+    val source = Seq(
+      (1L, 100L, 1L, "2021-05-13 00:00:00", "N/A", ""),
+      (2L, 100L, 2L, "13/05/2021", "Positive", "Kit B"),
+      (3L, 100L, 3L, "garbage", "Negative", "Kit C"))
+      .toDF("ID", "SiteCode", "PatientPk", "TestKitExpiry1", "TestResult2",
+        "TestKitName2")
+      .withColumn("TestKitName1", lit(""))
+      .withColumn("TestKitExpiry2", lit("13/05/2021"))
+      .withColumn("PatientPK", $"PatientPk")
+      .withColumn("HtsNumber", $"PatientPk" + 10)
+    val out = Job.transform(source, ReferenceJobs.htsTestKits())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(out(1L).getAs[java.sql.Timestamp]("TestKitExpiry1").toString
+      .startsWith("2021-05-13"))                       // ISO parse
+    assert(out(2L).getAs[java.sql.Timestamp]("TestKitExpiry1").toString
+      .startsWith("2021-05-13"))                       // dd/MM/yyyy fallback
+    assert(out(3L).getAs[java.sql.Timestamp]("TestKitExpiry1") == null) // garbage
+    assert(out(1L).getAs[String]("TestResult2") == null)   // N/A literal
+    assert(out(2L).getAs[String]("TestResult2") == "Positive")
+    assert(out(1L).getAs[String]("TestKitName2") == null)
+  }
+
   test("genericSpec resolves every cataloged target; hash sets match the jobs") {
     ReferenceJobs.antiJoinKeys.keys.foreach { t =>
       val spec = ReferenceJobs.genericSpec(t)
