@@ -264,6 +264,96 @@ object ReferenceJobs {
         (Seq(""), null))),
     piiHash = Seq("PatientPk", "PrepNumber"))
 
+  /** CT IPT shape (`Load CT IPT/.../LoadCTIPT.java`): TB-screening
+    * recode and the IndicationForIPT triage whose TRUNCATED literals
+    * ("Client Traced back a", "No more drug Interru", "Other patient
+    * decisi", "Client Discharged fr") are the upstream EMR's
+    * 20-char column limit leaking through — matched verbatim. */
+  def ctIpt(): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_Ipt"),
+    canonicalize = Map(
+      "TBScreening" -> Seq(
+        (Seq("1"), "Screened"),
+        (Seq("TB Screening not done", "0"), "Not Screened")),
+      "IndicationForIPT" -> Seq(
+        (Seq("Adherence Issues", "Poor adherence"), "Adherence Issues"),
+        (Seq("Client Traced back a"), "Client Traced back"),
+        (Seq("No more drug Interru", "Toxicity Resolved",
+          "Other patient decisi", "Pregnancy", "Patient declined", "Other",
+          "High CD4", "Education", "Client Discharged fr"), "OTHER"))),
+    piiHash = piiHashColumns("CT_Ipt"))
+
+  /** CT OTZ shape (`Load CT OTZ/.../LoadCTOTZ.java`): enrollment date
+    * floored at the OTZ program's own 2012 start, plus Yes/1 - No/0
+    * harmonizations. */
+  def ctOtz(today: LocalDate): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_Otz"),
+    dateClamps = Map("OTZEnrollmentDate" -> (LocalDate.of(2012, 1, 1), today)),
+    canonicalize = Map(
+      "TransferInStatus" -> Seq(
+        (Seq("Yes", "1"), "Yes"), (Seq("No", "0"), "No")),
+      "SupportGroupInvolvement" -> Seq(
+        (Seq("Yes", "1"), "Yes"), (Seq("No", "0"), "No"))),
+    piiHash = piiHashColumns("CT_Otz"))
+
+  /** CT Drug & Alcohol Screening shape: No -> Never, Yes -> OTHER for
+    * both screens (the target vocabulary is frequency-graded; a bare
+    * Yes maps to its catch-all). */
+  def ctDrugAlcoholScreening(): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_DrugAlcoholScreening"),
+    recodes = Map(
+      "DrinkingAlcohol" -> Map("No" -> "Never", "Yes" -> "OTHER"),
+      "Smoking" -> Map("No" -> "Never", "Yes" -> "OTHER")),
+    piiHash = piiHashColumns("CT_DrugAlcoholScreening"))
+
+  /** CT Enhanced Adherence Counselling shape: two 1900-floored
+    * session-date clamps. */
+  def ctEnhancedAdherenceCounselling(today: LocalDate): JobSpec = JobSpec(
+    keys = antiJoinKeys("CT_EnhancedAdherenceCounselling"),
+    dateClamps = Seq("DateOfFirstSession", "EACFollowupDate")
+      .map(_ -> (Sentinel19th, today)).toMap,
+    piiHash = piiHashColumns("CT_EnhancedAdherenceCounselling"))
+
+  /** PrEP Care Termination / PrEP Lab shapes: empty-to-null pairs. */
+  def prepCareTermination(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_CareTermination"),
+    emptyToNull = Seq("DateOfLastPrepDose", "ExitReason"),
+    piiHash = piiHashColumns("PrEP_CareTermination"))
+
+  def prepLab(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_Lab"),
+    emptyToNull = Seq("Reason", "SampleDate"),
+    piiHash = piiHashColumns("PrEP_Lab"))
+
+  /** PrEP Pharmacy shape: Duration > 12 months nulls out;
+    * DispenseDate nulls when empty OR before 1980 (the empty string
+    * is subsumed by the date cast — "" casts to NULL). */
+  def prepPharmacy(): JobSpec = JobSpec(
+    keys = antiJoinKeys("PrEP_Pharmacy"),
+    numNullAbove = Map("Duration" -> 12d),
+    dateNullOutside = Map("DispenseDate" -> (DateLo, FarFuture)),
+    emptyToNull = Seq("RegimenPrescribed"),
+    piiHash = piiHashColumns("PrEP_Pharmacy"))
+
+  /** HTS Client Linkages shape: three referral/enrolment dates null
+    * below the 1980 floor (no ceiling, no sentinel). The A2
+    * group-collapse (`CAST(MAX(ReferralDate) AS DATE)` grouped on all
+    * other columns) lives in the source SQL — `group_collapse` in the
+    * oracle suite. */
+  def htsClientLinkages(): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_ClientLinkages"),
+    dateNullOutside = Seq("ReferralDate", "DateEnrolled",
+      "DatePrefferedToBeEnrolled").map(_ -> (DateLo, FarFuture)).toMap,
+    piiHash = piiHashColumns("HTS_ClientLinkages"))
+
+  /** HTS Partner Tracing shape: the literal strings "null"/"NULL"
+    * (EMR serialization artifacts) become real NULLs. */
+  def htsPartnerTracing(): JobSpec = JobSpec(
+    keys = antiJoinKeys("HTS_PartnerTracings"),
+    canonicalize = Map(
+      "TraceOutcome" -> Seq((Seq("null", "NULL"), null))),
+    piiHash = piiHashColumns("HTS_PartnerTracings"))
+
   /** Facilities full-refresh shape (`Load CT Facilities Spark/...`):
     * no cleaning, no PII, single natural key — rebuilt wholesale via
     * [[graft.etl.Sink.fullRefresh]] rather than appended. */

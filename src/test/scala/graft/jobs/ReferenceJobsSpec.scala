@@ -485,6 +485,60 @@ class ReferenceJobsSpec extends SparkSpec {
     assert(out(1L).getAs[String]("TestKitName2") == null)
   }
 
+  test("small-family specs: IPT truncated literals, OTZ 2012 floor, misc") {
+    val today = LocalDate.of(2026, 1, 1)
+    val ipt = Seq((1L, 100L, 1L, 10L, "1", "No more drug Interru"),
+        (2L, 100L, 2L, 11L, "maybe", "Routine"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "TBScreening",
+        "IndicationForIPT")
+      .withColumn("PatientID", $"PatientPK")
+    val i = Job.transform(ipt, ReferenceJobs.ctIpt())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(i(1L).getAs[String]("TBScreening") == "Screened")
+    assert(i(1L).getAs[String]("IndicationForIPT") == "OTHER") // truncated literal
+    assert(i(2L).getAs[String]("TBScreening") == "maybe")
+    assert(i(2L).getAs[String]("IndicationForIPT") == "Routine")
+
+    val otz = Seq((1L, 100L, 1L, 10L, "2011-12-31", "1"))
+      .toDF("ID", "SiteCode", "PatientPK", "VisitID", "OTZEnrollmentDate",
+        "TransferInStatus")
+      .withColumn("SupportGroupInvolvement", lit("0"))
+      .withColumn("PatientID", $"PatientPK")
+    val o = Job.transform(otz, ReferenceJobs.ctOtz(today)).collect().head
+    assert(o.getAs[java.sql.Date]("OTZEnrollmentDate").toString == "1900-01-01")
+    assert(o.getAs[String]("TransferInStatus") == "Yes")
+    assert(o.getAs[String]("SupportGroupInvolvement") == "No")
+
+    val ph = Seq((1L, 100L, 1L, 10L, 13, "1979-06-01", ""),
+        (2L, 100L, 2L, 11L, 3, "2024-06-01", "TDF"))
+      .toDF("ID", "SiteCode", "PatientPk", "VisitID", "Duration",
+        "DispenseDate", "RegimenPrescribed")
+      .withColumn("PrepNumber", $"PatientPk")
+      .withColumn("PatientPK", $"PatientPk")
+    val p = Job.transform(ph, ReferenceJobs.prepPharmacy())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(p(1L).getAs[Integer]("Duration") == null)       // > 12
+    assert(p(2L).getAs[Integer]("Duration") == 3)
+    assert(p(1L).getAs[java.sql.Date]("DispenseDate") == null) // < 1980
+    assert(p(2L).getAs[java.sql.Date]("DispenseDate").toString == "2024-06-01")
+    assert(p(1L).getAs[String]("RegimenPrescribed") == null)
+
+    val tr = Seq((1L, 100L, 1L, "h1", "NULL"), (2L, 100L, 2L, "h2", "Contacted"))
+      .toDF("ID", "SiteCode", "PatientPk", "HtsNumber", "TraceOutcome")
+      .withColumn("PatientPK", $"PatientPk")
+    val t = Job.transform(tr, ReferenceJobs.htsPartnerTracing())
+      .collect().map(r => r.getAs[Long]("ID") -> r).toMap
+    assert(t(1L).getAs[String]("TraceOutcome") == null)
+    assert(t(2L).getAs[String]("TraceOutcome") == "Contacted")
+
+    // Empty-to-null pairs + date-floor trio resolve and run.
+    assert(ReferenceJobs.prepCareTermination().emptyToNull.size == 2)
+    assert(ReferenceJobs.prepLab().emptyToNull.size == 2)
+    assert(ReferenceJobs.htsClientLinkages().dateNullOutside.size == 3)
+    assert(ReferenceJobs.ctDrugAlcoholScreening().recodes("Smoking")("Yes") == "OTHER")
+    assert(ReferenceJobs.ctEnhancedAdherenceCounselling(today).dateClamps.size == 2)
+  }
+
   test("genericSpec resolves every cataloged target; hash sets match the jobs") {
     ReferenceJobs.antiJoinKeys.keys.foreach { t =>
       val spec = ReferenceJobs.genericSpec(t)
