@@ -30,6 +30,37 @@ class CleaningSpec extends SparkSpec {
       d == sentinel || (!d.isBefore(lo) && !d.isAfter(today))))
   }
 
+  test("clampDate and clampNum are idempotent (sentinel is a fixed point)") {
+    // The sentinel either lies in-range or re-clamps to itself, so a
+    // double application can never move a value a single one didn't —
+    // the property that makes re-running a load cycle over already
+    // cleaned rows safe.
+    val ds = Seq.fill(300)(
+      LocalDate.ofEpochDay(rnd.between(-40000L, 40000L)).toString)
+    val once = Cleaning.clampDate(lo, today, sentinel)(col("d").cast("date"))
+    val twice = Cleaning.clampDate(lo, today, sentinel)(once)
+    assert(ds.toDF("d").select(once.as("a"), twice.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0)
+
+    val ns = Seq.fill(300)((rnd.nextDouble() - 0.5) * 400).map(_.toString)
+    val n1 = Cleaning.clampNum(0, 120)(col("n"))
+    val n2 = Cleaning.clampNum(0, 120)(n1)
+    assert(ns.toDF("n").select(n1.as("a"), n2.as("b"))
+      .filter(!(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("emptyToNull and sentinelToNull are idempotent") {
+    val vs = Seq("", "x", null, "N/A", " ")
+    val e1 = Cleaning.emptyToNull(col("v"))
+    val e2 = Cleaning.emptyToNull(e1)
+    val s1 = Cleaning.sentinelToNull("N/A")(col("v"))
+    val s2 = Cleaning.sentinelToNull("N/A")(s1)
+    val bad = vs.toDF("v")
+      .select(e1.as("a"), e2.as("b"), s1.as("c"), s2.as("d"))
+      .filter(!(col("a") <=> col("b")) || !(col("c") <=> col("d")))
+    assert(bad.count() == 0)
+  }
+
   test("clampDate boundaries are inclusive; outside goes to sentinel") {
     val rows = Seq("1980-01-01", "2026-08-12", "1979-12-31", "2026-08-13",
       "1900-01-01", null)

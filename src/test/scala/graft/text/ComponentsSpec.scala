@@ -36,4 +36,25 @@ class ComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(1L))
     assert(m.size == 12)
   }
+
+  test("random graph matches a driver-side union-find oracle") {
+    val rnd = new scala.util.Random(1234)
+    val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // Independent formulation: classic union-find with path compression.
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = vertices.map(v => v -> find(v)).toMap
+    // find() roots at the min id of each set because unions always
+    // attach the larger root under the smaller.
+    assert(cc(pairs: _*) == expected)
+  }
 }
