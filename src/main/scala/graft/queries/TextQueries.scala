@@ -174,6 +174,28 @@ object TextQueries {
         EtlQueries.cents(expr("percentile(n_chars, 0.9)")).as("p90_chars_c"),
         sum(size(TF.tokens(col("text"))).cast("long")).as("total_tokens"))
 
+  /** Deterministic stratified sampling — the reproducible train/eval
+    * split every training-data pipeline needs: the gate is a pure
+    * function of the ROW KEY (portable md5-derived hash mod 1000
+    * against a per-language permille rate), so the same doc lands on
+    * the same side of the split on every run, on any cluster, at any
+    * parallelism — unlike `df.sample`, whose output depends on
+    * partitioning and seed plumbing. Per-language rates implement
+    * stratification (downsample the dominant language, keep the
+    * tail); unlisted languages fall to the default rate. Embarrassingly
+    * parallel: a filter, no shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rates = Map("en" -> 250, "de" -> 500)  // permille, others 750
+    val gate = pmod(TF.portableHash(col("doc_id").cast("string"), "split"),
+      lit(1000L))
+    val rate = rates.foldLeft(lit(750): org.apache.spark.sql.Column) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter(gate < rate)
+      .select(col("doc_id"), col("lang"), gate.as("gate"))
+  }
+
   /** Multimodal plumbing: text treated as an opaque binary payload with
     * typed metadata — byte length, content hash, head bytes. (The real
     * image/audio decode would run over exactly this shape; here the
@@ -196,7 +218,8 @@ object TextQueries {
     "simhash_dedup"      -> (simhashDedup _),
     "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _),
-    "dedup_components"   -> (dedupComponents _)
+    "dedup_components"   -> (dedupComponents _),
+    "stratified_sample"  -> (stratifiedSample _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -355,6 +378,13 @@ object TextQueries {
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
     "dedup_components" -> componentsOracle,
+    "stratified_sample" ->
+      s"""SELECT doc_id, lang,
+        |       ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "split")} % 1000 AS gate
+        |FROM documents
+        |WHERE ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "split")} % 1000 <
+        |      CASE WHEN lang = 'de' THEN 500
+        |           WHEN lang = 'en' THEN 250 ELSE 750 END""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH sh AS (
         |  SELECT doc_id, lang,
