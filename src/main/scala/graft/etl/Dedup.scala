@@ -44,7 +44,10 @@ object Dedup {
   }
 
   /** Window-based formulation of [[latestPerKey]] (kept as the
-    * executable reference spec; identical results for total orders). */
+    * executable reference spec; identical results for total orders).
+    * Under [[graft.plans.RankOneToAggregate]] this compiles to the
+    * same max_by aggregate as [[latestPerKey]] — the window form is
+    * what users write, the aggregate is what executes. */
   def latestPerKeyWindow(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order.map(c => col(c).desc_nulls_last): _*)

@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Skew-safe rewrite of the row_number()=1 latest-per-key idiom into
+    // a max_by/min_by partial aggregate (graft.plans.RankOneToAggregate).
+    ext.injectOptimizerRule(_ => graft.plans.RankOneToAggregate)
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),

@@ -120,11 +120,30 @@ object EtlQueries {
     * WINDOW. Window functions cannot split a partition, so the hot
     * key's ~594k rows (sf0.1) sort in ONE task while 31 cores idle —
     * serialization that grows linearly with the hot key no matter the
-    * cluster size. The bench pairs this against [[skewLatestMaxby]]
-    * (same result, partial-aggregation plan) — the measured gap IS
-    * the skew penalty. */
+    * cluster size. As of round 4 the engine's
+    * [[graft.plans.RankOneToAggregate]] optimizer rule rewrites this
+    * exact pattern into the max_by aggregate automatically, so this
+    * query now BENCHES like [[skewLatestMaxby]] — that convergence is
+    * the rule working. [[skewLatestRank]] keeps the un-rewritten
+    * window plan measurable. */
   def skewLatestWindow(spark: SparkSession, dir: String): DataFrame =
     Dedup.latestPerKeyWindow(skewed(spark, dir), Seq("hot_key"), Seq("v"))
+
+  /** The rewrite-immune strawman: the same row_number()=1 window but
+    * ordered `desc_nulls_first` — on a non-null key that is
+    * semantically identical to the default `desc_nulls_last`, yet
+    * outside [[graft.plans.RankOneToAggregate]]'s null-ordering guard,
+    * so the plan keeps the serial window sort. (rank() was tried first
+    * and is NOT equivalent: the testdata seeds duplicate lineitem rows,
+    * and tied rank-1 rows all survive.) This is what every
+    * `skew_latest_*` query would cost without the rule; the bench gap
+    * between this and [[skewLatestWindow]] IS the rule's measured win. */
+  def skewLatestNoopt(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hot_key")).orderBy(col("v").desc_nulls_first)
+    skewed(spark, dir).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** The mitigation: `max_by` partial aggregation — every map task
     * pre-collapses its slice of the hot key to ONE candidate row, so
@@ -169,7 +188,8 @@ object EtlQueries {
     "skew_collect_unsalted" -> (skewCollectUnsalted _),
     "skew_collect_salted"   -> (skewCollectSalted _),
     "skew_latest_window"    -> (skewLatestWindow _),
-    "skew_latest_maxby"     -> (skewLatestMaxby _)
+    "skew_latest_maxby"     -> (skewLatestMaxby _),
+    "skew_latest_noopt"     -> (skewLatestNoopt _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +263,10 @@ object EtlQueries {
         |       max(l_orderkey * 10 + l_linenumber) AS v
         |FROM lineitem GROUP BY 1""".stripMargin,
     "skew_latest_maxby" ->
+      """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |       max(l_orderkey * 10 + l_linenumber) AS v
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "skew_latest_noopt" ->
       """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
         |       max(l_orderkey * 10 + l_linenumber) AS v
         |FROM lineitem GROUP BY 1""".stripMargin,
