@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash}
-import graft.queries.{CleaningQueries, CohortQueries, EtlQueries, SimQueries, TextQueries}
+import graft.queries.{CleaningQueries, CohortQueries, EtlQueries, PipelineQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -61,9 +61,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries ++
-      TextQueries.queries ++ SimQueries.queries
+      TextQueries.queries ++ SimQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles ++
-      TextQueries.oracles ++ SimQueries.oracles
+      TextQueries.oracles ++ SimQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{TextFunctions => TF}
+
+/** Training-data curation operators beyond dedup/similarity: the
+  * filters and layout steps an LLM data pipeline runs between "raw
+  * corpus" and "tokenized shards". All oracle-checked (BIGINT/VARCHAR
+  * outputs only, scaled-integer fractions per the EtlQueries
+  * canonicalization rule).
+  *
+  *  - [[repetitionStats]] — Gopher-style within-document repetition
+  *    filters (duplicate-2-gram fraction, top-2-gram fraction);
+  *  - [[decontaminate]] — benchmark decontamination: flag training
+  *    docs sharing an n-gram with a (small) held-out eval set;
+  *  - [[packSequences]] — deterministic greedy sequence packing:
+  *    assign each document its token offset and context-window bin
+  *    within a hash-sharded, doc_id-ordered stream.
+  */
+object PipelineQueries {
+
+  private val PackLen = 2048L
+  private val PackShards = 8
+  private val ContamN = 5
+
+  /** Within-document repetition metrics (the Gopher/C4 repetition
+    * filters): for each doc, the fraction of 2-gram INSTANCES whose
+    * 2-gram occurs more than once (`frac_dup_2gram`), and the fraction
+    * claimed by the single most frequent 2-gram (`frac_top_2gram`);
+    * docs breaching either threshold get verdict 'drop'.
+    *
+    * Shape at scale: explode + two hash aggregations (both combine
+    * map-side) — never a per-row interpreted array fold. Documents too
+    * short to have a 2-gram keep zero fractions and verdict 'keep'
+    * via the left join back to the corpus. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val grams = docs.select(col("doc_id"),
+        explode(TF.wordNgrams(TF.tokens(col("text")), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_distinct"),
+      max(col("cnt")).as("top"))
+    val dup = col("total") - col("n_distinct")
+    val fracDup = floor(dup.cast("double") / col("total").cast("double") * 1e6 + 0.5d)
+    val fracTop = floor(col("top").cast("double") / col("total").cast("double") * 1e6 + 0.5d)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total"), lit(0L)).as("n_2grams"),
+        coalesce(fracDup, lit(0L)).as("frac_dup_2gram_c"),
+        coalesce(fracTop, lit(0L)).as("frac_top_2gram_c"))
+      // Gopher-flavored thresholds on the scaled-integer fractions
+      // (exactly reproducible in the oracle — no double comparison).
+      .withColumn("verdict",
+        when(col("frac_dup_2gram_c") > 200000L ||
+             col("frac_top_2gram_c") > 180000L, lit("drop"))
+          .otherwise(lit("keep")))
+  }
+
+  /** Benchmark decontamination: the eval set is the deterministic
+    * `doc_id % 97 = 0` corpus slice (standing in for a benchmark
+    * suite); a training doc is contaminated iff it shares at least one
+    * word [[ContamN]]-gram with ANY eval doc. Output covers every
+    * training doc with its distinct-shared-gram count.
+    *
+    * Shape at scale: the eval side of the join is tiny by construction
+    * (benchmarks are MBs, the corpus is TBs), so the gram join is a
+    * BROADCAST semi-ish join — the training side never shuffles. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val grams = docs.select(col("doc_id"),
+      explode(array_distinct(TF.wordNgrams(TF.tokens(col("text")), ContamN)))
+        .as("g"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val hits = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit_grams"),
+        when(col("n_hit").isNotNull, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
+  /** Deterministic greedy sequence packing: documents are hash-sharded
+    * ([[TF.portableHash]] mod [[PackShards]] — reproducible on any
+    * cluster at any parallelism), ordered by doc_id within a shard,
+    * and concatenated into [[PackLen]]-token context windows; each doc
+    * records its exclusive-cumsum token offset and the bin its first
+    * token lands in.
+    *
+    * Shape at scale: ONE window per (lang, shard) partition — the
+    * parallelism is #langs x #shards (shard count scales with the
+    * cluster, 8 here for a 32-core box), and each window is a linear
+    * running sum, not a sort-heavy rank. This is the layout step that
+    * turns a curated corpus into trainer-ready shards. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        pmod(TF.portableHash(col("doc_id").cast("string"), "shard"),
+          lit(PackShards.toLong)).as("shard"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_bin", floor(col("start_off") / PackLen))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "repetition_stats" -> (repetitionStats _),
+    "decontaminate"    -> (decontaminate _),
+    "pack_sequences"   -> (packSequences _)
+  )
+
+  private val toksSql = "string_split_regex(text, '\\s+')"
+
+  private def ngramsSql(t: String, n: Int) =
+    s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
+
+  val oracles: Map[String, String] = Map(
+    "repetition_stats" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(${ngramsSql(toksSql, 2)}) AS g FROM documents
+        |), c AS (
+        |  SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2
+        |), a AS (
+        |  SELECT doc_id, sum(cnt) AS total, count(*) AS n_distinct,
+        |         max(cnt) AS top
+        |  FROM c GROUP BY 1
+        |), s AS (
+        |  SELECT d.doc_id,
+        |    CAST(coalesce(total, 0) AS BIGINT) AS n_2grams,
+        |    CAST(coalesce(floor(CAST(total - n_distinct AS DOUBLE)
+        |      / CAST(total AS DOUBLE) * 1e6 + 0.5), 0) AS BIGINT) AS frac_dup_2gram_c,
+        |    CAST(coalesce(floor(CAST(top AS DOUBLE)
+        |      / CAST(total AS DOUBLE) * 1e6 + 0.5), 0) AS BIGINT) AS frac_top_2gram_c
+        |  FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |)
+        |SELECT *,
+        |  CASE WHEN frac_dup_2gram_c > 200000 OR frac_top_2gram_c > 180000
+        |       THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM s""".stripMargin,
+    "decontaminate" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(${ngramsSql(toksSql, ContamN)})) AS g
+        |  FROM documents
+        |), ev AS (
+        |  SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0
+        |), hits AS (
+        |  SELECT g.doc_id, count(*) AS n_hit
+        |  FROM g JOIN ev ON g.g = ev.g
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit_grams,
+        |       CAST(CASE WHEN n_hit IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |         ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "shard")}
+        |           % $PackShards AS shard,
+        |         CAST(len($toksSql) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), o AS (
+        |  SELECT *,
+        |    CAST(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM base
+        |)
+        |SELECT doc_id, lang, shard, n_tokens, start_off,
+        |       CAST(floor(CAST(start_off AS DOUBLE) / $PackLen) AS BIGINT)
+        |         AS seq_bin
+        |FROM o""".stripMargin
+  )
+}
