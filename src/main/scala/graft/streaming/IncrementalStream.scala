@@ -39,6 +39,23 @@ object IncrementalStream {
         col("window.end").as("w_end"),
         category, col("n"))
 
+  /** Stream-static enrichment: the streaming analog of
+    * [[graft.etl.LookupRemap.remap]] — each micro-batch left-joins the
+    * (small, broadcast) static lookup dim and overwrites `column` with
+    * the remapped value on hit, keeping the original on miss. The
+    * static side is re-resolved per micro-batch by Structured
+    * Streaming, so a reloaded lookup table is picked up without
+    * restarting the query; the join never shuffles the stream side
+    * (broadcast hash join — the only join shape that holds at
+    * 100 TB/day stream volume). */
+  def remapStream(stream: DataFrame, lookup: DataFrame,
+      column: String): DataFrame =
+    stream
+      .join(broadcast(lookup), stream(column) === lookup("source_name"), "left")
+      .withColumn(column,
+        coalesce(col("target_name"), stream(column)))
+      .drop("source_name", "target_name")
+
   /** A keyed record for the custom-state operator: `seq` orders
     * records within a key (extraction id / event time as long), `value`
     * is the payload. */

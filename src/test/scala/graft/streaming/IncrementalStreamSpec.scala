@@ -80,6 +80,24 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 20L, "b"), (2L, 5L, "x"), (2L, 6L, "y")))
   }
 
+  test("remapStream enriches each micro-batch from the static lookup") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val lookup = Seq(("KEN", "CANON_KENYA"), ("UGA", "CANON_UGANDA"))
+      .toDF("source_name", "target_name")
+    val out = IncrementalStream.remapStream(
+      ms.toDF().toDF("id", "country"), lookup, "country")
+    val q = out.writeStream.format("memory").queryName("remap_out")
+      .outputMode("append").start()
+    ms.addData((1L, "KEN"), (2L, "TZA"), (3L, "UGA"))
+    q.processAllAvailable()
+    val rows = spark.table("remap_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "CANON_KENYA"), (2L, "TZA"), (3L, "CANON_UGANDA")))
+  }
+
   test("Resources.loadText reads classpath SQL (S8)") {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
