@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Skew-safe rewrite of the row_number()=1 latest-per-key idiom into
     // a max_by/min_by partial aggregate (graft.plans.RankOneToAggregate).
     ext.injectOptimizerRule(_ => graft.plans.RankOneToAggregate)
+    // AS-OF join: custom logical node + physical sort-merge operator
+    // (graft.plans.AsOfJoin / AsOfJoinExec).
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),

@@ -1,0 +1,194 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN — the temporal operator the reference's cohort engine
+  * fundamentally runs (its cursor-loop T-SQL computes "latest fact as
+  * of each month end", `Load Historical ART Outcome Base Table/src/
+  * main/resources/LoadHistoricalARTOutcomes.sql:81-157`) and Spark has
+  * no native operator for: each left row matches the single right row
+  * with the greatest `rightTime <= leftTime` within the same key, LEFT
+  * OUTER (unmatched left rows keep null right columns). DuckDB's
+  * native `ASOF LEFT JOIN` has identical semantics, which makes the
+  * operator oracle-checkable against a truly independent
+  * implementation.
+  *
+  * This is the full custom-operator stack, per the extension
+  * preference order (compose > expression > whole-plan node): the
+  * semantics CANNOT be composed from built-ins without either a
+  * fan-out inequality join (every left row duplicated per candidate —
+  * O(|L| x |candidates|) shuffle, then a row_number to pick one) or a
+  * union + forward-fill trick (one giant window over |L|+|R| with
+  * payload structs). Both materialize strictly more rows than the
+  * answer; the dedicated operator streams each co-partition ONCE.
+  *
+  *  - [[AsOfJoin]]: logical node (analyzer-transparent, resolved on
+  *    construction from analyzed children);
+  *  - [[AsOfJoinStrategy]]: planner strategy, injected via
+  *    `SparkSessionExtensions.injectPlannerStrategy`;
+  *  - [[AsOfJoinExec]]: physical sort-merge as-of join. Declares
+  *    `ClusteredDistribution` on both key sets and per-key ascending
+  *    time ordering, so EnsureRequirements inserts the co-partitioning
+  *    exchanges and sorts exactly as it does for a SortMergeJoin —
+  *    AQE, whole-stage-codegen boundaries and reuse all compose
+  *    normally. The merge itself is a single forward pass per
+  *    partition: O(|L| + |R|) time, O(1) state (one buffered match
+  *    row), no fan-out — the shape that holds when both sides are
+  *    100 TB fact tables.
+  *
+  * Null semantics (mirrors SQL inequality comparison): null keys on
+  * either side never match; a null left time matches nothing; null
+  * right times are skipped. Ties on (key, rightTime) keep the last row
+  * in sort order — make the right side unique per (key, time) for a
+  * deterministic result (as with any join).
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // The SortMergeJoin contract: clustered on the keys (EnsureRequirements
+  // co-partitions the two sides), sorted by (keys..., time) within
+  // partitions (it inserts the SortExecs).
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.length
+    val allOut = output
+    val leftOut = left.output
+    val rightOut = right.output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyGen = UnsafeProjection.create(leftKeys, leftOut)
+      val rKeyGen = UnsafeProjection.create(rightKeys, rightOut)
+      val lTimeGen = UnsafeProjection.create(Seq(leftTime), leftOut)
+      val rTimeGen = UnsafeProjection.create(Seq(rightTime), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val rBuf = rIter.buffered
+
+      var matchRow: InternalRow = null
+      var matchKey: InternalRow = null
+
+      lIter.map { l =>
+        val lKey = lKeyGen(l)
+        if (lKey.anyNull) {
+          resultProj(joined(l, nullRight))
+        } else {
+          val lTime = lTimeGen(l)
+          if (lTime.isNullAt(0)) {
+            resultProj(joined(l, nullRight))
+          } else {
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val r = rBuf.head
+              val rKey = rKeyGen(r)
+              if (rKey.anyNull) { rBuf.next() }               // unkeyed: skip
+              else {
+                val c = keyOrd.compare(rKey, lKey)
+                if (c < 0) { rBuf.next() }                    // behind: discard
+                else if (c > 0) { done = true }               // ahead: stop
+                else {
+                  val rTime = rTimeGen(r)
+                  if (rTime.isNullAt(0)) { rBuf.next() }      // null time: skip
+                  else if (timeOrd.compare(rTime, lTime) <= 0) {
+                    matchRow = r.copy()                       // best so far
+                    matchKey = rKey.copy()
+                    rBuf.next()
+                  } else { done = true }                      // future: stop
+                }
+              }
+            }
+            val hit = matchRow != null && keyOrd.compare(matchKey, lKey) == 0
+            resultProj(joined(l, if (hit) matchRow else nullRight))
+          }
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame facade: `AsOf.join(events, snapshots, Seq("id"),
+  * Seq("id"), "event_ts", "snapshot_ts")`. Key lists must align in
+  * arity and type; the time columns must share a type. For
+  * self-joins, alias one side first (standard duplicate-attribute
+  * hygiene). */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "as-of join needs aligned, non-empty key lists")
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val lk = leftKeys.map(attr(lPlan, _))
+    val rk = rightKeys.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name}:${a.dataType} vs ${b.name}:${b.dataType}") }
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
+    org.apache.spark.sql.graft.Bridge.ofRows(left.sparkSession,
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+  }
+}

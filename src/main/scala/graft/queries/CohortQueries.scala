@@ -111,13 +111,79 @@ object CohortQueries {
         iso(col("next_expected")).as("next_expected"), col("outcome"))
   }
 
+  /** The as-of join inputs: events (left, each needing its latest
+    * preceding order) and orders deduped to one row per (customer,
+    * day) so the as-of match is deterministic. */
+  private def asofSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), eventDate.as("e_d"))
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_d"),
+        col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_d"))
+      .agg(max(col("o_orderkey")).as("o_key"))
+    (ev, ords)
+  }
+
+  private def asofProject(j: DataFrame): DataFrame =
+    j.select(col("event_id"), col("user_id"), iso(col("e_d")).as("event_day"),
+      col("o_key").as("matched_order"), iso(col("o_d")).as("order_day"))
+
+  /** The custom AS-OF JOIN operator ([[graft.plans.AsOfJoin]] — logical
+    * node + planner strategy + sort-merge physical exec): each event
+    * matches the latest order on or before its day, per customer, LEFT
+    * OUTER. Oracle = DuckDB's native `ASOF LEFT JOIN` — a fully
+    * independent implementation of the same operator. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, ords) = asofSides(spark, dir)
+    asofProject(graft.plans.AsOf.join(
+      ev, ords, Seq("user_id"), Seq("o_custkey"), "e_d", "o_d"))
+  }
+
+  /** Composition baseline for the same semantics: fan-out inequality
+    * join (every event duplicated per candidate order — the row blow-up
+    * the dedicated operator exists to avoid) + latest-pick. Same
+    * oracle as [[asofJoin]]; the bench gap is the operator's win. */
+  def asofJoinFanout(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, ords) = asofSides(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("o_d").desc_nulls_last, col("o_key").desc_nulls_last)
+    asofProject(
+      ev.join(ords, col("user_id") === col("o_custkey") &&
+          col("o_d") <= col("e_d"), "left")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "month_spine"          -> (monthSpine _),
     "full_outer_encounter" -> (fullOuterEncounter _),
-    "art_outcome"          -> (artOutcome _)
+    "art_outcome"          -> (artOutcome _),
+    "asof_join"            -> (asofJoin _),
+    "asof_join_fanout"     -> (asofJoinFanout _)
   )
 
+  private val asofOracle: String =
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, $eventDateSql AS e_d FROM events
+      |), o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_d,
+      |         max(o_orderkey) AS o_key
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT ev.event_id, ev.user_id,
+      |       strftime(ev.e_d, '%Y-%m-%d') AS event_day,
+      |       o.o_key AS matched_order,
+      |       strftime(o.o_d, '%Y-%m-%d') AS order_day
+      |FROM ev ASOF LEFT JOIN o
+      |  ON ev.user_id = o.o_custkey AND ev.e_d >= o.o_d""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // Same native-ASOF oracle for the operator and its composition
+    // baseline — both must agree with DuckDB's independent ASOF JOIN.
+    "asof_join" -> asofOracle,
+    "asof_join_fanout" -> asofOracle,
     "month_spine" ->
       """WITH mm AS (
         |  SELECT date_trunc('month', CAST(min(o_orderdate) AS DATE)) AS lo,
