@@ -54,7 +54,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    broadcastRight: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -66,8 +67,9 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, bc) =>
+      (if (bc) BroadcastAsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))
+       else AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r))) :: Nil
     case _ => Nil
   }
 }
@@ -161,15 +163,98 @@ case class AsOfJoinExec(
   }
 }
 
+/** Broadcast as-of join: for a small right side (a dimension's
+  * timestamped snapshots vs a 100 TB event stream), the winning plan
+  * shuffles NOTHING — the right side is collected, grouped by key,
+  * time-sorted, and broadcast; each left partition binary-searches its
+  * matches in place. Zero exchanges in the whole plan (the SMJ form
+  * pays two), embarrassingly parallel over the left. The caller
+  * asserts the right side fits the driver/executor heap, exactly as
+  * with `broadcast()` hints. */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val rightWidth = right.output.length
+    val allOut = output
+    val leftOut = left.output
+    val rightOut = right.output
+    val rightKeyExprs = rightKeys
+    val rightTimeExpr = rightTime
+
+    // Driver-side build: key -> right rows sorted ascending by time
+    // (null keys / null times excluded — they can never match).
+    val rKeyGen = UnsafeProjection.create(rightKeyExprs, rightOut)
+    val rTimeGen = UnsafeProjection.create(Seq(rightTimeExpr), rightOut)
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+    val grouped = right.executeCollect().iterator
+      .map(r => (rKeyGen(r).copy(), rTimeGen(r).copy(), r.copy()))
+      .filter { case (k, t, _) => !k.anyNull && !t.isNullAt(0) }
+      .toSeq.groupBy(_._1)
+      .map { case (k, rows) =>
+        val sorted = rows.sortBy(x => x._2: InternalRow)(timeOrd)
+        k -> (sorted.map(_._2).toArray, sorted.map(_._3).toArray)
+      }
+    val bcast = sparkContext.broadcast(grouped)
+
+    left.execute().mapPartitions { lIter =>
+      val lKeyGen = UnsafeProjection.create(leftKeys, leftOut)
+      val lTimeGen = UnsafeProjection.create(Seq(leftTime), leftOut)
+      val ord = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val table = bcast.value
+      lIter.map { l =>
+        val lKey = lKeyGen(l)
+        var m: InternalRow = null
+        if (!lKey.anyNull) {
+          val lTime = lTimeGen(l)
+          if (!lTime.isNullAt(0)) table.get(lKey).foreach {
+            case (times, rows) =>
+              // binary search: greatest index with times(i) <= lTime
+              var lo = 0; var hi = times.length - 1; var best = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (ord.compare(times(mid), lTime) <= 0) { best = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (best >= 0) m = rows(best)
+          }
+        }
+        resultProj(joined(l, if (m != null) m else nullRight))
+      }
+    }
+  }
+}
+
 /** DataFrame facade: `AsOf.join(events, snapshots, Seq("id"),
   * Seq("id"), "event_ts", "snapshot_ts")`. Key lists must align in
   * arity and type; the time columns must share a type. For
   * self-joins, alias one side first (standard duplicate-attribute
-  * hygiene). */
+  * hygiene). `broadcastRight = true` selects the zero-shuffle
+  * broadcast plan (right side must be broadcast-small). */
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      broadcastRight: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs aligned, non-empty key lists")
     val lPlan = left.queryExecution.analyzed
@@ -189,6 +274,6 @@ object AsOf {
     require(lt.dataType == rt.dataType,
       s"time type mismatch: ${lt.dataType} vs ${rt.dataType}")
     org.apache.spark.sql.graft.Bridge.ofRows(left.sparkSession,
-      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt))
+      AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, broadcastRight))
   }
 }

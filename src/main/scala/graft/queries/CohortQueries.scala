@@ -156,12 +156,23 @@ object CohortQueries {
         .filter(col("__rn") === 1))
   }
 
+  /** Zero-shuffle broadcast plan for the same as-of semantics (the
+    * right side here — one row per (customer, day) — is
+    * dimension-sized). Same oracle again. */
+  def asofJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val (ev, ords) = asofSides(spark, dir)
+    asofProject(graft.plans.AsOf.join(
+      ev, ords, Seq("user_id"), Seq("o_custkey"), "e_d", "o_d",
+      broadcastRight = true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "month_spine"          -> (monthSpine _),
     "full_outer_encounter" -> (fullOuterEncounter _),
     "art_outcome"          -> (artOutcome _),
     "asof_join"            -> (asofJoin _),
-    "asof_join_fanout"     -> (asofJoinFanout _)
+    "asof_join_fanout"     -> (asofJoinFanout _),
+    "asof_join_broadcast"  -> (asofJoinBroadcast _)
   )
 
   private val asofOracle: String =
@@ -184,6 +195,7 @@ object CohortQueries {
     // baseline — both must agree with DuckDB's independent ASOF JOIN.
     "asof_join" -> asofOracle,
     "asof_join_fanout" -> asofOracle,
+    "asof_join_broadcast" -> asofOracle,
     "month_spine" ->
       """WITH mm AS (
         |  SELECT date_trunc('month', CAST(min(o_orderdate) AS DATE)) AS lo,

@@ -106,6 +106,48 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("broadcast variant: same semantics, ZERO exchanges in the plan") {
+    val j = AsOf.join(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt",
+      broadcastRight = true)
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), s"broadcast as-of must not shuffle:\n$plan")
+    val got = j.select($"k", $"t", $"rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 10L, Some("r-early")), (1L, 20L, Some("r-mid")),
+      (2L, 5L, None), (3L, 7L, None)))
+  }
+
+  test("broadcast variant agrees with the sort-merge variant on 20k random rows") {
+    val l = spark.range(10000).select(
+      (col("id") % 89).as("k"), ((col("id") * 37) % 5000).as("t"),
+      col("id").as("lid"))
+    val r = spark.range(10000).select(
+      (col("id") % 97).as("rk"), ((col("id") * 53) % 5000).as("rt"),
+      col("id").as("rid"))
+      .groupBy("rk", "rt").agg(max("rid").as("rid"))
+    def toSet(df: DataFrame) = df.select($"k", $"t", $"lid", $"rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toSet
+    val smj = toSet(AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt"))
+    val bc = toSet(AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+      broadcastRight = true))
+    assert(smj == bc)
+  }
+
+  test("broadcast variant null rules match the sort-merge variant") {
+    val l = Seq((Option(1L), Option(10L), "a"), (None, Option(10L), "b"),
+      (Option(1L), None, "c")).toDF("k", "t", "lv")
+    val r = Seq((Option(1L), Option(5L), "m"), (Option(1L), None, "skip"),
+      (None, Option(1L), "nk")).toDF("rk", "rt", "rv")
+    val got = AsOf.join(l, r, Seq("k"), Seq("rk"), "t", "rt",
+        broadcastRight = true)
+      .select($"lv", $"rv").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSet
+    assert(got == Set(("a", Some("m")), ("b", None), ("c", None)))
+  }
+
   test("type mismatches are rejected at construction") {
     intercept[IllegalArgumentException] {
       AsOf.join(leftDf, rightDf.withColumn("rt", $"rt".cast("int")),
