@@ -156,14 +156,41 @@ object CohortQueries {
         .filter(col("__rn") === 1))
   }
 
-  /** Zero-shuffle broadcast plan for the same as-of semantics (the
-    * right side here — one row per (customer, day) — is
-    * dimension-sized). Same oracle again. */
+  /** Zero-shuffle broadcast plan for the same as-of semantics. Same
+    * oracle again. The left side keeps its scan partitioning through
+    * the join (that's the point), so the single-split events file is
+    * spread first — at real scale the left side arrives in thousands
+    * of splits and needs no help. Honest bench note: at sf0.1 the
+    * right side (~150k (customer, day) rows) is PAST the broadcast
+    * sweet spot — the driver build + broadcast serialization cost
+    * more than the two exchanges they replace, and the sort-merge
+    * form measures faster. The broadcast plan's win is architectural
+    * and grows with |left|/|right|: zero shuffle of the 100 TB side
+    * (plan-asserted in AsOfJoinSpec) vs a full re-exchange of it. */
   def asofJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
     val (ev, ords) = asofSides(spark, dir)
     asofProject(graft.plans.AsOf.join(
-      ev, ords, Seq("user_id"), Seq("o_custkey"), "e_d", "o_d",
+      Tables.spread(ev), ords, Seq("user_id"), Seq("o_custkey"), "e_d", "o_d",
       broadcastRight = true))
+  }
+
+  /** Binned range join ([[graft.etl.RangeJoin]]): each event matched
+    * to every same-customer order whose 30-day follow-up window
+    * contains it — the "encounter within the monitoring window"
+    * temporal pattern. The bin width (32 days ≈ the interval length)
+    * keeps the interval fan-out at <= 2 rows while the join itself is
+    * a pure equi-join on (customer, bin). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1990-01-01").cast("date")
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"),
+      datediff(eventDate, epoch).cast("long").as("t"))
+    val iv = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).cast("long").as("s"))
+      .withColumn("e", col("s") + 30L)
+    graft.etl.RangeJoin.pointInInterval(ev, iv,
+        Seq("user_id"), Seq("o_custkey"), "t", "s", "e", 32L)
+      .select(col("event_id"), col("o_orderkey"),
+        (col("t") - col("s")).as("days_after"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -172,7 +199,8 @@ object CohortQueries {
     "art_outcome"          -> (artOutcome _),
     "asof_join"            -> (asofJoin _),
     "asof_join_fanout"     -> (asofJoinFanout _),
-    "asof_join_broadcast"  -> (asofJoinBroadcast _)
+    "asof_join_broadcast"  -> (asofJoinBroadcast _),
+    "range_join"           -> (rangeJoin _)
   )
 
   private val asofOracle: String =
@@ -196,6 +224,23 @@ object CohortQueries {
     "asof_join" -> asofOracle,
     "asof_join_fanout" -> asofOracle,
     "asof_join_broadcast" -> asofOracle,
+    // Independent formulation: plain inequality join (DuckDB plans its
+    // own IEJoin) vs the engine's bin-bucketed equi-join.
+    "range_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id,
+        |         date_diff('day', DATE '1990-01-01', $eventDateSql) AS t
+        |  FROM events
+        |), iv AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS s
+        |  FROM orders
+        |)
+        |SELECT ev.event_id, iv.o_orderkey,
+        |       CAST(ev.t - iv.s AS BIGINT) AS days_after
+        |FROM ev JOIN iv
+        |  ON ev.user_id = iv.o_custkey
+        | AND iv.s <= ev.t AND ev.t <= iv.s + 30""".stripMargin,
     "month_spine" ->
       """WITH mm AS (
         |  SELECT date_trunc('month', CAST(min(o_orderdate) AS DATE)) AS lo,

@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[RangeJoin.pointInInterval]]: equivalence with the direct
+  * inequality join (boundaries inclusive), bin-size invariance,
+  * keyless operation, and the no-nested-loop plan guarantee. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points: DataFrame = spark.range(2000).select(
+    (col("id") % 13).as("k"), ((col("id") * 17) % 500).as("t"),
+    col("id").as("pid"))
+
+  private def intervals: DataFrame = spark.range(300).select(
+    (col("id") % 13).as("ik"), ((col("id") * 29) % 480).as("s"),
+    col("id").as("iid"))
+    .withColumn("e", col("s") + (col("iid") % 40))
+
+  private def direct: Set[(Long, Long)] =
+    points.join(intervals,
+        col("k") === col("ik") && col("s") <= col("t") && col("t") <= col("e"))
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("agrees with the direct inequality join at several bin sizes") {
+    for (bin <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals,
+          Seq("k"), Seq("ik"), "t", "s", "e", bin)
+        .select($"pid", $"iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == direct, s"binSize=$bin")
+    }
+  }
+
+  test("boundaries are inclusive and invalid intervals drop") {
+    val p = Seq((1L, 10L, 100L), (1L, 20L, 101L)).toDF("k", "t", "pid")
+    val i = Seq((1L, 10L, 20L, 7L), (1L, 30L, 25L, 8L)) // 2nd: end < start
+      .toDF("ik", "s", "e", "iid")
+    val got = RangeJoin.pointInInterval(p, i, Seq("k"), Seq("ik"),
+        "t", "s", "e", 5L)
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 7L), (101L, 7L)))
+  }
+
+  test("keyless (global intervals) stays an equi-join on the bin") {
+    val j = RangeJoin.pointInInterval(points, intervals,
+      Seq.empty, Seq.empty, "t", "s", "e", 32L)
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"keyless range join degraded to nested loop:\n$plan")
+    val got = j.select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = points.join(intervals,
+        col("s") <= col("t") && col("t") <= col("e"))
+      .select($"pid", $"iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+}
