@@ -115,10 +115,32 @@ object PipelineQueries {
       .withColumn("seq_bin", floor(col("start_off") / PackLen))
   }
 
+  /** Gap-based sessionization of the event log via Spark's NATIVE
+    * `session_window` (merging-window aggregation, codegen'd): events
+    * of a user belong to one session while each is within 12 hours of
+    * the previous; the session end is last-event + gap, per
+    * session_window's contract. The oracle is an INDEPENDENT
+    * formulation (lag + running-sum session ids), so the hash match
+    * validates Spark's merge semantics, not just our arithmetic.
+    *
+    * Shape at scale: one shuffle on user_id, sessions merge inside
+    * the aggregation — no self-join, no per-session explode; the same
+    * expression runs unchanged over `readStream` with a watermark
+    * (Structured Streaming's native session windows). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "12 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats" -> (repetitionStats _),
     "decontaminate"    -> (decontaminate _),
-    "pack_sequences"   -> (packSequences _)
+    "pack_sequences"   -> (packSequences _),
+    "sessionize"       -> (sessionize _)
   )
 
   private val toksSql = "string_split_regex(text, '\\s+')"
@@ -127,6 +149,29 @@ object PipelineQueries {
     s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
 
   val oracles: Map[String, String] = Map(
+    // Independent lag+cumsum formulation of session_window's merge
+    // semantics: a new session starts when the gap to the previous
+    // event is >= 12h (session_window merges on strict overlap,
+    // next.ts < prev.ts + gap); end = last event + gap.
+    "sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS e,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN pe IS NULL OR e - pe >= 43200000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 43200 SECONDS, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sid""".stripMargin,
     "repetition_stats" ->
       s"""WITH g AS (
         |  SELECT doc_id, unnest(${ngramsSql(toksSql, 2)}) AS g FROM documents

@@ -28,6 +28,21 @@ object IncrementalStream {
       .withWatermark(eventTime, delay)
       .dropDuplicates(keys :+ eventTime)
 
+  /** Watermarked gap-based session windows per key — the SAME
+    * `session_window` expression as the batch `sessionize` query
+    * (graft.queries.PipelineQueries), run over a stream: sessions
+    * grow while events keep arriving within `gap` of the previous
+    * one, finalize when the watermark passes their end, and their
+    * state is then evicted. */
+  def sessionCounts(stream: DataFrame, eventTime: String, key: Column,
+      gap: String, delay: String): DataFrame =
+    stream
+      .withWatermark(eventTime, delay)
+      .groupBy(key, session_window(col(eventTime), gap).as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(key, col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n"))
+
   /** Watermarked tumbling-window counts per category column. */
   def windowedCounts(stream: DataFrame, eventTime: String, category: Column,
       windowLength: String, delay: String): DataFrame =

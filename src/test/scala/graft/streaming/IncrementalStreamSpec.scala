@@ -80,6 +80,31 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 20L, "b"), (2L, 5L, "x"), (2L, 6L, "y")))
   }
 
+  test("sessionCounts merges in-gap events and finalizes past the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val out = IncrementalStream.sessionCounts(
+      ms.toDF().toDF("uid", "ts"), "ts", col("uid"), "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    ms.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:05:00")),  // within gap -> same session
+      (1L, ts("2024-01-01 11:00:00")),  // > 10 min after -> new session
+      (2L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every session end
+    ms.addData((9L, ts("2024-01-02 00:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+    q.stop()
+    assert(rows == Set(
+      (1L, "2024-01-01 10:00:00.0", 2L),   // merged 2-event session
+      (1L, "2024-01-01 11:00:00.0", 1L),
+      (2L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("remapStream enriches each micro-batch from the static lookup") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, String)]
