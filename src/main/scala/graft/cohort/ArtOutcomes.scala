@@ -53,13 +53,22 @@ object ArtOutcomes {
     *      in (facts older than the spine fold into the first month,
     *      facts past the last month drop) and keep the latest fact per
     *      (patient, bucket) — one window over O(|facts|) rows;
-    *   2. build the (patient x spine-month) lattice and forward-fill
-    *      each month from the last non-empty bucket — one window over
-    *      O(|patients| x |months|) rows. All payload columns are packed
-    *      into ONE struct before filling so they always travel together
-    *      from the same source fact (per-column `last(ignoreNulls)`
-    *      would mix columns from different facts when a payload field
-    *      is legitimately null).
+    *   2. forward-fill each bucket's payload over the months it is the
+    *      latest for — `lead` gives the next bucket, a month `sequence`
+    *      explode emits one row per covered spine month. All payload
+    *      columns are packed into ONE struct before filling so they
+    *      always travel together from the same source fact (per-column
+    *      `last(ignoreNulls)` would mix columns from different facts
+    *      when a payload field is legitimately null).
+    *
+    * The explode formulation (vs. lattice LEFT JOIN facts + a
+    * `last(ignoreNulls)` window, or skeleton-UNION + window) makes the
+    * aggregated facts SINGLE-consumer: both alternatives need a second
+    * pass to enumerate (patient x month), and because column pruning
+    * specializes that branch's subtree, exchange reuse never kicks in —
+    * the whole fact pipeline executes twice (measured). Here the fact
+    * pipeline runs exactly once, and the generator output is exactly
+    * the filled lattice (no oversized intermediate).
     *
     * Output: one row per (patient_id, as_of) that has a visible fact,
     * with the fact's payload columns. */
@@ -85,28 +94,25 @@ object ArtOutcomes {
       .groupBy(col("patient_id"), col("__bucket"))
       .agg(max_by(struct(payloadCols.map(col): _*), orderStruct).as("__payload"))
 
-    // 2. lattice x forward-fill (struct travels as a unit). The lattice
-    //    columns are explicitly re-aliased (`__l_pid`): the lattice is
-    //    DERIVED from perBucket, so `lattice("patient_id") ===
-    //    perBucket("patient_id")` would resolve both sides to the same
-    //    attribute id and survive only via Spark's dataset-id self-join
-    //    disambiguation (logged as a "trivially true equals predicate"
-    //    warning) — one refactor away from a silent cartesian.
-    val lattice = perBucket.select(col("patient_id").as("__l_pid")).distinct()
-      .crossJoin(broadcast(spine))
-    val wf = Window.partitionBy(col("__l_pid")).orderBy(col("as_of"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lattice
-      .join(perBucket,
-        col("__l_pid") === col("patient_id") &&
-          col("as_of") === col("__bucket"), "left")
-      .select(col("__l_pid"), col("as_of"), col("__payload"))
-      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
-      .filter(col("__filled").isNotNull)
-      .withColumnRenamed("__l_pid", "patient_id")
+    // 2. explode each bucket over [bucket, next bucket) — spine hi for
+    //    the last. Buckets are month-ends; the sequence walks month
+    //    STARTS (`trunc 'MM'`) because stepping a month-end by
+    //    `interval 1 month` drifts (Jan 31 -> Feb 28 -> Mar 28).
+    val wl = Window.partitionBy(col("patient_id")).orderBy(col("__bucket"))
+    val bMon = trunc(col("__bucket"), "MM")
+    val endMon = when(col("__next").isNull, trunc(col("hi"), "MM"))
+      .otherwise(add_months(trunc(col("__next"), "MM"), -1))
+    val filled = perBucket
+      .join(broadcast(spineAgg.select(col("hi"))))
+      .withColumn("__next", lead(col("__bucket"), 1).over(wl))
+      .select(col("patient_id"),
+        explode(transform(
+          sequence(bMon, endMon, expr("interval 1 month")),
+          m => last_day(m))).as("as_of"),
+        col("__payload").as("__filled"))
     payloadCols.foldLeft(filled)((d, c) =>
         d.withColumn(c, col(s"__filled.$c")))
-      .drop("__payload", "__filled")
+      .drop("__filled")
   }
 
   /** The full cohort: one row per (patient, as_of) with the ART-outcome
@@ -182,26 +188,35 @@ object ArtOutcomes {
       .agg(max_by(struct(payloadFields.map(col): _*),
         struct(col("__fdate"), col("__t1"), col("__t2"))).as("__payload"))
 
-    // 2. forward-fill over the (patient, kind) x month lattice. The
-    //    lattice columns are explicitly re-aliased: the lattice derives
-    //    from perBucket, so unaliased join columns would resolve to the
-    //    same attribute ids and lean on dataset-id disambiguation (the
-    //    "trivially true equals predicate" warning) — fragile.
-    val lattice = perBucket
-      .select(col("patient_id").as("__l_pid"), col("kind").as("__l_kind"))
-      .distinct()
-      .crossJoin(broadcast(spine))
-    val wf = Window.partitionBy(col("__l_pid"), col("__l_kind"))
-      .orderBy(col("as_of"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lattice
-      .join(perBucket,
-        col("__l_pid") === col("patient_id") &&
-          col("__l_kind") === col("kind") &&
-          col("as_of") === col("__bucket"), "left")
-      .select(col("__l_pid"), col("__l_kind"), col("as_of"), col("__payload"))
-      .withColumn("__filled", last(col("__payload"), ignoreNulls = true).over(wf))
-      .filter(col("__filled").isNotNull)
+    // 2. forward-fill via lead + month-sequence explode: a bucket's
+    //    payload is the latest state for every month in [bucket, next
+    //    bucket) — spine hi for the last bucket — so the filled
+    //    (patient, kind) x month lattice is EMITTED directly by one
+    //    window + one generator over the aggregated rows. This makes
+    //    perBucket single-consumer, so the dominant fact pipeline
+    //    (scans + broadcast joins + union + max_by) executes exactly
+    //    once. Both two-consumer formulations (lattice LEFT JOIN facts
+    //    + fill window; skeleton UNION + fill window) re-derived it:
+    //    column pruning specializes the lattice branch's subtree, so
+    //    exchange reuse never fires (measured: two full fact scans —
+    //    double the dominant cost at 100 TB). The generator output is
+    //    exactly the filled lattice, no oversized intermediate.
+    //    Buckets are month-ends; the sequence walks month STARTS
+    //    (`trunc 'MM'`) because stepping a month-end by `interval 1
+    //    month` drifts (Jan 31 -> Feb 28 -> Mar 28).
+    val wl = Window.partitionBy(col("patient_id"), col("kind"))
+      .orderBy(col("__bucket"))
+    val bMon = trunc(col("__bucket"), "MM")
+    val endMon = when(col("__next").isNull, trunc(col("hi"), "MM"))
+      .otherwise(add_months(trunc(col("__next"), "MM"), -1))
+    val filled = perBucket
+      .join(broadcast(spineAgg.select(col("hi"))))
+      .withColumn("__next", lead(col("__bucket"), 1).over(wl))
+      .select(col("patient_id").as("__l_pid"), col("kind").as("__l_kind"),
+        explode(transform(
+          sequence(bMon, endMon, expr("interval 1 month")),
+          m => last_day(m))).as("as_of"),
+        col("__payload").as("__filled"))
 
     // 3. pivot kinds back to columns: one row per (patient, as_of) with
     //    the latest visit/dispense/exit state (nulls where a kind has
