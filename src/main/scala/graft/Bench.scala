@@ -33,8 +33,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Min of two measured passes per query: host-level CPU noise was
-    // observed to swing single measurements 2-4x; the minimum is the
+    // Min of three measured passes per query: host-level CPU noise was
+    // observed to swing single measurements 2-4x (round-3 recorded
+    // 6.3s for a projection that steady-states at 0.3s — with min of
+    // TWO, one noisy pair poisons the record); the minimum is the
     // standard low-noise estimator of steady-state runtime. A query
     // that throws records the sentinel -1 (NOT its time-to-failure,
     // which would read as a healthy fast run) and is listed in
@@ -50,12 +52,8 @@ object Bench {
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> ((timeOnce(name, fn), timeOnce(name, fn)) match {
-        case (Some(a), Some(b)) => math.min(a, b)
-        case (Some(a), None)    => a
-        case (None, Some(b))    => b
-        case (None, None)       => -1.0
-      })
+      val passes = Seq.fill(3)(timeOnce(name, fn)).flatten
+      name -> (if (passes.isEmpty) -1.0 else passes.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
