@@ -25,6 +25,11 @@ object PipelineQueries {
   private val PackLen = 2048L
   private val PackShards = 8
   private val ContamN = 5
+  private val ShuffleShards = 16
+  private val ShuffleSeed = "epoch0"
+  private val SourceCap = 10
+  private val CapSalts = 4
+  private val VocabK = 200
 
   /** Within-document repetition metrics (the Gopher/C4 repetition
     * filters): for each doc, the fraction of 2-gram INSTANCES whose
@@ -136,11 +141,114 @@ object PipelineQueries {
         date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         col("n_events"))
 
+  /** Deterministic global corpus shuffle — the reproducible training
+    * order step: each document lands in a pseudorandom shard (portable
+    * hash mod [[ShuffleShards]]) at a pseudorandom position within it
+    * (hash-ordered). The permutation is a pure function of (doc_id,
+    * seed) — independent of input partitioning, parallelism, or
+    * engine — so every epoch's read order is reproducible anywhere.
+    *
+    * Shape at scale: one hash exchange on `shard` + a per-shard sort —
+    * the distributed analog of `ORDER BY random()`, without a global
+    * single-reducer sort: shard count scales with the cluster, and
+    * trainers consume shards as independent files anyway. */
+  def globalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = TF.portableHash(col("doc_id").cast("string"), ShuffleSeed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(ShuffleShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Per-source quota cap (the CommonCrawl-style domain cap): keep at
+    * most [[SourceCap]] documents per source, preferring longer ones
+    * ((n_chars DESC, doc_id ASC) — a deterministic total order).
+    *
+    * Shape at scale: two-phase top-N. A single row_number window
+    * serializes each source in one task — the classic hot-domain skew
+    * (one giant crawl domain = one straggler). Phase 1 ranks within
+    * (source, salt-bucket) and keeps each bucket's top N, cutting any
+    * source to at most N x [[CapSalts]] rows; phase 2 ranks the
+    * survivors per source. Top-N of the per-bucket top-Ns equals the
+    * global top-N (any global top-N row is in its bucket's top N), so
+    * the result is EXACTLY the single-window answer — proven by the
+    * differential property test, and by the oracle, which replays the
+    * naive single-window formulation. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val salt = pmod(TF.portableHash(col("doc_id").cast("string"), "capsalt"),
+      lit(CapSalts.toLong))
+    val w1 = Window.partitionBy(col("source"), col("__salt"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val w2 = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    docs.withColumn("__salt", salt)
+      .withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= SourceCap)
+      .withColumn("keep_rank", row_number().over(w2).cast("long"))
+      .filter(col("keep_rank") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_rank"))
+  }
+
+  /** Symmetric int8 scalar quantization of the embedding column — the
+    * storage-scale path (4 bytes -> 1 byte per dimension; at 100 TB of
+    * vectors that is the difference between one copy and four). Per
+    * vector: scale = max |x_i|, q_i = round(x_i / scale * 127), so
+    * q_i in [-127, 127] with the sign preserved and scale stored as
+    * integer millionths for exact reconstruction bounds.
+    *
+    * Output is exploded to (vec_id, idx, q, scale_c) BIGINT rows for
+    * the oracle hash; the production form would keep `array<tinyint>`.
+    * The per-vector HOF fold runs ONCE per vector (not per pair, the
+    * trap the native DotExpr exists for), so interpreted evaluation is
+    * off the hot path by construction. */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val s = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), s.as("__s"))
+      .select(col("vec_id"),
+        floor(col("__s") * lit(1e6) + 0.5d).cast("long").as("scale_c"),
+        col("__s"),
+        posexplode(col("embedding")).as(Seq("__i", "__x")))
+      .select(col("vec_id"), (col("__i") + 1).cast("long").as("idx"),
+        when(col("__s") === 0d, lit(0L))
+          .otherwise(floor(col("__x").cast("double") / col("__s") * 127d + 0.5d)
+            .cast("long")).as("q"),
+        col("scale_c"))
+  }
+
+  /** Token-frequency vocabulary build: global top-[[VocabK]] tokens by
+    * term frequency (ties broken lexicographically — a deterministic
+    * cutoff), with document frequency alongside (the IDF ingredient).
+    *
+    * Shape at scale: the tf aggregation combines map-side; the exact
+    * per-token document frequency needs one (token, doc_id) distinct
+    * pass (the at-scale approximation is approx_count_distinct — the
+    * exact/approx pairing `corpus_profile` already demonstrates); the
+    * global top-K plans as TakeOrderedAndProject (per-partition heaps
+    * + a K-row driver merge), never a global sort. */
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token").asc)
+      .limit(VocabK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "repetition_stats" -> (repetitionStats _),
-    "decontaminate"    -> (decontaminate _),
-    "pack_sequences"   -> (packSequences _),
-    "sessionize"       -> (sessionize _)
+    "repetition_stats"   -> (repetitionStats _),
+    "decontaminate"      -> (decontaminate _),
+    "pack_sequences"     -> (packSequences _),
+    "sessionize"         -> (sessionize _),
+    "global_shuffle"     -> (globalShuffle _),
+    "source_cap"         -> (sourceCap _),
+    "embedding_quantize" -> (embeddingQuantize _),
+    "vocab_topk"         -> (vocabTopK _)
   )
 
   private val toksSql = "string_split_regex(text, '\\s+')"
@@ -230,6 +338,45 @@ object PipelineQueries {
         |SELECT doc_id, lang, shard, n_tokens, start_off,
         |       CAST(floor(CAST(start_off AS DOUBLE) / $PackLen) AS BIGINT)
         |         AS seq_bin
-        |FROM o""".stripMargin
+        |FROM o""".stripMargin,
+    "global_shuffle" ->
+      s"""WITH h AS (
+        |  SELECT doc_id,
+        |         ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", ShuffleSeed)} AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, h % $ShuffleShards AS shard,
+        |       row_number() OVER (PARTITION BY h % $ShuffleShards
+        |                          ORDER BY h, doc_id) AS pos
+        |FROM h""".stripMargin,
+    // Naive single-window formulation — the two-phase salted top-N
+    // must reproduce it exactly.
+    "source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY n_chars DESC, doc_id ASC) AS keep_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, CAST(keep_rank AS BIGINT) AS keep_rank
+        |FROM r WHERE keep_rank <= 10""".stripMargin,
+    "embedding_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |       CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS idx,
+        |       CAST(CASE WHEN s = 0 THEN 0
+        |            ELSE floor(CAST(unnest(embedding) AS DOUBLE) / s * 127 + 0.5)
+        |            END AS BIGINT) AS q,
+        |       CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS scale_c
+        |FROM s""".stripMargin,
+    "vocab_topk" ->
+      s"""SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT $VocabK""".stripMargin
   )
 }

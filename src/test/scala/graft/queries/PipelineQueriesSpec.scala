@@ -87,4 +87,80 @@ class PipelineQueriesSpec extends SparkSpec {
         .foreach(r => assert(again(r.getLong(0)) == r.getLong(1)))
     } finally p.unpersist()
   }
+
+  test("global_shuffle: a permutation, contiguous per shard, partitioning-invariant") {
+    val s = PipelineQueries.globalShuffle(spark, dir).cache()
+    try {
+      assert(s.count() == docs.count())
+      assert(s.select("doc_id").distinct().count() == docs.count())
+      // Positions within each shard are 1..n with no gaps.
+      val bad = s.groupBy("shard")
+        .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+        .filter(col("mx") =!= col("n") || col("mn") =!= 1L)
+      assert(bad.count() == 0)
+      // The permutation is a pure function of doc_id — independent of
+      // how the input happens to be partitioned.
+      val once = s.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val perm = PipelineQueries.globalShuffle(spark, dir)
+        .repartition(7).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(once == perm)
+      // And it is not the identity order: some shard's hash order must
+      // differ from doc_id order (overwhelmingly likely for 500 docs).
+      val monotone = s.collect().groupBy(_.getLong(1)).forall { case (_, rs) =>
+        val byPos = rs.sortBy(_.getLong(2)).map(_.getLong(0))
+        byPos.sameElements(byPos.sorted)
+      }
+      assert(!monotone, "hash order degenerated to doc_id order")
+    } finally s.unpersist()
+  }
+
+  test("source_cap: two-phase salted top-N equals the single-window answer") {
+    import org.apache.spark.sql.expressions.Window
+    val capped = PipelineQueries.sourceCap(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val naive = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .filter(col("keep_rank") <= 10)
+    assert(capped.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(capped).count() == 0)
+    // Quota actually binds: no source exceeds the cap, and at least one
+    // source had to drop rows (fixture has 25 docs per source).
+    val per = capped.groupBy("source").count()
+    assert(per.filter(col("count") > 10).count() == 0)
+    assert(docs.count() > capped.count())
+  }
+
+  test("embedding_quantize: int8 range, sign preserved, max element hits ±127") {
+    val q = PipelineQueries.embeddingQuantize(spark, dir).cache()
+    try {
+      assert(q.filter(abs(col("q")) > 127).count() == 0)
+      // Join back to the raw elements: sign must agree (0 maps to 0).
+      val raw = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("__i", "x")))
+        .select(col("vec_id"), (col("__i") + 1).cast("long").as("idx"),
+          col("x").cast("double").as("x"))
+      val joined = q.join(raw, Seq("vec_id", "idx"))
+      assert(joined.filter(col("x") > 0 && col("q") < 0).count() == 0)
+      assert(joined.filter(col("x") < 0 && col("q") > 0).count() == 0)
+      // Every vector's largest-|x| element quantizes to exactly ±127.
+      val extremes = q.groupBy("vec_id").agg(max(abs(col("q"))).as("m"))
+      assert(extremes.filter(col("m") =!= 127L).count() == 0)
+    } finally q.unpersist()
+  }
+
+  test("vocab_topk: tf >= df >= 1, counts match an independent recount") {
+    val v = PipelineQueries.vocabTopK(spark, dir).cache()
+    try {
+      assert(v.filter(col("tf") < col("df") || col("df") < 1).count() == 0)
+      // Recount one token end-to-end.
+      val first = v.orderBy(col("tf").desc, col("token").asc).first()
+      val tok = first.getString(0)
+      val manual = docs.select(explode(
+          graft.text.TextFunctions.tokens(col("text"))).as("t"))
+        .filter(col("t") === tok).count()
+      assert(first.getLong(1) == manual)
+    } finally v.unpersist()
+  }
 }
