@@ -49,5 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         TopCentersExpr(children.head, children(1), children(2),
           intLit(children(3), "nearest"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_knn_topk"),
+      new ExpressionInfo(classOf[KnnTopKExpr].getName, "graft_knn_topk"),
+      (children: Seq[Expression]) =>
+        KnnTopKExpr(children.head, children(1), children(2), children(3),
+          children(4), intLit(children(5), "k"))))
   }
 }

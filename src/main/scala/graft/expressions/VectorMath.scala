@@ -205,3 +205,120 @@ case class TopCentersExpr(vec: Expression, nrm: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(vec = newChildren(0), nrm = newChildren(1), centers = newChildren(2))
 }
+
+/** `graft_knn_topk(vec array<float>, nrm double, self_id long,
+  * ids array<long> LITERAL, cands array<array<float>> LITERAL, k)` —
+  * the exact top-`k` neighbours of `vec` among the literal candidate
+  * matrix, excluding the candidate whose id equals `self_id`, as
+  * `array<struct<n_id, score_c>>` in rank order (score_c DESC, n_id
+  * ASC — candidates are scanned in ascending-id order and equal
+  * scores never displace, which reproduces `row_number` over that
+  * ordering exactly).
+  *
+  * Scores are bit-identical to the column formulation
+  * `scaledFromParts(graft_dot(vec, cand), nrm, candNorm)`: the same
+  * ascending-index double fold and the same
+  * `floor(dot / (nrm * cnorm) * 1e6 + 0.5)` — proven by the
+  * differential test against the join+window plan.
+  *
+  * Why an expression: the join+window brute force materializes
+  * |q|x|n| pair ROWS through a BroadcastNestedLoopJoin and then
+  * window-sorts them — at 8k vectors that is 64M 600-byte rows moved
+  * and sorted to keep 3 per query. Here the same 64M dot products run
+  * inside ONE projection over the corpus (candidate arrays + norms
+  * parsed once per task, not per pair) and only the k survivors per
+  * row ever become rows. CodegenFallback is fine: one boundary per
+  * ROW (thousands), not per pair (millions) — the work inside is a
+  * tight primitive loop either way. */
+case class KnnTopKExpr(vec: Expression, nrm: Expression, selfId: Expression,
+    ids: Expression, cands: Expression, k: Int)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec, nrm, selfId, ids, cands)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n_id", LongType, nullable = false),
+    StructField("score_c", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val idsOk = ids.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val cOk = cands.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case _ => false
+    }
+    if (vecOk && nrm.dataType == DoubleType && selfId.dataType == LongType &&
+        idsOk && ids.foldable && cOk && cands.foldable && k > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_knn_topk expects (array<float>, double, long, foldable array<long>, " +
+        "foldable array<array<float>>, k > 0)")
+  }
+
+  // Literal candidate matrix: parse + norm once per expression
+  // instance (per task after deserialization), never per row.
+  @transient private lazy val candIds: Array[Long] =
+    ids.eval(null).asInstanceOf[ArrayData].toLongArray()
+  @transient private lazy val candVecs: Array[Array[Float]] = {
+    val arr = cands.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getArray(i).toFloatArray())
+  }
+  @transient private lazy val candNorms: Array[Double] =
+    candVecs.map { c =>
+      var acc = 0d
+      var i = 0
+      while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val nr = nrm.eval(input)
+    val sid = selfId.eval(input)
+    if (v == null || nr == null || sid == null) return null
+    val q = v.asInstanceOf[ArrayData].toFloatArray()
+    val vn = nr.asInstanceOf[Double]
+    val self = sid.asInstanceOf[Long]
+    val n = candVecs.length
+    val take = math.min(k, math.max(n - 1, 0))
+    val topScore = Array.fill(take)(Double.NegativeInfinity)
+    val topIdx = Array.fill(take)(-1)
+    var c = 0
+    while (c < n) {
+      val cv = candVecs(c)
+      if (candIds(c) != self && cv.length == q.length) {
+        var acc = 0d
+        var i = 0
+        while (i < q.length) { acc += q(i).toDouble * cv(i).toDouble; i += 1 }
+        val s = math.floor(acc / (vn * candNorms(c)) * 1e6 + 0.5)
+        if (take > 0 && s > topScore(take - 1)) {
+          var pos = take
+          while (pos > 0 && s > topScore(pos - 1)) pos -= 1
+          var j = take - 1
+          while (j > pos) {
+            topScore(j) = topScore(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
+          }
+          topScore(pos) = s
+          topIdx(pos) = c
+        }
+      }
+      c += 1
+    }
+    val out = (0 until take).iterator.takeWhile(topIdx(_) >= 0).map { pos =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        candIds(topIdx(pos)), topScore(pos).toLong): AnyRef
+    }.toArray
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), nrm = newChildren(1), selfId = newChildren(2),
+      ids = newChildren(3), cands = newChildren(4))
+}

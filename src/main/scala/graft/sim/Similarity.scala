@@ -125,6 +125,35 @@ object Similarity {
     rankedCells(vectors, centers, 1)
       .select(col("id"), col("vec"), col("bucket"))
 
+  /** Exact all-pairs kNN graph with the candidate matrix COLLECTED to
+    * the driver and evaluated by the native
+    * [[graft.expressions.KnnTopKExpr]]: the corpus is scanned once and
+    * each row's top-k neighbours come out of ONE expression eval —
+    * no |n|² pair rows are ever materialized, no 64M-row window sort
+    * (the join+window formulation moved ~600 bytes per PAIR; this
+    * moves k struct rows per VECTOR). Scores and tie-breaks are
+    * bit-identical to [[bruteForceTopK]] (differential-tested).
+    *
+    * Scale envelope: exact all-pairs requires one side in memory by
+    * definition — same constraint the broadcast join had, made
+    * explicit. The candidate matrix is k·dim floats (8k x 64 = 2 MB);
+    * beyond broadcastable corpus sizes, exact kNN is the wrong tool
+    * and [[knnGraphTopK]] (trained IVF cells) is the scale path. */
+  def knnGraphExact(corpus: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.select(col("id"), col("vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val idsLit = typedlit(cand.map(_._1).toSeq)
+    val vecsLit = typedlit(cand.map(_._2.toSeq).toSeq)
+    withNorm(corpus, "")
+      .select(col("id").as("q_id"),
+        posexplode(call_function("graft_knn_topk",
+          col("vec"), col("nrm"), col("id"), idsLit, vecsLit, lit(k)))
+          .as(Seq("__pos", "__t")))
+      .select(col("q_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.n_id").as("n_id"), col("__t.score_c").as("score_c"))
+  }
+
   /** Self-kNN over the whole corpus via IVF cells: every vector is
     * both query and candidate, so the centroid scoring is done ONCE —
     * rank-1 rows are the (disjoint) cell assignment, ranks <= nprobe

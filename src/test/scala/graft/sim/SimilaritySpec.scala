@@ -28,6 +28,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("knnGraphExact is bit-equal to the join+window brute force on real embeddings") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+      .limit(200)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val native = Similarity.knnGraphExact(v, 3).collect().map(key).sorted
+    val joined = Similarity.bruteForceTopK(v, v, 3).collect().map(key).sorted
+    assert(native.sameElements(joined))
+  }
+
+  test("knnGraphExact: ties break by ascending id; self excluded; k bounds output") {
+    val v = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(1f, 0f),
+      4L -> Seq(0f, 1f))
+    val rows = Similarity.knnGraphExact(v, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // No row is its own neighbour, every query emits exactly k = 2.
+    assert(rows.forall { case (q, _, n, _) => q != n })
+    assert(rows.groupBy(_._1).forall(_._2.length == 2))
+    // For query 1, the two score-1e6 ties (2 and 3) rank by id.
+    val q1 = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(q1 == Seq(2L, 3L))
+  }
+
   test("trained IVF (KMeans centroids) recalls >= 80% of brute-force kNN") {
     // Clustered corpus (the realistic embedding shape): 10 centers in
     // R^8, 20 members each, deterministic seeded noise.
