@@ -136,9 +136,12 @@ object SimQueries {
     Similarity.knnGraphExact(v, K)
   }
 
-  /** kNN-graph via trained IVF: Lloyd-refined fixed-k centroids
-    * (deterministic — seeded from the first k corpus rows, exact
-    * integer-sum means), then per-cell search with 2 probes.
+  /** kNN-graph via trained IVF: Lloyd-refined centroids with the
+    * classic IVF sizing k ≈ √n (deterministic — seeded from the first
+    * k corpus rows, exact integer-sum means; the √n count costs one
+    * tiny job and keeps the cell population ~√n at EVERY scale, where
+    * a fixed k degenerates to linear in-cell scans as the corpus
+    * grows), then per-cell search with 2 probes.
     * O(n·k) assignment + O(n²·nprobe/k) in-cell scoring beats the
     * O(n²) brute pass for n >> k, and is the 100 TB shape: centers
     * live driver-side (bytes), assignment is a shuffle-free
@@ -156,7 +159,8 @@ object SimQueries {
     * SimilaritySpec's recall-vs-brute-force bound. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val cells = math.max(8L, math.sqrt(v.count().toDouble).round)
+    val centers = KMeans.fitCenters(v, 0L until cells, iters = 1)
     Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
   }
 

@@ -53,6 +53,26 @@ class SimilaritySpec extends SparkSpec {
     assert(q1 == Seq(2L, 3L))
   }
 
+  test("knn_graph_ivf (the registered √n-cell query) beats random probing >= 3x") {
+    // The synthetic embeddings are STRUCTURELESS (same-label mean
+    // cosine ~0.004), and on uniform random vectors any IVF's recall
+    // is bounded by the probed corpus fraction — that is a property
+    // of the data, not the index. The meaningful guard here is that
+    // the trained cells beat random cell-probing by a wide margin
+    // (they do: ~5x); the >= 80% recall claim on CLUSTERED data — the
+    // realistic embedding shape — is the separate test below.
+    val dir = "/root/testdata/sf0.001"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exact = pairs(graft.queries.SimQueries.queries("knn_graph_brute")(spark, dir))
+    val ivf = pairs(graft.queries.SimQueries.queries("knn_graph_ivf")(spark, dir))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    val n = exact.map(_._1).size.toDouble // queries = corpus (augmented)
+    val probeFraction = 2.0 / math.max(8L, math.sqrt(n).round).toDouble
+    assert(recall >= 3 * probeFraction,
+      s"recall $recall vs random-probing baseline $probeFraction")
+  }
+
   test("trained IVF (KMeans centroids) recalls >= 80% of brute-force kNN") {
     // Clustered corpus (the realistic embedding shape): 10 centers in
     // R^8, 20 members each, deterministic seeded noise.
