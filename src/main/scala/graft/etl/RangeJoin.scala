@@ -26,25 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact floor division on longs. A double round-trip
+    * (`floor(t / binSize)` via cast) loses precision past 2^53 — epoch
+    * micros/nanos qualify — and a mis-binned point silently misses true
+    * matches. `t - pmod(t, b)` is an exact multiple of `b`, so integral
+    * division (`div`) of the pair is exact floor division for any long. */
+  private def floorDivBin(c: Column, binSize: Long): Column =
+    call_function("div", c - pmod(c, lit(binSize)), lit(binSize))
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointKeys: Seq[String], intervalKeys: Seq[String],
       t: String, start: String, end: String, binSize: Long): DataFrame = {
     require(binSize > 0, "binSize must be positive")
     require(pointKeys.length == intervalKeys.length, "key arity mismatch")
-    val p = points.withColumn("__pbin",
-      floor(col(t).cast("double") / binSize).cast("long"))
+    val p = points.withColumn("__pbin", floorDivBin(col(t), binSize))
     // end >= start filter also guards sequence(): Spark's
     // sequence(hi, lo) yields a DESCENDING range, not an empty one.
     val i = intervals
       .filter(col(end) >= col(start))
       .withColumn("__ibin", explode(sequence(
-        floor(col(start).cast("double") / binSize).cast("long"),
-        floor(col(end).cast("double") / binSize).cast("long"))))
+        floorDivBin(col(start), binSize),
+        floorDivBin(col(end), binSize))))
     val keyCond = pointKeys.zip(intervalKeys)
       .map { case (a, b) => p(a) === i(b) }
       .foldLeft(p("__pbin") === i("__ibin"))(_ && _)
     p.join(i, keyCond)
-      .filter(col(start) <= col(t) && col(t) <= col(end))
+      // Resolve the exact-range filter against the originating frames:
+      // unqualified col(...) would be ambiguous (or bind the wrong
+      // side) whenever points and intervals share a column name.
+      .filter(i(start) <= p(t) && p(t) <= i(end))
       .drop("__pbin", "__ibin")
   }
 }

@@ -286,7 +286,11 @@ case class KnnTopKExpr(vec: Expression, nrm: Expression, selfId: Expression,
     val vn = nr.asInstanceOf[Double]
     val self = sid.asInstanceOf[Long]
     val n = candVecs.length
-    val take = math.min(k, math.max(n - 1, 0))
+    // Heap sized min(k, n), NOT min(k, n-1): the self row is excluded by
+    // id below IF it appears among the candidates, but a general caller
+    // of graft_knn_topk whose query id is absent from the candidate list
+    // is owed the full k (self-kNN still yields <= n-1 via exclusion).
+    val take = math.min(k, n)
     val topScore = Array.fill(take)(Double.NegativeInfinity)
     val topIdx = Array.fill(take)(-1)
     var c = 0

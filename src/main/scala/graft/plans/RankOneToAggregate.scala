@@ -110,6 +110,15 @@ object RankOneToAggregate extends Rule[LogicalPlan] {
             AggregateExpression(aggFn, Complete, isDistinct = false), "__best")()
           val agg = Aggregate(w.partitionSpec, Seq(best), w.child)
           val bestRef = best.toAttribute
+          // A GLOBAL aggregate (empty partitionSpec) over empty input
+          // still emits one row — max_by/min_by returns null there. The
+          // original window form returns zero rows on empty input, so
+          // drop that spurious row. (Grouped aggregates emit no rows on
+          // empty input; no guard needed, and adding one would cost a
+          // per-row predicate.)
+          val guarded: LogicalPlan =
+            if (w.partitionSpec.isEmpty) Filter(IsNotNull(bestRef), agg)
+            else agg
           val restored: Seq[NamedExpression] = childOut.zipWithIndex.map {
             case (a, i) =>
               Alias(GetStructField(bestRef, i, Some(a.name)), a.name)(
@@ -117,7 +126,7 @@ object RankOneToAggregate extends Rule[LogicalPlan] {
           }
           val rankOut = Alias(Literal(1), alias.name)(
             exprId = rank.exprId, qualifier = rank.qualifier)
-          val proj = Project(restored :+ rankOut, agg)
+          val proj = Project(restored :+ rankOut, guarded)
           Some(if (rest.isEmpty) proj else Filter(rest.reduce(And), proj))
         }
       case _ => None

@@ -63,13 +63,23 @@ object IncrementalStream {
     * restarting the query; the join never shuffles the stream side
     * (broadcast hash join — the only join shape that holds at
     * 100 TB/day stream volume). */
-  def remapStream(stream: DataFrame, lookup: DataFrame,
-      column: String): DataFrame =
+  def remapStream(stream: DataFrame, lookup: DataFrame, column: String,
+      srcName: String = "source_name",
+      tgtName: String = "target_name"): DataFrame = {
+    // Same guard as the batch LookupRemap.remap: dedup the lookup on its
+    // source key before joining — duplicate lookup keys would otherwise
+    // silently duplicate stream records in EVERY micro-batch (the
+    // FIXTURES §A2 fan-out hazard, worse here because it compounds).
+    val tag = s"__lkp_$column"
+    val dim = broadcast(
+      lookup.select(col(srcName).as(s"${tag}_src"), col(tgtName).as(s"${tag}_tgt"))
+        .dropDuplicates(s"${tag}_src"))
     stream
-      .join(broadcast(lookup), stream(column) === lookup("source_name"), "left")
+      .join(dim, stream(column) === col(s"${tag}_src"), "left")
       .withColumn(column,
-        coalesce(col("target_name"), stream(column)))
-      .drop("source_name", "target_name")
+        coalesce(col(s"${tag}_tgt"), stream(column)))
+      .drop(s"${tag}_src", s"${tag}_tgt")
+  }
 
   /** A keyed record for the custom-state operator: `seq` orders
     * records within a key (extraction id / event time as long), `value`

@@ -102,6 +102,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(0)) == 2)
   }
 
+  test("graft_knn_topk returns full k when the query id is not a candidate") {
+    // Candidates: 3 unit-ish vectors with ids 10,11,12. A query whose
+    // self_id is absent must get min(k, n) = 3 neighbours, not k-1.
+    val df = Seq((Seq(1f, 0f), 1.0, 99L)).toDF("vec", "nrm", "self_id")
+    def q(k: Int) = df.select(explode(call_function("graft_knn_topk",
+        col("vec"), col("nrm"), col("self_id"),
+        typedLit(Seq(10L, 11L, 12L)),
+        typedLit(Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(0.6f, 0.8f))),
+        lit(k))).as("nb"))
+      .select(col("nb.n_id")).collect().map(_.getLong(0)).toSeq
+    assert(q(3) == Seq(10L, 12L, 11L), "external query must see all n candidates")
+    // Self-kNN still self-excludes: id 10 asking for 3 gets the other 2.
+    val self = Seq((Seq(1f, 0f), 1.0, 10L)).toDF("vec", "nrm", "self_id")
+      .select(explode(call_function("graft_knn_topk",
+        col("vec"), col("nrm"), col("self_id"),
+        typedLit(Seq(10L, 11L, 12L)),
+        typedLit(Seq(Seq(1f, 0f), Seq(0f, 1f), Seq(0.6f, 0.8f))),
+        lit(3))).as("nb"))
+      .select(col("nb.n_id")).collect().map(_.getLong(0)).toSeq
+    assert(self == Seq(12L, 11L))
+  }
+
   test("prefixLong and prefixHexBytes agree with conv/substring semantics") {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest("sim:probe".getBytes)

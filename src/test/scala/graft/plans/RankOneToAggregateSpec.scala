@@ -104,6 +104,21 @@ class RankOneToAggregateSpec extends SparkSpec {
     assert(q.collect().map(_.getInt(1)).toSeq == Seq(9))
   }
 
+  test("global top-1 over EMPTY input returns zero rows, not a null row") {
+    // A global aggregate over empty input emits one row (max_by -> null);
+    // the window form emits none. The rewrite must filter that row out.
+    val w = Window.orderBy($"o".desc_nulls_last)
+    val q = fixture.filter($"v" > 1000L)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+    assert(!hasWindow(q), "rewrite must still fire on the empty-input plan")
+    assert(q.collect().isEmpty, "empty input must yield zero rows, not null row")
+    // Grouped form on empty input stays empty too (no guard needed there).
+    val wg = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
+    val qg = fixture.filter($"v" > 1000L)
+      .withColumn("rn", row_number().over(wg)).filter($"rn" === 1).drop("rn")
+    assert(!hasWindow(qg) && qg.collect().isEmpty)
+  }
+
   test("guards: rank(), k>1, mixed directions, multi-window do not fire") {
     val wd = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
     val rankQ = fixture.withColumn("rn", rank().over(wd))

@@ -123,6 +123,28 @@ class IncrementalStreamSpec extends SparkSpec {
       (1L, "CANON_KENYA"), (2L, "TZA"), (3L, "CANON_UGANDA")))
   }
 
+  test("remapStream dedups duplicate lookup keys (no micro-batch fan-out)") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    // Duplicate source_name rows: without the dedup guard each stream
+    // record matching "KEN" would emit twice per micro-batch.
+    val lookup = Seq(("KEN", "CANON_KENYA"), ("KEN", "CANON_KENYA_DUP"),
+        ("UGA", "CANON_UGANDA"))
+      .toDF("source_name", "target_name")
+    val out = IncrementalStream.remapStream(
+      ms.toDF().toDF("id", "country"), lookup, "country")
+    val q = out.writeStream.format("memory").queryName("remap_dup_out")
+      .outputMode("append").start()
+    ms.addData((1L, "KEN"), (2L, "KEN"), (3L, "TZA"))
+    q.processAllAvailable()
+    val rows = spark.table("remap_dup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    q.stop()
+    assert(rows.length == 3, s"fan-out: $rows")
+    assert(rows.map(_._1) == Seq(1L, 2L, 3L))
+    assert(rows(2)._2 == "TZA")
+  }
+
   test("Resources.loadText reads classpath SQL (S8)") {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
