@@ -13,14 +13,38 @@ import graft.sim.{KMeans, Similarity}
   * left-fold on both sides (see [[graft.sim.Similarity]]) and scaled to
   * integer millionths, so ranks and scores hash-match the DuckDB
   * oracle exactly.
+  *
+  * Every IVF-shaped query below runs on TRAINED centers
+  * ([[KMeans.fitCenters]], deterministic by construction: named init
+  * rows, fixed iteration count, exact integer-sum means, id-ascending
+  * tie-breaks) with the center count an INDEX PARAMETER — fixed
+  * [[TrainedK]] or the classic ~sqrt(n) sizing — never a linear slice
+  * of the corpus. That is the 100 TB shape: centers live driver-side
+  * (bytes), assignment is a shuffle-free projection, and the corpus
+  * shuffles once by cell. The DuckDB oracles replay the ENTIRE
+  * pipeline including the k-means step in SQL (a single Lloyd
+  * iteration is two argmax assignment passes around one exact
+  * integer-sum mean aggregation — all relational), so the trained path
+  * is hash-checked end to end, not just rows-checked.
   */
 object SimQueries {
 
   private val K = 3
 
+  /** Fixed centroid count for the fixed-k trained queries — a
+    * user-chosen index parameter, independent of corpus size. */
+  private val TrainedK = 32
+
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Classic IVF cell sizing: ~sqrt(n) keeps in-cell population ~sqrt(n)
+    * at every scale (a fixed k degenerates to linear in-cell scans as
+    * the corpus grows). One count job; the centers themselves are still
+    * driver-side bytes. */
+  private def sqrtCells(v: DataFrame): Long =
+    math.max(8L, math.sqrt(v.count().toDouble).round)
 
   /** Brute-force exact top-k (the correctness baseline; queries are the
     * vec_id < 8 slice, broadcast against the corpus). */
@@ -29,74 +53,61 @@ object SimQueries {
     Similarity.bruteForceTopK(v.filter(col("id") < 8), v, K)
   }
 
-  /** IVF-bucketed top-k: centroids are the vec_id % 50 == 7 slice
-    * (grows with the corpus), search restricted to the query's bucket. */
+  /** IVF top-k over trained cells (fixed k = [[TrainedK]], one Lloyd
+    * iteration), search restricted to the query's cell. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    Similarity.ivfTopK(v.filter(col("id") < 8), v,
-      v.filter(col("id") % 50 === 7), K)
-  }
-
-  /** Embedding-cosine near-duplicate pairs, blocked by IVF bucket:
-    * vectors sharing a nearest-centroid bucket are pairwise scored and
-    * kept when cosine >= 0.4 (the corpus has no true duplicates — the
-    * operator shape is the point). Bucketed, never all-pairs. */
-  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val assigned = Similarity.assign(v, v.filter(col("id") % 50 === 7))
-    val a = assigned.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), Similarity.norm(col("vec")).as("nrm_a"))
-    val b = assigned.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
-      col("vec").as("vec_b"), Similarity.norm(col("vec")).as("nrm_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
-          col("nrm_a"), col("nrm_b")).as("score_c"))
-      .filter(col("score_c") >= 400000L)
-  }
-
-  /** Embedding near-dup pairs over TRAINED cells: same operator shape
-    * as [[embeddingDedup]] but the blocking cells come from
-    * `KMeans.fitCenters` (fixed k, shuffle-free assignment) instead of
-    * the corpus-slice centroids the DuckDB oracle can replay — the
-    * production wiring, where |cells| is a user-chosen index parameter
-    * rather than a function of corpus size. Rows-checked by the
-    * driver; `SimilaritySpec` bounds its recall against brute-force
-    * threshold pairs. */
-  def embeddingDedupTrained(spark: SparkSession, dir: String): DataFrame = {
-    val v = Tables.embeddings(spark, dir)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
-    val assigned = Similarity.assignByCenters(v, centers)
-      .repartition(col("bucket"))
-    val a = assigned.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), Similarity.norm(col("vec")).as("nrm_a"))
-    val b = assigned.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
-      col("vec").as("vec_b"), Similarity.norm(col("vec")).as("nrm_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
-          col("nrm_a"), col("nrm_b")).as("score_c"))
-      .filter(col("score_c") >= 400000L)
+    Similarity.ivfTopKByCenters(v.filter(col("id") < 8), v, centers, K)
   }
 
-  /** Multi-probe IVF: the query fans out to its 2 nearest centroid
-    * cells — the recall knob of a real IVF index (corpus side stays
-    * single-assigned, so probes scale only the tiny query side). */
+  /** Multi-probe IVF over the same trained cells: the query fans out to
+    * its 2 nearest cells — the recall knob of a real IVF index (corpus
+    * side stays single-assigned, so probes scale only the tiny query
+    * side). */
   def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    Similarity.ivfTopK(v.filter(col("id") < 8), v,
-      v.filter(col("id") % 50 === 7), K, nprobe = 2)
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    Similarity.ivfTopKByCenters(v.filter(col("id") < 8), v, centers, K,
+      nprobe = 2)
   }
 
-  /** Fixed centroid count for the TRAINED IVF path — a user-chosen
-    * index parameter (k ~ sqrt(n) at the bench scale), independent of
-    * corpus size. Contrast with the `% 50` slice above, whose centroid
-    * count grows linearly with the corpus and makes assignment
-    * O(n^2/50) — kept only because DuckDB can replay it for the
-    * hash-checked oracle; the trained path is the one a real pipeline
-    * runs. */
-  private val TrainedK = 32
+  /** In-cell near-duplicate pair scoring shared by the two dedup
+    * queries: vectors sharing a nearest-center cell are pairwise scored
+    * and kept when cosine >= 0.4 (the corpus has no true duplicates —
+    * the operator shape is the point). The explicit repartition by cell
+    * BEFORE deriving the two join sides makes their exchange subtrees
+    * identical, so the assignment is computed once (ReuseExchange) and
+    * the self-join needs no further shuffle. */
+  private def dedupPairs(assigned: DataFrame): DataFrame = {
+    val byCell = assigned.repartition(col("bucket"))
+    val a = byCell.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = byCell.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
+  /** Embedding-cosine near-duplicate pairs blocked by trained cells
+    * (fixed k = [[TrainedK]]): bucketed, never all-pairs. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    dedupPairs(Similarity.assignByCenters(v, centers))
+  }
+
+  /** Same operator with the ~sqrt(n) cell sizing — the variant whose
+    * index parameter tracks corpus scale (in-cell pair work stays
+    * O(n^1.5) total instead of O(n^2/k) with fixed k). */
+  def embeddingDedupTrained(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    dedupPairs(Similarity.assignByCenters(v, centers))
+  }
 
   /** Augmented kNN corpus (×4): every embedding plus its rotations by
     * 16, 32 and 48 positions (`concat(vec[17..64], vec[1..16])` etc. —
@@ -137,11 +148,7 @@ object SimQueries {
   }
 
   /** kNN-graph via trained IVF: Lloyd-refined centroids with the
-    * classic IVF sizing k ≈ √n (deterministic — seeded from the first
-    * k corpus rows, exact integer-sum means; the √n count costs one
-    * tiny job and keeps the cell population ~√n at EVERY scale, where
-    * a fixed k degenerates to linear in-cell scans as the corpus
-    * grows), then per-cell search with 2 probes.
+    * classic IVF sizing k ≈ √n, then per-cell search with 2 probes.
     * O(n·k) assignment + O(n²·nprobe/k) in-cell scoring beats the
     * O(n²) brute pass for n >> k, and is the 100 TB shape: centers
     * live driver-side (bytes), assignment is a shuffle-free
@@ -152,15 +159,10 @@ object SimQueries {
     *
     * No Tables.spread: the heavy in-cell scoring happens AFTER the
     * bucket exchange (already parallel), so spreading would only add
-    * a shuffle to every k-means scan of this small-file input.
-    *
-    * No SQL oracle: DuckDB cannot replay the iterative k-means;
-    * correctness is covered by the driver's rows check plus
-    * SimilaritySpec's recall-vs-brute-force bound. */
+    * a shuffle to every k-means scan of this small-file input. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val cells = math.max(8L, math.sqrt(v.count().toDouble).round)
-    val centers = KMeans.fitCenters(v, 0L until cells, iters = 1)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
     Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
   }
 
@@ -185,13 +187,108 @@ object SimQueries {
     s"""CAST(floor(${dotSql(a, b)} /
        |  (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) * 1e6 + 0.5) AS BIGINT)""".stripMargin
 
+  /** Scaled cosine from a precomputed dot + norms — the SQL mirror of
+    * [[Similarity.scaledFromParts]]. */
+  private def scaledPartsSql(a: String, b: String, na: String, nb: String) =
+    s"CAST(floor(${dotSql(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
+
+  /** CTE attaching the precomputed norm: vn(id, vec, nrm) over a
+    * source CTE `v(id, vec)`. */
+  private def vnSql =
+    s"vn AS (SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm FROM v)"
+
+  /** The augmented ×4 rotation corpus as SQL (mirror of
+    * [[augmentedVectors]]). */
+  private val augmentedSql =
+    """v0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |v AS (SELECT id * 4 AS id, vec FROM v0
+      |      UNION ALL SELECT id * 4 + 1, vec[17:64] || vec[1:16] FROM v0
+      |      UNION ALL SELECT id * 4 + 2, vec[33:64] || vec[1:32] FROM v0
+      |      UNION ALL SELECT id * 4 + 3, vec[49:64] || vec[1:48] FROM v0)""".stripMargin
+
+  /** SQL replay of `KMeans.fitCenters(v, 0 until cells, iters = 1)`
+    * followed by the final nearest-center ranking — the exact
+    * relational unrolling of one Lloyd iteration:
+    *
+    *  1. `c0`: initial centers = corpus rows with id < cells (the
+    *     `initIds = 0 until cells` filter);
+    *  2. `a0`: argmax-cosine assignment to the initial centers
+    *     (score desc, center id asc — [[graft.expressions.TopCentersExpr]]'s
+    *     tie-break);
+    *  3. `mm`/`cc`: per-(cell, position) member mean via the SAME
+    *     exact integer-sum formula as [[KMeans.stepCenters]]
+    *     (`sum(floor(x*1e9+0.5)::BIGINT)::DOUBLE / 1e9 / count`), then
+    *     CAST to FLOAT — bit-identical to Scala's `.toFloat` (both
+    *     IEEE round-to-nearest); empty cells drop out of the GROUP BY
+    *     exactly as they drop from the Scala map;
+    *  4. `ranked_assign`: rank every vector's top-`nprobe` cells
+    *     against the REFINED centers.
+    *
+    * Emits CTE `ranked_assign(id, vec, nrm, bucket, rn)`; expects a
+    * prior CTE `vn(id, vec, nrm)`. */
+  private def trainedAssignSql(cellsSql: String, nprobe: Int): String =
+    s"""c0 AS (SELECT id AS c_id, vec AS c_vec, nrm AS c_nrm
+       |       FROM vn WHERE id < ($cellsSql)),
+       |a0 AS (
+       |  SELECT id, vec, c_id AS bucket FROM (
+       |    SELECT vn.id, vn.vec, c0.c_id,
+       |           row_number() OVER (PARTITION BY vn.id
+       |             ORDER BY ${scaledPartsSql("vn.vec", "c0.c_vec", "vn.nrm", "c0.c_nrm")} DESC,
+       |                      c0.c_id ASC) AS rn
+       |    FROM vn CROSS JOIN c0) WHERE rn = 1),
+       |el AS (SELECT bucket, unnest(generate_series(1, len(vec))) AS pos,
+       |              unnest(vec) AS x FROM a0),
+       |mm AS (SELECT bucket, pos,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |           / 1e9 / count(*) AS m
+       |       FROM el GROUP BY bucket, pos),
+       |cc AS (SELECT bucket AS c_id, list(CAST(m AS FLOAT) ORDER BY pos ASC) AS c_vec
+       |       FROM mm GROUP BY bucket),
+       |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM cc),
+       |ranked_assign AS (
+       |  SELECT id, vec, nrm, bucket, rn FROM (
+       |    SELECT vn.id, vn.vec, vn.nrm, cn.c_id AS bucket,
+       |           row_number() OVER (PARTITION BY vn.id
+       |             ORDER BY ${scaledPartsSql("vn.vec", "cn.c_vec", "vn.nrm", "cn.c_nrm")} DESC,
+       |                      cn.c_id ASC) AS rn
+       |    FROM vn CROSS JOIN cn) WHERE rn <= $nprobe)""".stripMargin
+
+  /** sqrt(n)-cell count in SQL — mirror of [[sqrtCells]] (Scala
+    * `.round` = floor(x + 0.5) for positive x). */
+  private val sqrtCellsSql =
+    "SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM v"
+
+  /** Query-side IVF search over `ranked_assign`: queries = id < 8,
+    * probing their `nprobe` nearest cells; corpus side = rank-1 cell
+    * assignment; exact top-K per query. */
+  private def ivfSearchSql: String =
+    s"""assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+       |q AS (SELECT id AS q_id, vec AS q_vec, nrm AS q_nrm, bucket
+       |      FROM ranked_assign WHERE id < 8),
+       |scored AS (
+       |  SELECT q.q_id, a.id AS n_id,
+       |         ${scaledPartsSql("q.q_vec", "a.vec", "q.q_nrm", "a.nrm")} AS score_c
+       |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_c DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** In-cell near-dup pairs over `ranked_assign` (mirror of
+    * [[dedupPairs]]). */
+  private def dedupPairsSql: String =
+    s"""assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1)
+       |SELECT id_a, id_b, score_c FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |         ${scaledPartsSql("a.vec", "b.vec", "a.nrm", "b.nrm")} AS score_c
+       |  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id)
+       |WHERE score_c >= 400000""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "knn_graph_brute" ->
-      s"""WITH v0 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |v AS (SELECT id * 4 AS id, vec FROM v0
-        |      UNION ALL SELECT id * 4 + 1, vec[17:64] || vec[1:16] FROM v0
-        |      UNION ALL SELECT id * 4 + 2, vec[33:64] || vec[1:32] FROM v0
-        |      UNION ALL SELECT id * 4 + 3, vec[49:64] || vec[1:48] FROM v0),
+      s"""WITH $augmentedSql,
         |scored AS (
         |  SELECT q.id AS q_id, v.id AS n_id, ${cosScaledSql("q.vec", "v.vec")} AS score_c
         |  FROM v q JOIN v ON q.id <> v.id
@@ -215,62 +312,40 @@ object SimQueries {
         |)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin,
-    "embedding_dedup" ->
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
-        |assign AS (
-        |  SELECT id, vec, c_id AS bucket FROM (
-        |    SELECT v.id, v.vec, c.c_id,
-        |           row_number() OVER (PARTITION BY v.id
-        |             ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
-        |    FROM v CROSS JOIN c) WHERE rn = 1
-        |)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |       ${cosScaledSql("a.vec", "b.vec")} AS score_c
-        |FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id
-        |WHERE ${cosScaledSql("a.vec", "b.vec")} >= 400000""".stripMargin,
-    "ann_ivf_probe2" ->
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
-        |ranked_assign AS (
-        |  SELECT v.id, v.vec, c.c_id AS bucket,
-        |         row_number() OVER (PARTITION BY v.id
-        |           ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
-        |  FROM v CROSS JOIN c
-        |), assign AS (
-        |  SELECT id, vec, bucket FROM ranked_assign WHERE rn = 1
-        |), q AS (
-        |  SELECT id AS q_id, vec AS q_vec, bucket
-        |  FROM ranked_assign WHERE id < 8 AND rn <= 2
-        |), scored AS (
-        |  SELECT q.q_id, a.id AS n_id, ${cosScaledSql("q.q_vec", "a.vec")} AS score_c
-        |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id
-        |), ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score_c DESC, n_id ASC) AS rank
-        |  FROM scored
-        |)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
-        |FROM ranked WHERE rank <= $K""".stripMargin,
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |c AS (SELECT id AS c_id, vec AS c_vec FROM v WHERE id % 50 = 7),
-        |assign AS (
-        |  SELECT id, vec, c_id AS bucket FROM (
-        |    SELECT v.id, v.vec, c.c_id,
-        |           row_number() OVER (PARTITION BY v.id
-        |             ORDER BY ${cosScaledSql("v.vec", "c.c_vec")} DESC, c.c_id ASC) AS rn
-        |    FROM v CROSS JOIN c) WHERE rn = 1
-        |), q AS (
-        |  SELECT id AS q_id, vec AS q_vec, bucket FROM assign WHERE id < 8
-        |), scored AS (
-        |  SELECT q.q_id, a.id AS n_id, ${cosScaledSql("q.q_vec", "a.vec")} AS score_c
-        |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id
-        |), ranked AS (
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 1)},
+        |$ivfSearchSql""".stripMargin,
+    "ann_ivf_probe2" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 2)},
+        |$ivfSearchSql""".stripMargin,
+    "embedding_dedup" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 1)},
+        |$dedupPairsSql""".stripMargin,
+    "embedding_dedup_trained" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
+        |$dedupPairsSql""".stripMargin,
+    "knn_graph_ivf" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |scored AS (
+        |  SELECT p.id AS q_id, a.id AS n_id,
+        |         ${scaledPartsSql("p.vec", "a.vec", "p.nrm", "a.nrm")} AS score_c
+        |  FROM ranked_assign p JOIN assign a
+        |    ON p.bucket = a.bucket AND p.id <> a.id),
+        |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |      ORDER BY score_c DESC, n_id ASC) AS rank
-        |  FROM scored
-        |)
+        |  FROM scored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin
   )

@@ -119,11 +119,36 @@ object Similarity {
   }
 
   /** Nearest-center assignment from driver-side centers: (id, vec,
-    * bucket), one row per vector, shuffle-free (see [[rankedCells]]). */
+    * nrm, bucket), one row per vector, shuffle-free (see
+    * [[rankedCells]]). The precomputed norm rides along so pairwise
+    * scorers over the assignment don't recompute it per pair. */
   def assignByCenters(vectors: DataFrame,
       centers: Array[(Long, Array[Float])]): DataFrame =
     rankedCells(vectors, centers, 1)
-      .select(col("id"), col("vec"), col("bucket"))
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"))
+
+  /** IVF search against DRIVER-SIDE trained centers — the production
+    * wiring of [[ivfTopK]]: corpus cells and query probes both come
+    * from the shuffle-free [[rankedCells]] projection (|centers| is an
+    * index parameter — bytes on the driver — never a function of
+    * corpus size), so the only exchange is the bucket-keyed join
+    * itself, and the tiny query side broadcasts. */
+  def ivfTopKByCenters(queries: DataFrame, corpus: DataFrame,
+      centers: Array[(Long, Array[Float])], k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cB = assignByCenters(corpus, centers)
+      .select(col("bucket"), col("id").as("n_id"), col("vec").as("n_vec"),
+        col("nrm").as("n_nrm"))
+    val qB = rankedCells(queries, centers, nprobe)
+      .select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = broadcast(qB).join(cB, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+    topK(scored, k)
+  }
 
   /** Exact all-pairs kNN graph with the candidate matrix COLLECTED to
     * the driver and evaluated by the native

@@ -21,7 +21,7 @@ class KMeansSpec extends SparkSpec {
     val (centroids, assignment) = KMeans.fit(corpus, Seq(0L, 1L, 2L), 3)
     assert(centroids.count() == 3)
     val byBucket = assignment.collect()
-      .groupBy(_.getLong(2))
+      .groupBy(_.getAs[Long]("bucket"))
       .map { case (b, rows) => b -> rows.map(_.getLong(0) % 3).distinct.toSeq }
     // Every bucket is pure: all members share one ground-truth cluster.
     assert(byBucket.values.forall(_.size == 1))
@@ -30,9 +30,9 @@ class KMeansSpec extends SparkSpec {
 
   test("fit is deterministic across runs") {
     val a = KMeans.fit(corpus, Seq(0L, 1L, 2L), 2)._2
-      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket"))).sorted.toSeq
     val b = KMeans.fit(corpus, Seq(0L, 1L, 2L), 2)._2
-      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket"))).sorted.toSeq
     assert(a == b)
   }
 }
