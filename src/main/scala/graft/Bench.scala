@@ -33,10 +33,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Min of three measured passes per query: host-level CPU noise was
-    // observed to swing single measurements 2-4x (round-3 recorded
-    // 6.3s for a projection that steady-states at 0.3s — with min of
-    // TWO, one noisy pair poisons the record); the minimum is the
+    // Min of three INTERLEAVED measured passes per query: host-level
+    // CPU noise was observed to swing single measurements 2-4x, in
+    // sustained windows long enough that three back-to-back runs of
+    // the SAME query all land inside one window (round-4 recorded 5.5s
+    // for a query that steady-states at 0.8s despite min-of-3). The
+    // suite therefore runs as pass 1 (all queries) -> pass 2 -> pass 3,
+    // per-query min across passes: a noise window now inflates one
+    // PASS of many queries, and each query's other two passes — minutes
+    // apart — still record the steady state. The minimum is the
     // standard low-noise estimator of steady-state runtime. A query
     // that throws records the sentinel -1 (NOT its time-to-failure,
     // which would read as a healthy fast run) and is listed in
@@ -51,9 +56,13 @@ object Bench {
         None
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val passes = Seq.fill(3)(timeOnce(name, fn)).flatten
-      name -> (if (passes.isEmpty) -1.0 else passes.min)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val passes: Seq[Map[String, Option[Double]]] = (1 to 3).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = passes.flatMap(_(name))
+      name -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

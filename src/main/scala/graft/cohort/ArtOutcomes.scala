@@ -143,15 +143,24 @@ object ArtOutcomes {
     *
     * Intentional deviations from the reference, kept because they make
     * the operator a strict superset (oracle + tests mirror them):
-    *  - Output covers the FULL patient x month universe; the reference
-    *    emits rows only for patients with >= 1 encounter as of the
-    *    month (`:158-182` drives membership from last_encounter). A
-    *    no-fact patient-month classifies as 'NV' here.
+    *  - With the default `encounterUniverse = false`, output covers the
+    *    FULL patient x month universe; the reference emits rows only
+    *    for patients with >= 1 visit-or-dispense encounter as of the
+    *    month (`:158-182` drives membership from last_encounter, whose
+    *    `where ... is not null` keeps exactly the rows where at least
+    *    one of the two encounter streams has a visible fact). A no-fact
+    *    patient-month classifies as 'NV' here. Pass
+    *    `encounterUniverse = true` for the reference-literal
+    *    membership: rows exist only where last_encounter is non-null
+    *    (exit-only patient-months drop too — exits are not
+    *    encounters), `patients` is then unused, and the patient x
+    *    month lattice join disappears from the plan entirely.
     *  - The reference orders discontinuations by
     *    EffectiveDiscontinuationDate alone (`:118` — ties are
     *    nondeterministic); disc_id breaks ties here so reruns agree. */
   def outcomes(patients: DataFrame, visits: DataFrame, pharmacy: DataFrame,
-      exits: DataFrame, disc: DataFrame, spine: DataFrame): DataFrame = {
+      exits: DataFrame, disc: DataFrame, spine: DataFrame,
+      encounterUniverse: Boolean = false): DataFrame = {
 
     // Common tall shape: (patient_id, kind, __fdate, __t1, __t2, payload...)
     val payloadFields = Seq("visit_date", "next_appt", "dispense_date",
@@ -256,15 +265,22 @@ object ArtOutcomes {
       .select(col("c_pid"), col("__c.disc_date").as("disc_date"),
         col("__c.disc_reason").as("disc_reason"))
 
-    // Patient x month universe; months broadcast (tiny dimension).
-    val universe = patients.select(col("patient_id"))
-      .join(broadcast(spine))
+    // Membership: reference-literal mode keeps exactly the
+    // encounter-bearing (patient, month) rows — the state frame IS the
+    // output skeleton, no patient dimension, no lattice join. Full-
+    // universe mode enumerates patient x month (months broadcast —
+    // tiny dimension) and left-joins the state.
+    val base =
+      if (encounterUniverse) state.filter(col("last_encounter").isNotNull)
+      else patients.select(col("patient_id"))
+        .join(broadcast(spine))
+        .join(state.withColumnRenamed("patient_id", "s_pid")
+            .withColumnRenamed("as_of", "s_asof"),
+          col("patient_id") <=> col("s_pid") && col("as_of") <=> col("s_asof"),
+          "left")
+        .drop("s_pid", "s_asof")
 
-    val full = universe
-      .join(state.withColumnRenamed("patient_id", "s_pid")
-          .withColumnRenamed("as_of", "s_asof"),
-        col("patient_id") <=> col("s_pid") && col("as_of") <=> col("s_asof"),
-        "left")
+    val full = base
       .join(firstVisit, col("patient_id") <=> col("f_pid"), "left")
       .join(broadcast(latestDisc), col("patient_id") <=> col("c_pid"), "left")
 

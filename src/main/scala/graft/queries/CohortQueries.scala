@@ -70,7 +70,20 @@ object CohortQueries {
   }
 
   /** §3.3 — the full multi-month as-of cohort over 1998. */
-  def artOutcome(spark: SparkSession, dir: String): DataFrame = {
+  def artOutcome(spark: SparkSession, dir: String): DataFrame =
+    artOutcomeImpl(spark, dir, encounterUniverse = false)
+
+  /** Reference-literal membership variant: rows only for patient-months
+    * with >= 1 visit-or-dispense encounter as of the month (the
+    * reference's `last_encounter`-driven insert,
+    * `LoadHistoricalARTOutcomes.sql:158-182,234-243`) — what a
+    * migration user diffing against the live ODS sees. Same outcome
+    * semantics; the full-universe form is the superset. */
+  def artOutcomeRef(spark: SparkSession, dir: String): DataFrame =
+    artOutcomeImpl(spark, dir, encounterUniverse = true)
+
+  private def artOutcomeImpl(spark: SparkSession, dir: String,
+      encounterUniverse: Boolean): DataFrame = {
     val spine = ArtOutcomes.monthEndSpine(spark,
       LocalDate.of(1998, 1, 1), LocalDate.of(1998, 12, 1))
     val patients = Tables.customer(spark, dir)
@@ -105,7 +118,8 @@ object CohortQueries {
       when(col("event_id") % 5 === 0, lit("DIED")).otherwise(lit("STOPPED"))
         .as("disc_reason"),
       col("event_id").as("disc_id"))
-    ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine)
+    ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine,
+        encounterUniverse)
       .select(col("patient_id"), iso(col("as_of")).as("as_of"),
         iso(col("last_encounter")).as("last_encounter"),
         iso(col("next_expected")).as("next_expected"), col("outcome"))
@@ -197,6 +211,7 @@ object CohortQueries {
     "month_spine"          -> (monthSpine _),
     "full_outer_encounter" -> (fullOuterEncounter _),
     "art_outcome"          -> (artOutcome _),
+    "art_outcome_ref"      -> (artOutcomeRef _),
     "asof_join"            -> (asofJoin _),
     "asof_join_fanout"     -> (asofJoinFanout _),
     "asof_join_broadcast"  -> (asofJoinBroadcast _),
@@ -280,8 +295,17 @@ object CohortQueries {
     // self-confirmation. CASE order and conditions mirror
     // LoadHistoricalARTOutcomes.sql:211-222; the fix-up anchors on the
     // as-of date (:192); disc is latest over ALL time (:109-128).
-    "art_outcome" ->
-      s"""WITH spine AS (
+    "art_outcome" -> artOutcomeOracle(encounterUniverse = false),
+    // Reference-literal membership: the output skeleton is `enc`
+    // itself (visit/dispense patient-months), not customer x spine.
+    "art_outcome_ref" -> artOutcomeOracle(encounterUniverse = true)
+  )
+
+  private def artOutcomeOracle(encounterUniverse: Boolean): String = {
+    val (universeFrom, u) =
+      if (encounterUniverse) ("enc e", "e")
+      else ("uni u\nLEFT JOIN enc e ON u.pid = e.pid AND u.as_of = e.as_of", "u")
+    s"""WITH spine AS (
         |  SELECT last_day(CAST(unnest(generate_series(
         |    DATE '1998-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS DATE)) AS as_of
         |), visits AS (
@@ -339,22 +363,21 @@ object CohortQueries {
         |), uni AS (
         |  SELECT c_custkey AS pid, as_of FROM customer CROSS JOIN spine
         |)
-        |SELECT u.pid AS patient_id, strftime(u.as_of, '%Y-%m-%d') AS as_of,
+        |SELECT $u.pid AS patient_id, strftime($u.as_of, '%Y-%m-%d') AS as_of,
         |       strftime(e.last_encounter, '%Y-%m-%d') AS last_encounter,
         |       strftime(e.next_expected, '%Y-%m-%d') AS next_expected,
         |       CASE WHEN lc.cdate IS NOT NULL AND lc.creason <> 'DIED'
-        |                 AND lc.cdate > u.as_of THEN 'V'
-        |            WHEN fv.first_visit > u.as_of THEN 'NP'
+        |                 AND lc.cdate > $u.as_of THEN 'V'
+        |            WHEN fv.first_visit > $u.as_of THEN 'NP'
         |            WHEN lx.xdate IS NOT NULL THEN substr(lx.reason, 1, 1)
-        |            WHEN u.as_of < e.next_expected
-        |                 OR date_diff('day', e.next_expected, u.as_of) <= 30 THEN 'V'
-        |            WHEN date_diff('day', e.next_expected, u.as_of) > 30 THEN 'uL'
+        |            WHEN $u.as_of < e.next_expected
+        |                 OR date_diff('day', e.next_expected, $u.as_of) <= 30 THEN 'V'
+        |            WHEN date_diff('day', e.next_expected, $u.as_of) > 30 THEN 'uL'
         |            WHEN e.next_expected IS NULL THEN 'NV'
         |            END AS outcome
-        |FROM uni u
-        |LEFT JOIN enc e ON u.pid = e.pid AND u.as_of = e.as_of
-        |LEFT JOIN lx ON u.pid = lx.pid AND u.as_of = lx.as_of
-        |LEFT JOIN lc ON u.pid = lc.pid
-        |LEFT JOIN fv ON u.pid = fv.pid""".stripMargin
-  )
+        |FROM $universeFrom
+        |LEFT JOIN lx ON $u.pid = lx.pid AND $u.as_of = lx.as_of
+        |LEFT JOIN lc ON $u.pid = lc.pid
+        |LEFT JOIN fv ON $u.pid = fv.pid""".stripMargin
+  }
 }

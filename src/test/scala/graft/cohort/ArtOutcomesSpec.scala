@@ -101,4 +101,30 @@ class ArtOutcomesSpec extends SparkSpec {
   test("plausible appointment is NOT fixed up (patient 7 keeps raw date)") {
     assert(result(7L)._2.contains("2024-02-19"))
   }
+
+  test("encounter-driven membership == full universe minus no-encounter rows") {
+    // The reference-literal variant must be EXACTLY the full-universe
+    // output restricted to rows with a visit-or-dispense encounter
+    // (last_encounter non-null): same payloads, same outcomes — only
+    // membership differs. Multi-month spine so mid-spine arrivals
+    // (patient 4 appears in March) exercise the boundary.
+    val spine = ArtOutcomes.monthEndSpine(spark,
+      LocalDate.of(2024, 1, 1), LocalDate.of(2024, 6, 1))
+    def rows(encounterUniverse: Boolean) =
+      ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine,
+          encounterUniverse)
+        .collect()
+        .map(r => (r.getLong(0), String.valueOf(r.getDate(1)),
+          Option(r.getDate(2)).map(_.toString),
+          Option(r.getDate(3)).map(_.toString), r.getString(4)))
+        .toSet
+    val full = rows(encounterUniverse = false)
+    val ref = rows(encounterUniverse = true)
+    assert(ref == full.filter(_._3.nonEmpty),
+      "ref variant must equal the full universe filtered to encounters")
+    // And it is a strict subset here: patient 3 (never visited) and
+    // patient 4's pre-March months exist only in the full universe.
+    assert(ref.size < full.size)
+    assert(!ref.exists(_._1 == 3L) && full.exists(_._1 == 3L))
+  }
 }
