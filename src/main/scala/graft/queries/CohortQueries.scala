@@ -47,18 +47,21 @@ object CohortQueries {
   /** J7 — standalone full-outer last-encounter: latest order per
     * customer vs latest event per user, keys coalesced. */
   def fullOuterEncounter(spark: SparkSession, dir: String): DataFrame = {
-    // Partial-aggregating struct-max (map-side combine) instead of a
-    // sort window — see Dedup.latestPerKey.
+    // Native-date MAX (map-side combine, int agg buffer ->
+    // HashAggregate, plan-asserted in PlanAuditSpec). Only the date is
+    // kept, so no ordering struct is needed — a struct-typed buffer
+    // (max(struct)/max_by) would push the whole aggregation to
+    // SortAggregate and sort every input row per partition. */
     val lastOrder = Tables.orders(spark, dir)
       .withColumn("d", col("o_orderdate").cast("date"))
       .groupBy(col("o_custkey"))
-      .agg(max(struct(col("d"), col("o_orderkey"))).as("m"))
-      .select(col("o_custkey").as("o_pid"), col("m.d").as("last_order"))
+      .agg(max(col("d")).as("last_order"))
+      .select(col("o_custkey").as("o_pid"), col("last_order"))
     val lastEvent = Tables.events(spark, dir)
       .withColumn("ed", eventDate)
       .groupBy(col("user_id"))
-      .agg(max(struct(col("ed"), col("event_id"))).as("m"))
-      .select(col("user_id").as("e_pid"), col("m.ed").as("last_event"))
+      .agg(max(col("ed")).as("last_event"))
+      .select(col("user_id").as("e_pid"), col("last_event"))
     lastOrder.join(lastEvent, col("o_pid") <=> col("e_pid"), "full_outer")
       .select(
         coalesce(col("o_pid"), col("e_pid")).as("patient_id"),

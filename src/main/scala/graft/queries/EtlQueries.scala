@@ -76,7 +76,14 @@ object EtlQueries {
   }
 
   /** A1/A2 — grouped aggregation; sums are exact integer-cents sums so
-    * the result is independent of partitioning/accumulation order. */
+    * the result is independent of partitioning/accumulation order.
+    * Dates aggregate as native DateType (int buffer) and format AFTER
+    * the agg: min/max over pre-formatted strings would buffer
+    * UTF8Strings, degrade the whole aggregation to SortAggregate, and
+    * pay per-row string formatting of every input instead of 6 output
+    * rows (plan-asserted HashAggregate in PlanAuditSpec). ISO date
+    * ordering == string ordering, so min/max commute with the
+    * formatting. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -84,8 +91,12 @@ object EtlQueries {
         count(lit(1)).as("n_rows"),
         sum(cents(col("l_quantity"))).as("sum_qty_c"),
         sum(cents(col("l_extendedprice"))).as("sum_price_c"),
-        min(iso(col("l_shipdate"))).as("min_ship"),
-        max(iso(col("l_shipdate"))).as("max_ship"))
+        min(col("l_shipdate").cast("date")).as("__min_ship"),
+        max(col("l_shipdate").cast("date")).as("__max_ship"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_rows"),
+        col("sum_qty_c"), col("sum_price_c"),
+        iso(col("__min_ship")).as("min_ship"),
+        iso(col("__max_ship")).as("max_ship"))
 
   /** J5′ — reference-literal GROUP-BY-MAX dedup (`Load Source CT
     * Patients/.../LoadSourceCTPatients.sql:10-17`): keep rows matching

@@ -67,4 +67,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan)
   }
+
+  test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
+    // min/max over native DateType keeps an int agg buffer ->
+    // HashAggregate with map-side partial aggregation. Aggregating
+    // date_format() STRINGS instead would buffer UTF8Strings and
+    // degrade the whole agg to per-partition SortAggregate plus
+    // per-input-row formatting — harmless at sf0.1, real at 100 TB.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("pricing_summary", "full_outer_encounter")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("HashAggregate"), s"$name:\n$plan")
+      assert(!plan.contains("SortAggregate"),
+        s"$name degraded to SortAggregate:\n$plan")
+    }
+  }
 }
