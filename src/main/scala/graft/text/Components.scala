@@ -29,7 +29,16 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, comp) for every vertex appearing in `pairs`; comp is the
-    * minimum vertex id reachable through the pair graph. */
+    * minimum vertex id reachable through the pair graph.
+    *
+    * Throws IllegalStateException if labels are still changing when
+    * `maxIters` is exhausted: label propagation needs ~diameter rounds,
+    * and a >maxIters-diameter component (a pathological chain of
+    * near-dups — template spam can produce one) would otherwise return
+    * silently WRONG labels, splitting one true component into several
+    * and keeping duplicate documents. Loud failure + a bigger
+    * `maxIters` is the correct response; near-dup graphs in practice
+    * converge in 2-4 rounds. */
   def connected(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
     val edges = pairs
@@ -60,6 +69,11 @@ object Components {
       labels = next.select(col("id"), col("new_comp").as("comp"))
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"Components.connected did not converge in $maxIters iterations " +
+          s"($changed labels still changing) — component diameter exceeds " +
+          "maxIters; raise it (labels would be silently wrong)")
     labels.select(col("id"), col("comp"))
   }
 }

@@ -37,6 +37,21 @@ class ComponentsSpec extends SparkSpec {
     assert(m.size == 12)
   }
 
+  test("iteration-cap exhaustion throws instead of returning wrong labels") {
+    // A 30-hop chain needs ~30 propagation rounds; at maxIters = 6
+    // the labels are still moving and silent return would split one
+    // true component into several (duplicates kept). Must throw.
+    val chain = (1L until 31L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.connected(chain, "a", "b", maxIters = 6).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // With a sufficient bound the same graph converges to one component.
+    val m = Components.connected(chain, "a", "b", maxIters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.values.toSet == Set(1L) && m.size == 31)
+  }
+
   test("random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(1234)
     val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
