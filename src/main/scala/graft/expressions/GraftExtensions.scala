@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** Session extension registering the native expressions as SQL
   * functions (`SparkSessionExtensions.injectFunction`). Wire with
@@ -15,6 +15,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, IntegerType) => v
     case other =>
       throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a boolean literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -49,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         TopCentersExpr(children.head, children(1), children(2),
           intLit(children(3), "nearest"))))
+    // Bounded-heap top-k aggregate — the engine the row_number()<=k
+    // rewrite targets, also callable directly:
+    // graft_top_k_by(payload_struct, order_struct, k, asc) -> array<payload>.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_k_by"),
+      new ExpressionInfo(classOf[graft.plans.TopKByAgg].getName, "graft_top_k_by"),
+      (children: Seq[Expression]) =>
+        graft.plans.TopKByAgg(children.head, children(1),
+          intLit(children(2), "k"), boolLit(children(3), "asc"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_knn_topk"),
       new ExpressionInfo(classOf[KnnTopKExpr].getName, "graft_knn_topk"),

@@ -69,8 +69,20 @@ case class TopKByAgg(
   override def createAggregationBuffer(): TopKByAgg.Buffer =
     new TopKByAgg.Buffer(k, asc, cmp)
 
+  @transient private lazy val updatePair = new GenericInternalRow(2)
+
   override def update(buf: TopKByAgg.Buffer, input: InternalRow): TopKByAgg.Buffer = {
-    buf.insert(ordering.eval(input), payload.eval(input))
+    // Normalize through an UnsafeProjection before inserting: eval of a
+    // struct expression returns a GenericInternalRow whose copy() is a
+    // no-op, and whose string/binary fields may be SLICES of a reused
+    // input-row buffer — storing them directly would silently corrupt
+    // retained elements when the source row is recycled. The projection
+    // output is itself reused, so Buffer.insert still compares first
+    // (O(1) reject path, no allocation) and deep-copies only on keep.
+    updatePair.update(0, ordering.eval(input))
+    updatePair.update(1, payload.eval(input))
+    val ur = serProj(updatePair)
+    buf.insert(ur.getStruct(0, oFields), ur.getStruct(1, pFields))
     buf
   }
 

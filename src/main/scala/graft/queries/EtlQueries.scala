@@ -183,6 +183,34 @@ object EtlQueries {
     Skew.saltedAgg(skewed(spark, dir), Seq("hot_key"), col("v"), 16)(
       "n_distinct" -> (size(collect_set(col("v"))).cast("long"), sum(_)))
 
+  /** Top-3 per hot key via the naive row_number()<=k window — the form
+    * the engine's [[graft.plans.RankOneToAggregate]] rule rewrites into
+    * the bounded-heap [[graft.plans.TopKByAgg]] partial aggregate: each
+    * map task keeps at most 3 candidate rows for the hot key, so the
+    * shuffle moves ~96 rows (32 tasks x 3) instead of the hot key's
+    * ~594k, and no single task sorts the whole hot partition. */
+  def skewCapTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hot_key")).orderBy(col("v").desc)
+    skewed(spark, dir).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select(col("hot_key"), col("v"), col("__rn").cast("long").as("keep_rank"))
+  }
+
+  /** The rewrite-immune strawman for [[skewCapTopk]]: identical query,
+    * but ordered `desc_nulls_first` — semantically the same on the
+    * non-null key, yet outside the rule's null-ordering guard, so the
+    * plan keeps the serial hot-key window sort. The bench gap between
+    * this and [[skewCapTopk]] is the row_number<=k rewrite's measured
+    * win. */
+  def skewCapNoopt(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hot_key")).orderBy(col("v").desc_nulls_first)
+    skewed(spark, dir).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 3)
+      .select(col("hot_key"), col("v"), col("__rn").cast("long").as("keep_rank"))
+  }
+
   /** E9/U1 — PII hash: UPPER(SHA2-256(string form)). */
   def piiHash(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
@@ -200,7 +228,9 @@ object EtlQueries {
     "skew_collect_salted"   -> (skewCollectSalted _),
     "skew_latest_window"    -> (skewLatestWindow _),
     "skew_latest_maxby"     -> (skewLatestMaxby _),
-    "skew_latest_noopt"     -> (skewLatestNoopt _)
+    "skew_latest_noopt"     -> (skewLatestNoopt _),
+    "skew_cap_topk"         -> (skewCapTopk _),
+    "skew_cap_noopt"        -> (skewCapNoopt _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +311,33 @@ object EtlQueries {
       """SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
         |       max(l_orderkey * 10 + l_linenumber) AS v
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Identical oracle for both skew_cap entries (v is unique per row,
+    // so top-3-by-v is a total order): the TopKByAgg rewrite and the
+    // serial window plan must produce byte-identical rows.
+    "skew_cap_topk" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |         l_orderkey * 10 + l_linenumber AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT hot_key, v,
+        |         row_number() OVER (PARTITION BY hot_key ORDER BY v DESC) AS keep_rank
+        |  FROM s
+        |)
+        |SELECT hot_key, v, CAST(keep_rank AS BIGINT) AS keep_rank
+        |FROM r WHERE keep_rank <= 3""".stripMargin,
+    "skew_cap_noopt" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END AS hot_key,
+        |         l_orderkey * 10 + l_linenumber AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT hot_key, v,
+        |         row_number() OVER (PARTITION BY hot_key ORDER BY v DESC) AS keep_rank
+        |  FROM s
+        |)
+        |SELECT hot_key, v, CAST(keep_rank AS BIGINT) AS keep_rank
+        |FROM r WHERE keep_rank <= 3""".stripMargin,
     "pii_hash" ->
       """SELECT c_custkey,
         |       upper(sha256(CAST(c_custkey AS VARCHAR))) AS c_custkeyHash,

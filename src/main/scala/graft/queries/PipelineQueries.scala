@@ -28,7 +28,6 @@ object PipelineQueries {
   private val ShuffleShards = 16
   private val ShuffleSeed = "epoch0"
   private val SourceCap = 10
-  private val CapSalts = 4
   private val VocabK = 200
 
   /** Within-document repetition metrics (the Gopher/C4 repetition
@@ -167,32 +166,31 @@ object PipelineQueries {
     * most [[SourceCap]] documents per source, preferring longer ones
     * ((n_chars DESC, doc_id ASC) — a deterministic total order).
     *
-    * Shape at scale: two-phase top-N. A single row_number window
-    * serializes each source in one task — the classic hot-domain skew
-    * (one giant crawl domain = one straggler). Phase 1 ranks within
-    * (source, salt-bucket) and keeps each bucket's top N, cutting any
-    * source to at most N x [[CapSalts]] rows; phase 2 ranks the
-    * survivors per source. Top-N of the per-bucket top-Ns equals the
-    * global top-N (any global top-N row is in its bucket's top N), so
-    * the result is EXACTLY the single-window answer — proven by the
-    * differential property test, and by the oracle, which replays the
-    * naive single-window formulation. */
+    * Written as the NAIVE single row_number window — the form users
+    * write, and the classic hot-domain skew trap (one giant crawl
+    * domain sorts in one task). The engine's
+    * [[graft.plans.RankOneToAggregate]] rule rewrites it into the
+    * bounded-heap [[graft.plans.TopKByAgg]] partial aggregate: each map
+    * task keeps at most [[SourceCap]] rows per source, so the shuffle
+    * carries N x |tasks| rows per source instead of all of them, and no
+    * task inherits a whole hot domain (plan-asserted in
+    * PlanAuditSpec; the measured gap is the `skew_cap_*` bench pair in
+    * EtlQueries). The doc_id tiebreak rides as `-doc_id` DESC —
+    * order-equivalent to doc_id ASC for positive ids — because the
+    * rewrite (deliberately) fires only on uniform sort direction, where
+    * Catalyst struct ordering matches the window's SortOrder. The
+    * hand-salted two-phase formulation this replaces is preserved as
+    * the measured strawman territory in the skew bench family. */
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), col("n_chars"))
-    val salt = pmod(TF.portableHash(col("doc_id").cast("string"), "capsalt"),
-      lit(CapSalts.toLong))
-    val w1 = Window.partitionBy(col("source"), col("__salt"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val w2 = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    docs.withColumn("__salt", salt)
-      .withColumn("__rn1", row_number().over(w1))
-      .filter(col("__rn1") <= SourceCap)
-      .withColumn("keep_rank", row_number().over(w2).cast("long"))
-      .filter(col("keep_rank") <= SourceCap)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("keep_rank"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, (-col("doc_id")).desc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("__rn").cast("long").as("keep_rank"))
   }
 
   /** Symmetric int8 scalar quantization of the embedding column — the

@@ -68,6 +68,21 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("source_cap executes as the TopKByAgg aggregate, not a window sort") {
+    // The registered query is written as the naive row_number()<=10
+    // window; the RankOneToAggregate rule must turn it into the
+    // bounded-heap partial aggregate (ObjectHashAggregate over
+    // graft_top_k_by) so a hot source domain never serializes in one
+    // task. The DuckDB oracle replays the window form — rows must agree.
+    val df = SparkEntry.queries("source_cap")(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(!optimized.contains("Window"), s"window survived:\n$optimized")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("graft_top_k_by"), s"no TopKByAgg in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating

@@ -119,15 +119,19 @@ class RankOneToAggregateSpec extends SparkSpec {
     assert(!hasWindow(qg) && qg.collect().isEmpty)
   }
 
-  test("guards: rank(), k>1, mixed directions, multi-window do not fire") {
+  test("guards: rank(), non-prefix slice, huge k, mixed directions, multi-window do not fire") {
     val wd = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
     val rankQ = fixture.withColumn("rn", rank().over(wd))
       .filter($"rn" === 1).drop("rn")
     assert(hasWindow(rankQ), "rank() must not rewrite (ties keep >1 row)")
 
-    val topk = fixture.withColumn("rn", row_number().over(wd))
-      .filter($"rn" <= 2).drop("rn")
-    assert(hasWindow(topk), "k>1 must not rewrite")
+    val slice = fixture.withColumn("rn", row_number().over(wd))
+      .filter($"rn" === 2).drop("rn")
+    assert(hasWindow(slice), "rank = 2 keeps a non-prefix slice; must not rewrite")
+
+    val hugeK = fixture.withColumn("rn", row_number().over(wd))
+      .filter($"rn" <= 1000000).drop("rn")
+    assert(hasWindow(hugeK), "k beyond rewriteTopKMaxK must keep the window plan")
 
     val mixed = fixture.withColumn("rn", row_number().over(
         Window.partitionBy($"k").orderBy($"o".desc_nulls_last, $"v")))
@@ -144,6 +148,89 @@ class RankOneToAggregateSpec extends SparkSpec {
       .withColumn("mx", max($"v").over(Window.partitionBy($"k")))
       .filter($"rn" === 1)
     assert(hasWindow(multi), "extra window expressions must not rewrite")
+  }
+
+  private def hasTopKAgg(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate if a.aggregateExpressions.exists(_.collectFirst {
+        case AggregateExpression(_: TopKByAgg, _, _, _, _) => ()
+      }.nonEmpty) => a
+    }.nonEmpty
+
+  test("row_number <= k rewrites to the bounded-heap TopKByAgg aggregate") {
+    val w = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
+    val q = fixture.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(!hasWindow(q), "Window node must be rewritten away")
+    assert(hasTopKAgg(q), "plan must aggregate through TopKByAgg")
+    val got = q.orderBy($"k", $"rn")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3))).toSeq
+    assert(got == Seq(
+      ("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 7, 2), ("c", 5, 1)))
+  }
+
+  test("top-k asc keeps the k smallest with ranks reconstructed") {
+    val w = Window.partitionBy($"k").orderBy($"o")
+    val q = fixture.withColumn("rn", row_number().over(w)).filter($"rn" < 3)
+    assert(!hasWindow(q) && hasTopKAgg(q))
+    val got = q.orderBy($"k", $"rn")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3))).toSeq
+    assert(got == Seq(
+      ("a", 1, 1), ("a", 2, 2), ("b", 7, 1), ("b", 9, 2), ("c", 5, 1)))
+  }
+
+  test("top-k global (empty partitionBy) works, and empty input yields zero rows") {
+    val w = Window.orderBy($"o".desc_nulls_last)
+    val q = fixture.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(!hasWindow(q) && hasTopKAgg(q))
+    assert(q.orderBy($"rn").collect().map(_.getInt(1)).toSeq == Seq(9, 7))
+    // Global aggregate over EMPTY input emits one row with an empty
+    // array; the non-outer explode must drop it.
+    val empty = fixture.filter($"v" > 1000L)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    assert(!hasWindow(empty) && empty.collect().isEmpty)
+  }
+
+  test("top-k with string payload survives row-buffer reuse (deep copies)") {
+    // 1000 distinct strings through a 2-partition scan: if the buffer
+    // retained slices of reused input rows, values would collide.
+    val df = spark.range(1000).select(
+      (col("id") % 5).as("k"), concat(lit("s"), col("id")).as("s"),
+      col("id").as("o"))
+    val w = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
+    val q = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+    assert(!hasWindow(q) && hasTopKAgg(q))
+    val got = q.select($"k", $"s", $"rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val want = (0L until 5L).flatMap { k =>
+      val ids = (0L until 1000L).filter(_ % 5 == k).sorted.reverse.take(3)
+      ids.zipWithIndex.map { case (id, i) => (k, s"s$id", i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("top-k agrees with the un-rewritten window plan on a 10k-row frame") {
+    val df = spark.range(10000).select(
+      (col("id") % 97).as("k"),
+      ((col("id") * 31) % 1009).as("o"),
+      col("id").as("v"))
+    val w = Window.partitionBy($"k").orderBy($"o".desc_nulls_last, $"v".desc_nulls_last)
+    def run() = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val rewritten = run()
+    spark.conf.set(RankOneToAggregate.ConfKey, "false")
+    val plain = try run() finally spark.conf.set(RankOneToAggregate.ConfKey, "true")
+    assert(rewritten == plain)
+  }
+
+  test("several rank bounds AND-ed take the tightest") {
+    val w = Window.partitionBy($"k").orderBy($"o".desc_nulls_last)
+    val q = fixture.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2 && $"rn" <= 1 && $"v" > 0L)
+    assert(!hasWindow(q))
+    // tightest bound is 1 -> max_by path, one row per key
+    assert(aggFns(q) == Seq("max_by"))
+    assert(q.count() == 3)
   }
 
   test("conf kill-switch restores the window plan") {

@@ -115,7 +115,11 @@ class PipelineQueriesSpec extends SparkSpec {
     } finally s.unpersist()
   }
 
-  test("source_cap: two-phase salted top-N equals the single-window answer") {
+  test("source_cap: TopKByAgg-rewritten plan equals the single-window answer") {
+    // The mixed-direction window here (n_chars DESC, doc_id ASC) is
+    // deliberately OUTSIDE the RankOneToAggregate guards, so `naive`
+    // keeps the real window plan — a genuine differential against the
+    // rewritten registered query.
     import org.apache.spark.sql.expressions.Window
     val capped = PipelineQueries.sourceCap(spark, dir)
     val w = Window.partitionBy(col("source"))
