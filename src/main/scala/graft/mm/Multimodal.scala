@@ -1,35 +1,98 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing for a training-data
   * pipeline: media travel as opaque `binary` payloads with typed
-  * metadata, and per-record decoding runs partition-local so a real
-  * codec would be initialized once per partition, not once per row.
+  * metadata (`format` MIME tag), and per-record decoding runs
+  * partition-local so codec initialization happens once per partition,
+  * not once per row.
   *
-  * The decode itself is STUBBED here (this environment has no media
-  * libraries): [[FakeCodec]] derives deterministic pseudo-features from
-  * the bytes. Everything around it — the schema, the Dataset encoders,
-  * the mapPartitions batch shape, the partition-local codec lifecycle —
-  * is the real production plumbing and is what the tests cover.
+  * Image formats decode for REAL via the JDK's `javax.imageio` (PNG,
+  * JPEG, GIF, BMP — no external dependencies): width/height, an n x n
+  * grayscale thumbnail, and per-row-band mean luminance ("frame"
+  * features). Non-image payloads (text, opaque binary) take the
+  * byte-level path: head-byte thumbnail and sampled byte values —
+  * that is the honest feature set for a payload with no decoder, not
+  * a stand-in.
   */
 object Multimodal {
 
   /** A media record as it would arrive from ingestion. */
   case class MediaRecord(id: Long, payload: Array[Byte], format: String)
 
-  /** Extracted features: byte length, a fixed-size "thumbnail" (head
-    * bytes), and one sampled "frame feature" per `frameStep` bytes. */
-  case class MediaFeatures(id: Long, nBytes: Long, thumb: Array[Byte],
-      frames: Array[Long])
+  /** Extracted features. For images: `width`/`height` are the decoded
+    * dimensions, `thumb` an n x n row-major grayscale thumbnail,
+    * `frames` the mean luminance of each sampled row band. For
+    * non-image payloads: width/height are 0, `thumb` the head bytes,
+    * `frames` every `frameStep`-th byte (unsigned). An image payload
+    * that fails to decode yields width = height = -1 and empty
+    * thumb/frames — a DECLARED error row (corrupt media is data at
+    * corpus scale, not an exception to kill the job over). */
+  case class MediaFeatures(id: Long, nBytes: Long, width: Long, height: Long,
+      thumb: Array[Byte], frames: Array[Long])
 
-  /** STUB decoder — stands in for an image/audio library. Deterministic
-    * by construction so tests and reruns agree. */
-  object FakeCodec {
+  private val ImageFormats = Set("image/png", "image/jpeg", "image/gif",
+    "image/bmp")
+
+  /** Partition-local image codec. Instantiating it disables ImageIO's
+    * disk cache ONCE per partition (the default spools every decode
+    * through a temp file — a per-row disk write on the hot path). */
+  final class ImageCodec {
+    ImageIO.setUseCache(false)
+
+    /** Decode, or null when no registered reader can parse the bytes. */
+    def decode(payload: Array[Byte]): BufferedImage =
+      ImageIO.read(new ByteArrayInputStream(payload))
+
+    private def lum(rgb: Int): Int =
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+
+    /** side x side nearest-neighbor grayscale thumbnail, row-major.
+      * Nearest-neighbor (not area-average) so the result is exactly
+      * reproducible from pixel values — no float resampling kernel. */
+    def grayThumb(img: BufferedImage, side: Int): Array[Byte] = {
+      val out = new Array[Byte](side * side)
+      var ty = 0
+      while (ty < side) {
+        val y = ty * img.getHeight / side
+        var tx = 0
+        while (tx < side) {
+          val x = tx * img.getWidth / side
+          out(ty * side + tx) = lum(img.getRGB(x, y)).toByte
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    /** "Frame sampling" for a still image: mean luminance of every
+      * `step`-th row (for video this is where per-frame features would
+      * land; the plumbing shape is identical). */
+    def rowBands(img: BufferedImage, step: Int): Array[Long] = {
+      val w = img.getWidth
+      (0 until img.getHeight by step).map { y =>
+        var s = 0L
+        var x = 0
+        while (x < w) { s += lum(img.getRGB(x, y)); x += 1 }
+        s / w
+      }.toArray
+    }
+  }
+
+  /** Byte-level features for payloads with no decoder. */
+  object BinaryCodec {
     def thumbnail(payload: Array[Byte], size: Int): Array[Byte] =
       payload.take(size)
-    /** "Frame sampling": one feature per step-th byte (unsigned). */
+    /** One feature per step-th byte (unsigned). */
     def sampleFrames(payload: Array[Byte], step: Int): Array[Long] =
       payload.indices.by(step).map(i => (payload(i) & 0xff).toLong).toArray
   }
@@ -41,19 +104,32 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("text/plain").as("format"))
 
-  /** Partition-local feature extraction. The codec is instantiated per
-    * partition (here trivially, but that is where a real decoder's
-    * expensive init belongs), then streamed over the rows — constant
-    * memory, no driver collect. */
+  /** Partition-local feature extraction: the codec is instantiated per
+    * partition (ImageIO cache-off + reader setup happen there, once),
+    * then streamed over the rows — constant memory, no driver collect.
+    * Image formats decode through [[ImageCodec]]; everything else
+    * takes the [[BinaryCodec]] byte path. */
   def extractFeatures(ds: Dataset[MediaRecord], thumbBytes: Int = 8,
-      frameStep: Int = 32): Dataset[MediaFeatures] = {
+      frameStep: Int = 32, thumbSide: Int = 4): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val codec = FakeCodec // real codec init would happen here, once
+      val codec = new ImageCodec // per-partition init, once
       it.map { r =>
-        MediaFeatures(r.id, r.payload.length.toLong,
-          codec.thumbnail(r.payload, thumbBytes),
-          codec.sampleFrames(r.payload, frameStep))
+        if (ImageFormats.contains(r.format)) {
+          val img = codec.decode(r.payload)
+          if (img == null)
+            MediaFeatures(r.id, r.payload.length.toLong, -1L, -1L,
+              Array.emptyByteArray, Array.emptyLongArray)
+          else
+            MediaFeatures(r.id, r.payload.length.toLong,
+              img.getWidth.toLong, img.getHeight.toLong,
+              codec.grayThumb(img, thumbSide),
+              codec.rowBands(img, frameStep))
+        } else {
+          MediaFeatures(r.id, r.payload.length.toLong, 0L, 0L,
+            BinaryCodec.thumbnail(r.payload, thumbBytes),
+            BinaryCodec.sampleFrames(r.payload, frameStep))
+        }
       }
     }
   }
