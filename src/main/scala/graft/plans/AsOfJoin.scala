@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
 /** AS-OF JOIN — the temporal operator the reference's cohort engine
@@ -165,12 +165,26 @@ case class AsOfJoinExec(
 
 /** Broadcast as-of join: for a small right side (a dimension's
   * timestamped snapshots vs a 100 TB event stream), the winning plan
-  * shuffles NOTHING — the right side is collected, grouped by key,
-  * time-sorted, and broadcast; each left partition binary-searches its
-  * matches in place. Zero exchanges in the whole plan (the SMJ form
-  * pays two), embarrassingly parallel over the left. The caller
-  * asserts the right side fits the driver/executor heap, exactly as
-  * with `broadcast()` hints. */
+  * never SHUFFLES — the right side flows through a real
+  * `BroadcastExchangeExec` (declared via `BroadcastDistribution` with
+  * `IdentityBroadcastMode`, so EnsureRequirements inserts it and the
+  * build participates in broadcast size accounting, timeouts, metrics,
+  * and exchange reuse — two as-of joins over the same snapshot table
+  * share ONE exchange); each left partition then binary-searches its
+  * matches in place. The SMJ form pays two hash exchanges; this plan's
+  * only exchange is the broadcast of the (small) build.
+  *
+  * The key->time-sorted-rows table is built from the broadcast row
+  * array ONCE PER EXECUTOR (memoized in [[BroadcastAsOfJoinExec.tableCache]],
+  * weak-keyed on the executor-cached broadcast value), not once per
+  * task — the executor-local equivalent of the once-on-driver build,
+  * with the broadcast of the raw rows staying in Spark's standard,
+  * accounted path. `IdentityBroadcastMode` is the only row-preserving
+  * mode `BroadcastExchangeExec` accepts (its other shape,
+  * `HashedRelation`, is a sealed trait), which is why the build step
+  * runs behind the exchange rather than inside it. The caller asserts
+  * the right side fits the broadcast limits, exactly as with
+  * `broadcast()` hints. */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
@@ -184,50 +198,28 @@ case class BroadcastAsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val rightWidth = right.output.length
     val allOut = output
     val leftOut = left.output
     val rightOut = right.output
-    val rightKeyExprs = rightKeys
-    val rightTimeExpr = rightTime
-
-    // Driver-side build: key -> right rows sorted ascending by time
-    // (null keys / null times excluded — they can never match). One
-    // mutable-map pass over the collected rows — a functional
-    // groupBy-of-copies benched ~2x slower on a 150k-row build.
-    val rKeyGen = UnsafeProjection.create(rightKeyExprs, rightOut)
-    val rTimeGen = UnsafeProjection.create(Seq(rightTimeExpr), rightOut)
-    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
-    val buckets = new scala.collection.mutable.HashMap[InternalRow,
-      scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
-    val collected = right.executeCollect()
-    var ci = 0
-    while (ci < collected.length) {
-      val r = collected(ci)
-      val k = rKeyGen(r)
-      if (!k.anyNull) {
-        val t = rTimeGen(r)
-        if (!t.isNullAt(0)) {
-          val buf = buckets.getOrElseUpdate(k.copy(),
-            new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)])
-          buf += ((t.copy(), r))
-        }
-      }
-      ci += 1
-    }
-    val grouped: Map[InternalRow, (Array[InternalRow], Array[InternalRow])] =
-      buckets.iterator.map { case (k, buf) =>
-        val sorted = buf.sortBy(_._1)(timeOrd)
-        k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
-      }.toMap
-    val bcast = sparkContext.broadcast(grouped)
+    val boundRightKeys = BindReferences.bindReferences(rightKeys, rightOut)
+    val boundRightTime = BindReferences.bindReference(rightTime, rightOut)
+    // ReuseExchange can hand the SAME broadcast array to sibling as-of
+    // joins with different key/time expressions — the memo key carries
+    // the bound build layout so they never share a table wrongly.
+    val layoutKey =
+      (boundRightKeys :+ boundRightTime).map(_.toString).mkString(";")
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
 
     left.execute().mapPartitions { lIter =>
       val lKeyGen = UnsafeProjection.create(leftKeys, leftOut)
@@ -236,7 +228,8 @@ case class BroadcastAsOfJoinExec(
       val resultProj = UnsafeProjection.create(allOut, leftOut ++ rightOut)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
-      val table = bcast.value
+      val table = BroadcastAsOfJoinExec.tableFor(bcast.value, layoutKey,
+        boundRightKeys, boundRightTime)
       lIter.map { l =>
         val lKey = lKeyGen(l)
         var m: InternalRow = null
@@ -257,6 +250,63 @@ case class BroadcastAsOfJoinExec(
         resultProj(joined(l, if (m != null) m else nullRight))
       }
     }
+  }
+}
+
+object BroadcastAsOfJoinExec {
+
+  type BuildTable = Map[InternalRow, (Array[InternalRow], Array[InternalRow])]
+
+  // Executor-JVM memo: broadcast value -> (build layout -> table).
+  // Weak-keyed on the broadcast-cached row array, so entries die with
+  // the broadcast block; arrays hash by identity, which is exactly
+  // right (every task on an executor sees the SAME cached instance).
+  private val tableCache =
+    new java.util.WeakHashMap[Array[InternalRow],
+      java.util.concurrent.ConcurrentHashMap[String, BuildTable]]()
+
+  private[plans] def tableFor(rows: Array[InternalRow], layoutKey: String,
+      keys: Seq[Expression], time: Expression): BuildTable = {
+    val perLayout = tableCache.synchronized {
+      var m = tableCache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, BuildTable]()
+        tableCache.put(rows, m)
+      }
+      m
+    }
+    perLayout.computeIfAbsent(layoutKey, _ => build(rows, keys, time))
+  }
+
+  // One mutable-map pass over the broadcast rows — a functional
+  // groupBy-of-copies benched ~2x slower on a 150k-row build. Null
+  // keys / null times are excluded (they can never match). Broadcast
+  // rows are stable deserialized copies, so no per-row copy is needed.
+  private def build(rows: Array[InternalRow], keys: Seq[Expression],
+      time: Expression): BuildTable = {
+    val keyGen = UnsafeProjection.create(keys)
+    val timeGen = UnsafeProjection.create(Seq(time))
+    val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(time.dataType))
+    val buckets = new scala.collection.mutable.HashMap[InternalRow,
+      scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)]]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val k = keyGen(r)
+      if (!k.anyNull) {
+        val t = timeGen(r)
+        if (!t.isNullAt(0)) {
+          val buf = buckets.getOrElseUpdate(k.copy(),
+            new scala.collection.mutable.ArrayBuffer[(InternalRow, InternalRow)])
+          buf += ((t.copy(), r))
+        }
+      }
+      i += 1
+    }
+    buckets.iterator.map { case (k, buf) =>
+      val sorted = buf.sortBy(_._1)(timeOrd)
+      k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }.toMap
   }
 }
 

@@ -106,12 +106,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
-  test("broadcast variant: same semantics, ZERO exchanges in the plan") {
+  test("broadcast variant: no shuffle, build flows through ONE broadcast exchange") {
     val j = AsOf.join(leftDf, rightDf, Seq("k"), Seq("rk"), "t", "rt",
       broadcastRight = true)
     val plan = j.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastAsOfJoin"), plan)
-    assert(!plan.contains("Exchange"), s"broadcast as-of must not shuffle:\n$plan")
+    // The build side is a real BroadcastExchange (accounted, reusable)
+    // carrying the AsOfBuildMode; the stream side never shuffles.
+    assert("BroadcastExchange".r.findAllIn(plan).size == 1,
+      s"build must go through exactly one broadcast exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"broadcast as-of must not shuffle:\n$plan")
     val got = j.select($"k", $"t", $"rv").collect()
       .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
     assert(got == Set(
