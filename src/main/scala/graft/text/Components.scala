@@ -10,20 +10,28 @@ import org.apache.spark.sql.functions._
   * canonical-document policy. Without this, transitive duplicates
   * (A~B, B~C but A!~C) get kept twice.
   *
-  * Algorithm: iterative min-label propagation — every vertex starts
-  * labelled with itself, and each round takes the min of its own and
-  * its neighbours' labels, until no label changes. Deterministic
-  * (min is order-independent), and the iteration count is bounded by
-  * the component diameter — near-dup clusters are shallow (a handful
-  * of hops), so this converges in 2-4 rounds in practice, with
-  * `maxIters` as the safety bound.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+  * GraphFrames/GraphX-scale formulation):
   *
-  * Scale shape: the edge list is checkpointed once and reused; each
-  * round is one join + one partial-aggregating min (map-side
-  * combine) + one join, all keyed shuffles over the NEAR-DUP SUBSET
-  * of the corpus (vertices that appear in a pair), not the corpus.
-  * Labels are checkpointed per round so the plan does not grow with
-  * iteration count. Docs in no pair are implicitly their own
+  *  - large-star: every node connects its LARGER neighbors to its
+  *    smallest known node (min of neighborhood and self);
+  *  - small-star: every node connects its smaller neighbors and
+  *    itself to that minimum.
+  *
+  * Each pair of phases at least halves the height of every tree in
+  * the pointer forest, so the edge set converges to min-rooted stars
+  * in O(log n) alternating rounds — vs O(diameter) for plain label
+  * propagation, which a pathological near-dup chain (template spam)
+  * can push to hundreds of rounds. Deterministic: both phases are
+  * min-aggregations, order-independent.
+  *
+  * Scale shape: each round is two groupBy-min + join passes over the
+  * CURRENT edge set, all keyed shuffles over the near-dup SUBSET of
+  * the corpus (vertices appearing in a pair), never the corpus. The
+  * edge set is checkpointed every round, so the plan does not grow
+  * with iteration count and shrinking components shrink the shuffled
+  * data round over round. Docs in no pair are implicitly their own
   * singleton component and never enter the computation.
   */
 object Components {
@@ -31,49 +39,80 @@ object Components {
   /** (id, comp) for every vertex appearing in `pairs`; comp is the
     * minimum vertex id reachable through the pair graph.
     *
-    * Throws IllegalStateException if labels are still changing when
-    * `maxIters` is exhausted: label propagation needs ~diameter rounds,
-    * and a >maxIters-diameter component (a pathological chain of
-    * near-dups — template spam can produce one) would otherwise return
-    * silently WRONG labels, splitting one true component into several
-    * and keeping duplicate documents. Loud failure + a bigger
-    * `maxIters` is the correct response; near-dup graphs in practice
-    * converge in 2-4 rounds. */
+    * Throws IllegalStateException if the edge set is still changing
+    * when `maxIters` alternating rounds are exhausted — a silent
+    * return would split one true component into several and keep
+    * duplicate documents. With O(log n) convergence the cap is
+    * unreachable in practice (a 2^20-deep structure converges in
+    * ~20 rounds); it exists as the loud backstop. */
   def connected(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // Every vertex in the pair list (keeps self-pair-only vertices,
+    // which the edge set drops as self-loops).
+    val vertices = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
+      .distinct().localCheckpoint(true)
+
+    // Invariant carried through both phases: edges oriented
+    // large -> small (u > v), deduplicated, no self-loops.
+    var edges = pairs.filter(col(aCol) =!= col(bCol))
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // Cheap exact-enough stability check: (count, sum of 64-bit edge
+    // hashes). A round that changes nothing produces the identical
+    // set; a 64-bit sum collision across DIFFERENT sets is vanishing.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")),
-          "dst")
-        .groupBy(col("src").as("nid"))
-        .agg(min(col("nbr_comp")).as("min_nbr"))
-      val newComp = least(col("comp"), coalesce(col("min_nbr"), col("comp")))
-      // Eager checkpoint: materialized once, then read by BOTH the
-      // convergence count and the next round (no recompute, and the
-      // lineage resets every iteration).
-      val next = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"), newComp.as("new_comp"),
-          (newComp < col("comp")).cast("long").as("chg"))
-        .localCheckpoint(true)
-      changed = next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      labels = next.select(col("id"), col("new_comp").as("comp"))
+    while (!converged && i < maxIters) {
+      // LARGE-STAR over the symmetrized neighborhood: for each node u
+      // with m = min(neighbors ∪ {u}), emit (v, m) for neighbors
+      // v > u. Output stays large->small (v > u >= m).
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+
+      // SMALL-STAR over the large->small edges: for each node u with
+      // m = min(smaller neighbors), re-attach those neighbors and u
+      // itself to m. Output again large->small (x > m for x != m).
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("x"), col("m"))
+        .unionByName(ssMin.select(col("u").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true) // lineage reset; read by signature + next round
+
+      val next = signature(ss)
+      converged = next == sig
+      sig = next
+      edges = ss
       i += 1
     }
-    if (changed > 0)
+    if (!converged && i >= maxIters && sig._1 > 0)
       throw new IllegalStateException(
-        s"Components.connected did not converge in $maxIters iterations " +
-          s"($changed labels still changing) — component diameter exceeds " +
-          "maxIters; raise it (labels would be silently wrong)")
-    labels.select(col("id"), col("comp"))
+        s"Components.connected did not converge in $maxIters alternating " +
+          "large-star/small-star rounds — raise maxIters (labels would be " +
+          "silently wrong)")
+
+    // Converged edges form min-rooted stars: (child, root). Roots and
+    // self-loop-only vertices label themselves.
+    vertices.join(edges.select(col("u").as("id"), col("v").as("__comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("comp"))
   }
 }

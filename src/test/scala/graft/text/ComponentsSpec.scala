@@ -37,19 +37,30 @@ class ComponentsSpec extends SparkSpec {
     assert(m.size == 12)
   }
 
+  test("100-hop chain converges WELL under the cap (O(log n) rounds)") {
+    // Plain label propagation needs ~100 rounds here; alternating
+    // large-star/small-star needs ~log2(100) ≈ 7. maxIters = 10 both
+    // proves the speedup and leaves the default cap (20) a true
+    // backstop rather than a practical limit.
+    val chain = (1L until 101L).map(i => (i, i + 1)).toDF("a", "b")
+    val m = Components.connected(chain, "a", "b", maxIters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.values.toSet == Set(1L) && m.size == 101)
+  }
+
   test("iteration-cap exhaustion throws instead of returning wrong labels") {
-    // A 30-hop chain needs ~30 propagation rounds; at maxIters = 6
-    // the labels are still moving and silent return would split one
-    // true component into several (duplicates kept). Must throw.
-    val chain = (1L until 31L).map(i => (i, i + 1)).toDF("a", "b")
+    // A 1000-hop chain cannot finish in 2 alternating rounds; silent
+    // return would split one true component into several (duplicates
+    // kept). Must throw.
+    val chain = (1L until 1001L).map(i => (i, i + 1)).toDF("a", "b")
     val e = intercept[IllegalStateException] {
-      Components.connected(chain, "a", "b", maxIters = 6).collect()
+      Components.connected(chain, "a", "b", maxIters = 2).collect()
     }
     assert(e.getMessage.contains("did not converge"))
-    // With a sufficient bound the same graph converges to one component.
-    val m = Components.connected(chain, "a", "b", maxIters = 40)
+    // With the default bound the same graph converges to one component.
+    val m = Components.connected(chain, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(m.values.toSet == Set(1L) && m.size == 31)
+    assert(m.values.toSet == Set(1L) && m.size == 1001)
   }
 
   test("random graph matches a driver-side union-find oracle") {
