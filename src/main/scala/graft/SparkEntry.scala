@@ -1,11 +1,7 @@
 package graft
 
-import java.time.LocalDate
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
-import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash}
 import graft.queries.{CleaningQueries, CohortQueries, EtlQueries, PipelineQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
@@ -23,41 +19,12 @@ object SparkEntry {
     * shape (SURVEY §3.1): scan -> expression cleaning -> vocabulary
     * canonicalization -> lookup remap -> latest-record dedup ->
     * null-safe anti-join against the loaded target -> PII hash ->
-    * explicit output projection. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val orders = Tables.orders(spark, dir)
-    val nation = Tables.nation(spark, dir)
-
-    val cleaned = orders
-      .withColumn("o_orderdate",
-        Cleaning.clampDate(LocalDate.of(1995, 1, 1), LocalDate.of(2002, 1, 1))(
-          col("o_orderdate").cast("date")))
-      .withColumn("o_orderpriority",
-        Cleaning.canonicalize(Seq(
-          Seq("1-URGENT", "2-HIGH") -> "HIGH",
-          Seq("3-MEDIUM") -> "MEDIUM",
-          Seq("4-NOT SPECIFIED", "5-LOW") -> "LOW"))(col("o_orderpriority")))
-      .withColumn("o_orderstatus",
-        Cleaning.recode(Map("O" -> "Open", "F" -> "Finished", "P" -> "Pending"))(
-          col("o_orderstatus")))
-
-    val lkp = nation.select(col("n_name").as("source_name"),
-      upper(col("n_name")).as("target_name"))
-    val remapped = LookupRemap.remap(
-      cleaned.withColumn("priority_src", col("o_orderpriority")), lkp,
-      "priority_src") // miss-path: priorities are not nation names
-
-    val latest = Dedup.latestPerKey(remapped, Seq("o_custkey"),
-      Seq("o_orderdate", "o_orderkey"))
-    val target = latest.filter(col("o_orderkey") % 10 < 8)
-    val fresh = Incremental.newRecords(latest, target,
-      Seq("o_custkey", "o_orderkey"))
-
-    PiiHash.hashColumns(fresh, Seq("o_custkey"))
-      .select(col("o_orderkey"), col("o_custkeyHash"), col("o_orderstatus"),
-        col("o_orderpriority"), col("o_orderdate"))
-  }
+    * explicit output projection. Delegates to the REGISTERED
+    * `reference_pipeline` query so the flagship composition is the
+    * same code the DuckDB oracle hash-checks at sf0.01 (round-5
+    * verdict: the entry pipeline was only smoke-checked). */
+  def entry(spark: SparkSession): DataFrame =
+    EtlQueries.referencePipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries ++

@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.time.LocalDate
+
 import graft.Tables
-import graft.etl.{Dedup, Incremental, PiiHash, Skew}
+import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash, Skew}
 
 /** Operator-parity queries over the driver's TPC-H-ish parquet tables
   * (role mapping per /root/repo/FIXTURES.md §B). Each entry here has a
@@ -218,8 +220,66 @@ object EtlQueries {
       .select("c_custkey", "c_custkeyHash", "c_nameHash")
   }
 
+  /** §3.1 flagship — the reference's COMPLETE incremental-load job
+    * shape as one registered query (previously only smoke-checked via
+    * `SparkEntry.entry`): scan -> expression cleaning (E1 date clamp,
+    * E5 canonicalize, E7 recode) -> lookup remap with a real hit path
+    * (J1) -> latest-record dedup (J5) -> null-safe anti-join against
+    * the already-loaded slice (J3) -> PII hash (E9) -> explicit output
+    * projection (P1). Every reference job is this pipeline with
+    * different column sets (`Load CT Patients Job/.../
+    * LoadCTPatients.java:49-202`); hash-matching the composition
+    * end-to-end checks the stages AGREE on intermediate schemas and
+    * null semantics, which the per-operator queries cannot see.
+    *
+    * Scale shape: the lookup join is broadcast (no fact shuffle), the
+    * dedup is a map-side-combining max_by, and the anti-join shuffles
+    * both sides once on the composite key — three stages total, none
+    * quadratic, independent of fact width. */
+  def referencePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val nation = Tables.nation(spark, dir)
+
+    val cleaned = orders
+      .withColumn("o_orderdate",
+        Cleaning.clampDate(LocalDate.of(1995, 1, 1), LocalDate.of(2002, 1, 1))(
+          col("o_orderdate").cast("date")))
+      .withColumn("o_orderpriority",
+        Cleaning.canonicalize(Seq(
+          Seq("1-URGENT", "2-HIGH") -> "HIGH",
+          Seq("3-MEDIUM") -> "MEDIUM",
+          Seq("4-NOT SPECIFIED", "5-LOW") -> "LOW"))(col("o_orderpriority")))
+      .withColumn("o_orderstatus",
+        Cleaning.recode(Map("O" -> "Open", "F" -> "Finished", "P" -> "Pending"))(
+          col("o_orderstatus")))
+      // Derived vocabulary column with both hit and miss paths: 2/3 of
+      // rows carry a real nation name the lookup remaps, 1/3 a value
+      // the lookup misses (kept as-is) — exercising the overwrite-on-
+      // hit/keep-on-miss branch the reference relies on.
+      .withColumn("nation_src",
+        when(col("o_orderkey") % 3 === 0, lit("NATION_5"))
+          .when(col("o_orderkey") % 3 === 1, lit("NATION_17"))
+          .otherwise(lit("UNMAPPED")))
+
+    val lkp = nation.select(col("n_name").as("source_name"),
+      concat(lit("N_"), col("n_name")).as("target_name"))
+    val remapped = LookupRemap.remap(cleaned, lkp, "nation_src")
+
+    val latest = Dedup.latestPerKey(remapped, Seq("o_custkey"),
+      Seq("o_orderdate", "o_orderkey"))
+    val target = latest.filter(col("o_orderkey") % 10 < 8)
+    val fresh = Incremental.newRecords(latest, target,
+      Seq("o_custkey", "o_orderkey"))
+
+    PiiHash.hashColumns(fresh, Seq("o_custkey"))
+      .select(col("o_orderkey"), col("o_custkeyHash"), col("o_orderstatus"),
+        col("o_orderpriority"), col("nation_src"),
+        iso(col("o_orderdate")).as("o_orderdate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_antijoin" -> (incrementalAntijoin _),
+    "reference_pipeline"   -> (referencePipeline _),
     "latest_per_key"       -> (latestPerKey _),
     "max_fields_dedup"     -> (maxFieldsDedupQ _),
     "pricing_summary"      -> (pricingSummary _),
@@ -234,6 +294,54 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // The full §3.1 pipeline, stage by stage. The dedup is formulated
+    // as row_number (the reference's user-facing idiom) rather than
+    // max_by, so the oracle is an independent formulation of the same
+    // semantics; `d DESC, o_orderkey DESC` is the total order the
+    // Spark side's ordering struct induces (o_orderkey is unique).
+    "reference_pipeline" ->
+      """WITH cleaned AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |           OR CAST(o_orderdate AS DATE) > DATE '2002-01-01'
+        |         THEN DATE '1900-01-01' ELSE CAST(o_orderdate AS DATE) END AS d,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'HIGH'
+        |         WHEN o_orderpriority IN ('3-MEDIUM') THEN 'MEDIUM'
+        |         WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 'LOW'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderstatus = 'O' THEN 'Open'
+        |         WHEN o_orderstatus = 'F' THEN 'Finished'
+        |         WHEN o_orderstatus = 'P' THEN 'Pending'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'NATION_5'
+        |         WHEN o_orderkey % 3 = 1 THEN 'NATION_17'
+        |         ELSE 'UNMAPPED' END AS nation_src_raw
+        |  FROM orders
+        |), lkp AS (
+        |  SELECT source_name, target_name FROM (
+        |    SELECT n_name AS source_name, 'N_' || n_name AS target_name,
+        |           row_number() OVER (PARTITION BY n_name) AS rn
+        |    FROM nation) WHERE rn = 1
+        |), remapped AS (
+        |  SELECT c.o_orderkey, c.o_custkey, c.d, c.o_orderpriority,
+        |         c.o_orderstatus,
+        |         coalesce(l.target_name, c.nation_src_raw) AS nation_src
+        |  FROM cleaned c LEFT JOIN lkp l ON c.nation_src_raw = l.source_name
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |        PARTITION BY o_custkey ORDER BY d DESC, o_orderkey DESC) AS rn
+        |    FROM remapped) WHERE rn = 1
+        |)
+        |SELECT s.o_orderkey,
+        |       upper(sha256(CAST(s.o_custkey AS VARCHAR))) AS o_custkeyHash,
+        |       s.o_orderstatus, s.o_orderpriority, s.nation_src,
+        |       strftime(s.d, '%Y-%m-%d') AS o_orderdate
+        |FROM latest s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM latest t WHERE t.o_orderkey % 10 < 8
+        |    AND s.o_custkey IS NOT DISTINCT FROM t.o_custkey
+        |    AND s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey)""".stripMargin,
     "incremental_antijoin" ->
       s"""WITH src AS (
         |  SELECT *, CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS cust_k
