@@ -46,6 +46,26 @@ object TextQueries {
     Components.connected(minhashDedup(spark, dir), "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("comp"))
 
+  /** Canonical-representative selection — the step AFTER near-dup
+    * clustering in a real dedup pipeline: within each connected
+    * component keep the best document (longest text, tie-break lowest
+    * id) and account for what gets dropped. One extra aggregate over
+    * the component labels (the components output is the dup subset
+    * only — tiny next to the corpus — so the doc-metadata join is the
+    * only corpus-touching step, and it's key-equi, one shuffle). */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val comps = dedupComponents(spark, dir) // (doc_id, comp)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    comps.join(docs, "doc_id")
+      .groupBy(col("comp"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("n_chars"), (col("doc_id") * -1).as("neg_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(col("comp"), col("keep_id"), col("n_members"), col("total_chars"))
+  }
+
   /** Document-frequency cap for the n-gram inverted index: a shingle
     * appearing in d documents emits d²/2 candidate rows from the
     * self-join, so one stop-shingle ("of the and"-grade) turns the
@@ -219,6 +239,7 @@ object TextQueries {
     "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _),
     "dedup_components"   -> (dedupComponents _),
+    "dedup_canonical"    -> (dedupCanonical _),
     "stratified_sample"  -> (stratifiedSample _)
   )
 
@@ -284,8 +305,10 @@ object TextQueries {
 
   /** Transitive closure of the verified pair graph via a recursive
     * CTE — an INDEPENDENT formulation of what the engine computes by
-    * iterative min-label propagation, so a hash match is evidence. */
-  private val componentsOracle: String =
+    * alternating large-star/small-star, so a hash match is evidence.
+    * Ends in `comps(doc_id, comp)`; shared by the components oracle
+    * and the canonical-selection oracle. */
+  private val componentsCtes: String =
     minhashPairsCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, edges AS (
         |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -295,9 +318,31 @@ object TextQueries {
         |  SELECT a, a FROM edges
         |  UNION
         |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        |), comps AS (
+        |  SELECT id AS doc_id, min(comp) AS comp
+        |  FROM reach GROUP BY id
+        |)""".stripMargin
+
+  private val componentsOracle: String =
+    componentsCtes + "\nSELECT doc_id, comp FROM comps"
+
+  private val dedupCanonicalOracle: String =
+    componentsCtes +
+      """, joined AS (
+        |  SELECT c.comp, c.doc_id, d.n_chars
+        |  FROM comps c JOIN documents d ON c.doc_id = d.doc_id
+        |), ranked AS (
+        |  SELECT comp, doc_id,
+        |         row_number() OVER (
+        |           PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM joined
+        |), stats AS (
+        |  SELECT comp, count(*) AS n_members,
+        |         CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM joined GROUP BY comp
         |)
-        |SELECT id AS doc_id, min(comp) AS comp
-        |FROM reach GROUP BY id""".stripMargin
+        |SELECT s.comp, r.doc_id AS keep_id, s.n_members, s.total_chars
+        |FROM stats s JOIN ranked r ON s.comp = r.comp AND r.rn = 1""".stripMargin
 
   /** DuckDB CTEs computing the `bits`-wide SimHash per doc as `s` —
     * integer-identical to [[TF.simHash]] (vote sums are ints, so the
@@ -378,6 +423,7 @@ object TextQueries {
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
     "dedup_components" -> componentsOracle,
+    "dedup_canonical" -> dedupCanonicalOracle,
     "stratified_sample" ->
       s"""SELECT doc_id, lang,
         |       ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "split")} % 1000 AS gate
