@@ -81,6 +81,35 @@ object IncrementalStream {
       .drop(s"${tag}_src", s"${tag}_tgt")
   }
 
+  /** Watermarked stream-stream interval join — the streaming analog of
+    * the batch range join ([[graft.etl.RangeJoin]]): match `left` and
+    * `right` records with equal keys whose event times are within
+    * `within` of each other (the impression->click attribution shape).
+    *
+    * Both sides carry watermarks and the join condition carries an
+    * explicit time band, which is exactly what Structured Streaming
+    * needs to bound state: a buffered left row is evicted once the
+    * right watermark passes `leftTime + within` (and vice versa), so
+    * state is O(rows per band horizon) per side, never O(stream).
+    * Key and time column names must differ between the two sides —
+    * stream-stream joins have no alias disambiguation. `joinType`
+    * supports the outer variants ("leftOuter"/"rightOuter"/
+    * "fullOuter"), where non-matches emit with nulls after the
+    * watermark closes their band. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      delay: String, within: String,
+      joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTime, delay)
+    val r = right.withWatermark(rightTime, delay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $within") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $within"),
+      joinType)
+  }
+
   /** A keyed record for the custom-state operator: `seq` orders
     * records within a key (extraction id / event time as long), `value`
     * is the payload. */

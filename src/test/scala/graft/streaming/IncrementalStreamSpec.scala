@@ -145,6 +145,69 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows(2)._2 == "TZA")
   }
 
+  test("remapStream and batch LookupRemap.remap agree (differential, dup-keyed lookup)") {
+    implicit val ctx = spark.sqlContext
+    // Duplicate "KEN" rows with DIFFERENT targets: both paths must
+    // dedup the lookup before joining (one output row per input row),
+    // and each surviving value must come from the duplicate set —
+    // which survivor is API-level arbitrary, so rows under an
+    // ambiguous key assert set-membership, all others assert exact
+    // batch/stream equality.
+    val lookup = Seq(("KEN", "CANON_KENYA"), ("KEN", "CANON_KENYA_DUP"),
+        ("UGA", "CANON_UGANDA"))
+      .toDF("source_name", "target_name")
+    val input = Seq((1L, "KEN"), (2L, "TZA"), (3L, "UGA"), (4L, "KEN"))
+    val batch = graft.etl.LookupRemap.remap(
+        input.toDF("id", "country"), lookup, "country")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+
+    val ms = MemoryStream[(Long, String)]
+    val out = IncrementalStream.remapStream(
+      ms.toDF().toDF("id", "country"), lookup, "country")
+    val q = out.writeStream.format("memory").queryName("remap_diff_out")
+      .outputMode("append").start()
+    ms.addData(input: _*)
+    q.processAllAvailable()
+    val stream = spark.table("remap_diff_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+
+    assert(stream.length == input.length, s"fan-out/loss: ${stream.toSeq}")
+    assert(batch.size == input.length)
+    val kenValues = Set("CANON_KENYA", "CANON_KENYA_DUP")
+    stream.foreach { case (id, v) =>
+      if (id == 1L || id == 4L) {
+        assert(kenValues.contains(v), s"id=$id got $v")
+        assert(kenValues.contains(batch(id)), s"batch id=$id got ${batch(id)}")
+      } else assert(v == batch(id), s"id=$id stream=$v batch=${batch(id)}")
+    }
+  }
+
+  test("intervalJoin matches stream-stream pairs within the time band only") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = IncrementalStream.intervalJoin(
+      imps.toDF().toDF("imp_k", "imp_ts"),
+      clicks.toDF().toDF("clk_k", "clk_ts"),
+      "imp_k", "clk_k", "imp_ts", "clk_ts",
+      delay = "5 minutes", within = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    imps.addData(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")))
+    clicks.addData(
+      (1L, ts("2024-01-01 10:05:00")),  // within 10 min -> match
+      (2L, ts("2024-01-01 10:30:00")),  // outside band -> no match
+      (3L, ts("2024-01-01 10:01:00")))  // no impression -> no match
+    q.processAllAvailable()
+    val rows = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set((1L, 1L)))
+  }
+
   test("Resources.loadText reads classpath SQL (S8)") {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
