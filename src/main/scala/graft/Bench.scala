@@ -67,9 +67,19 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // All three per-pass times per query (a failed pass records -1), so
+    // a reader can separate code deltas from host-state drift: a noise
+    // window inflates one pass of MANY queries at once, visible as a
+    // correlated column in this matrix, while a real regression moves
+    // all three passes of ONE query. BASELINE_LOCAL.md records the
+    // corresponding quiet-host steady-state table.
+    val passJson = ordered.map { case (name, _) =>
+      val ts = passes.map(_(name).getOrElse(-1.0))
+      s"\"" + name + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
