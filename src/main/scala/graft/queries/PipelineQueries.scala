@@ -238,8 +238,51 @@ object PipelineQueries {
       .orderBy(col("tf").desc, col("token").asc)
       .limit(VocabK)
 
+  /** Tokenizer ids for [[tokenizeIds]]: small enough that the corpus
+    * has real out-of-vocabulary tokens (the testdata's distinct-token
+    * count exceeds it ~2x). */
+  private val TokenizerK = 16
+
+  /** Vocabulary application: text -> token-id sequence, the
+    * text-to-trainer handoff step. Ids are the vocabulary's
+    * deterministic rank (1-based, tf desc / token asc — the same
+    * cutoff order [[vocabTopK]] publishes); out-of-vocabulary tokens
+    * map to 0. The id sequence is emitted as a comma-joined VARCHAR
+    * (driver-hashable form of `array<bigint>`; a production sink would
+    * keep the array).
+    *
+    * Shape at scale: the vocabulary is K rows — broadcast to the
+    * exploded token stream, so the corpus never shuffles for the
+    * lookup; the only corpus shuffle is the per-doc reassembly
+    * (groupBy doc_id), whose map-side combine carries (pos, id) pairs.
+    * The global rank window runs over K rows, not the corpus. */
+  def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token").asc).limit(TokenizerK)
+      .withColumn("tid", row_number().over(
+        Window.orderBy(col("tf").desc, col("token").asc)).cast("long"))
+      .select(col("token"), col("tid"))
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tid"), lit(0L)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("tid")))),
+          s => s.getField("tid"))).as("ids_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "repetition_stats"   -> (repetitionStats _),
+    "tokenize_ids"       -> (tokenizeIds _),
     "decontaminate"      -> (decontaminate _),
     "pack_sequences"     -> (packSequences _),
     "sessionize"         -> (sessionize _),
@@ -375,6 +418,27 @@ object PipelineQueries {
     "vocab_topk" ->
       s"""SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
-        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT $VocabK""".stripMargin
+        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT $VocabK""".stripMargin,
+    // Parallel unnest of (tokens, 1..len) zips token with its position;
+    // list(tid ORDER BY pos) restores document order after the join.
+    "tokenize_ids" ->
+      s"""WITH vocab AS (
+        |  SELECT tok AS token, row_number() OVER (ORDER BY tf DESC, token ASC) AS tid
+        |  FROM (
+        |    SELECT tok, count(*) AS tf
+        |    FROM (SELECT unnest($toksSql) AS tok FROM documents)
+        |    GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT $TokenizerK)
+        |), pos AS (
+        |  SELECT doc_id, unnest(t) AS token,
+        |         unnest(generate_series(1, len(t))) AS pos
+        |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+        |), ids AS (
+        |  SELECT p.doc_id, p.pos, coalesce(v.tid, 0) AS tid
+        |  FROM pos p LEFT JOIN vocab v ON p.token = v.token
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       array_to_string(list(tid ORDER BY pos), ',') AS ids_str
+        |FROM ids GROUP BY doc_id""".stripMargin
   )
 }
