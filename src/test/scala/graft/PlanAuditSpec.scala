@@ -83,6 +83,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("reference_pipeline: broadcast remap, aggregate dedup, no window") {
+    // The flagship composition must keep its three-stage shape: the
+    // lookup join broadcasts (no fact shuffle), the latest-record
+    // dedup executes as a map-side-combining aggregate (never a
+    // window sort), and nothing degrades to a nested loop.
+    val df = SparkEntry.queries("reference_pipeline")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"remap not broadcast:\n$plan")
+    assert(plan.contains("max_by"), s"dedup not an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"window in pipeline:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tokenize_ids: the vocabulary join broadcasts (no corpus shuffle for the lookup)") {
+    val df = SparkEntry.queries("tokenize_ids")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating
