@@ -110,6 +110,31 @@ object IncrementalStream {
       joinType)
   }
 
+  /** Exactly-once-per-key streaming load into a batch target:
+    * `foreachBatch` running the SAME anti-join incremental cycle the
+    * batch jobs run ([[graft.etl.Sink.incrementalLoad]]). foreachBatch
+    * delivery is at-least-once — a failed epoch REPLAYS — and the
+    * null-safe anti-join is what makes the replay idempotent: a
+    * replayed record matches its already-appended copy and drops, so
+    * each logical key lands exactly once. That is the reference's
+    * whole load contract (J3) carried to a continuously-fed source,
+    * with no new machinery: the stream is just a sequence of batch
+    * incremental loads.
+    *
+    * Scale note: each micro-batch anti-joins against the CURRENT
+    * target, so target reads grow with target size — the same cost
+    * profile as the reference's scheduled re-runs. A bucketed target
+    * ([[graft.etl.Sink.writeBucketed]]) keeps that join co-located. */
+  def incrementalSink(stream: DataFrame, path: String, keys: Seq[String],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.etl.Sink.incrementalLoad(batch.sparkSession, batch, path, keys)
+        ()
+      }
+      .start()
+
   /** A keyed record for the custom-state operator: `seq` orders
     * records within a key (extraction id / event time as long), `value`
     * is the payload. */
