@@ -115,58 +115,18 @@ object SimQueries {
   private val SrpBands = 2
   private val SrpPlanes = 6
 
-  /** Deterministic ±1 random-hyperplane component, derived from the
-    * same md5 construction as [[graft.text.TextFunctions.portableHash]]
-    * (md5 is identical in the JVM and DuckDB; 15 hex digits fit a
-    * positive long), so the DuckDB oracle regenerates the EXACT same
-    * hyperplanes relationally. */
-  private def srpSign(band: Int, plane: Int, dim: Int): Float = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"srp:$band:$plane:$dim".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1f else -1f
-  }
-
-  /** Embedding near-dup pairs via signed-random-projection LSH — the
-    * TRAINING-FREE alternative to the IVF-cell blocking of
-    * [[embeddingDedup]]: each band hashes a vector to a
-    * [[SrpPlanes]]-bit bucket (bit p = sign of the dot product with a
-    * fixed ±1 hyperplane), similar vectors collide in at least one
-    * band with high probability, and only in-bucket pairs are scored
-    * exactly (cosine >= 0.4, same contract as the IVF variant).
-    *
-    * Scale shape: the signature is a PURE PROJECTION over literal
-    * hyperplanes — no training job, no centers to ship, no extra scan;
-    * the corpus shuffles once per band by (band, bucket) and nothing
-    * is ever all-pairs. IVF needs a k-means pass but probes one cell;
-    * SRP needs zero passes but pays x[[SrpBands]] exchange volume —
-    * that trade is exactly why both variants exist. */
-  def embeddingDedupSrp(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
-    val vn = v.select(col("id"), col("vec"),
-      Similarity.norm(col("vec")).as("nrm"))
-    val perBand = (0 until SrpBands).map { b =>
-      val bucket = (0 until SrpPlanes).map { p =>
-        val signs = typedlit((0 until 64).map(i => srpSign(b, p, i)))
-        when(Similarity.dot(col("vec"), signs) > 0d, lit(1L << p))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      vn.withColumn("band", lit(b)).withColumn("bkt", bucket)
-    }.reduce(_ unionByName _)
-    val byBucket = perBand.repartition(col("band"), col("bkt"))
-    val a = byBucket.select(col("band"), col("bkt"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val bb = byBucket.select(col("band").as("band_b"), col("bkt").as("bkt_b"),
-      col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(bb, col("band") === col("band_b") && col("bkt") === col("bkt_b") &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
-          col("nrm_a"), col("nrm_b")).as("score_c"))
-      // A pair colliding in BOTH bands scores identically both times.
-      .distinct()
-      .filter(col("score_c") >= 400000L)
-  }
+  /** Embedding near-dup pairs via signed-random-projection LSH
+    * ([[Similarity.srpNearDuplicates]]) — the TRAINING-FREE alternative
+    * to the IVF-cell blocking of [[embeddingDedup]]: IVF needs a
+    * k-means pass but probes one cell; SRP needs zero passes but pays
+    * x[[SrpBands]] exchange volume — that trade is exactly why both
+    * variants exist. Same cosine >= 0.4 verify contract as the IVF
+    * variants (the banding math targets the high-similarity regime;
+    * see the operator doc — `SimilaritySpec` proves the planted-pair
+    * recall there). */
+  def embeddingDedupSrp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpNearDuplicates(vectors(spark, dir), dim = 64,
+      bands = SrpBands, planes = SrpPlanes, minScoreC = 400000L)
 
   /** Augmented kNN corpus (×4): every embedding plus its rotations by
     * 16, 32 and 48 positions (`concat(vec[17..64], vec[1..16])` etc. —

@@ -123,6 +123,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${w.size} true pairs")
   }
 
+  test("srpNearDuplicates recovers planted high-cosine pairs (banding recall)") {
+    val rnd = new scala.util.Random(7)
+    // 80 random 64-dim vectors plus a lightly perturbed twin for each
+    // of the first 30 (cosine ~0.999) — the high-similarity regime LSH
+    // banding is built for (see the operator doc's collision math).
+    val base = (0 until 80).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val twins = base.take(30).map { case (i, a) =>
+      (i + 1000L, a.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val v = (base ++ twins).map { case (i, a) => (i, a.toSeq) }.toDF("id", "vec")
+    val thr = 950000L
+    val truth = Similarity.bruteForceTopK(v, v, 200) // k > n: all scored pairs
+      .filter($"score_c" >= thr && $"q_id" < $"n_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = Similarity
+      .srpNearDuplicates(v, dim = 64, bands = 4, planes = 6, minScoreC = thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truth), "blocking must never invent pairs")
+    assert(truth.size >= 20, s"expected the planted twins in truth: ${truth.size}")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall over ${truth.size} true pairs")
+  }
+
   test("IVF assigns to nearest centroid and searches only the bucket") {
     // Two clear clusters around e1 and e2; centroids are one member of each.
     val v = vecs(
