@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * Image formats decode for REAL via the JDK's `javax.imageio` (PNG,
   * JPEG, GIF, BMP — no external dependencies): width/height, an n x n
   * grayscale thumbnail, and per-row-band mean luminance ("frame"
-  * features). Non-image payloads (text, opaque binary) take the
-  * byte-level path: head-byte thumbnail and sampled byte values —
-  * that is the honest feature set for a payload with no decoder, not
-  * a stand-in.
+  * features). Audio formats decode for REAL via the JDK's
+  * `javax.sound.sampled` (RIFF/WAVE 16-bit PCM): frame/channel counts,
+  * a downsampled |waveform| thumbnail, and per-block mean amplitude.
+  * Remaining payloads (text, video, opaque binary) take the byte-level
+  * path: head-byte thumbnail and sampled byte values — that is the
+  * honest feature set for a payload with no in-JDK decoder, not a
+  * stand-in.
   */
 object Multimodal {
 
@@ -88,6 +91,78 @@ object Multimodal {
     }
   }
 
+  private val AudioFormats = Set("audio/wav", "audio/x-wav", "audio/wave")
+
+  /** Partition-local audio codec — REAL RIFF/WAVE decode via the JDK's
+    * `javax.sound.sampled` (WAV/AIFF PCM, no external dependencies).
+    * Feature mapping into [[MediaFeatures]]: `width` = frame count
+    * (duration in samples), `height` = channel count, `thumb` a
+    * nearest-neighbor-downsampled |waveform| (the audio analog of the
+    * grayscale thumbnail — exactly reproducible, no resampling
+    * kernel), `frames` the mean absolute 16-bit amplitude of each
+    * `step`-frame block (where per-window features land for real
+    * audio work, same plumbing shape as the image row bands). */
+  final class AudioCodec {
+    import javax.sound.sampled.{AudioFormat => JAudioFormat, AudioSystem}
+
+    /** Interleaved 16-bit PCM. */
+    final case class Pcm(channels: Int, samples: Array[Short]) {
+      def frames: Int = if (channels == 0) 0 else samples.length / channels
+    }
+
+    /** Decode, or null when the payload is not parseable 16-bit PCM. */
+    def decode(payload: Array[Byte]): Pcm =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getEncoding != JAudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getSampleSizeInBits != 16) null
+          else {
+            val bytes = in.readAllBytes()
+            val n = bytes.length / 2
+            val out = new Array[Short](n)
+            val le = !fmt.isBigEndian
+            var i = 0
+            while (i < n) {
+              val b0 = bytes(2 * i)
+              val b1 = bytes(2 * i + 1)
+              out(i) =
+                (if (le) ((b1 << 8) | (b0 & 0xff))
+                 else ((b0 << 8) | (b1 & 0xff))).toShort
+              i += 1
+            }
+            Pcm(fmt.getChannels, out)
+          }
+        } finally in.close()
+      } catch { case _: Exception => null }
+
+    /** n-point |waveform| thumbnail: channel-0 amplitude at n evenly
+      * spaced frames, scaled to a byte. */
+    def waveThumb(p: Pcm, n: Int): Array[Byte] = {
+      val out = new Array[Byte](if (p.frames == 0) 0 else n)
+      var t = 0
+      while (t < out.length) {
+        val f = t * p.frames / n
+        out(t) = ((math.abs(p.samples(f * p.channels).toInt) >> 8) & 0xff).toByte
+        t += 1
+      }
+      out
+    }
+
+    /** Mean |amplitude| (all channels) per `step`-frame block. */
+    def amplitudeBands(p: Pcm, step: Int): Array[Long] = {
+      (0 until p.frames by step).map { f0 =>
+        val end = math.min(f0 + step, p.frames) * p.channels
+        var s = 0L
+        var i = f0 * p.channels
+        while (i < end) { s += math.abs(p.samples(i).toLong); i += 1 }
+        s / (end - f0 * p.channels)
+      }.toArray
+    }
+  }
+
   /** Byte-level features for payloads with no decoder. */
   object BinaryCodec {
     def thumbnail(payload: Array[Byte], size: Int): Array[Byte] =
@@ -113,18 +188,28 @@ object Multimodal {
       frameStep: Int = 32, thumbSide: Int = 4): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val codec = new ImageCodec // per-partition init, once
+      val codec = new ImageCodec      // per-partition init, once
+      val audio = new AudioCodec
+      def errorRow(r: MediaRecord) =
+        MediaFeatures(r.id, r.payload.length.toLong, -1L, -1L,
+          Array.emptyByteArray, Array.emptyLongArray)
       it.map { r =>
         if (ImageFormats.contains(r.format)) {
           val img = codec.decode(r.payload)
-          if (img == null)
-            MediaFeatures(r.id, r.payload.length.toLong, -1L, -1L,
-              Array.emptyByteArray, Array.emptyLongArray)
+          if (img == null) errorRow(r)
           else
             MediaFeatures(r.id, r.payload.length.toLong,
               img.getWidth.toLong, img.getHeight.toLong,
               codec.grayThumb(img, thumbSide),
               codec.rowBands(img, frameStep))
+        } else if (AudioFormats.contains(r.format)) {
+          val pcm = audio.decode(r.payload)
+          if (pcm == null) errorRow(r)
+          else
+            MediaFeatures(r.id, r.payload.length.toLong,
+              pcm.frames.toLong, pcm.channels.toLong,
+              audio.waveThumb(pcm, thumbSide * thumbSide),
+              audio.amplitudeBands(pcm, frameStep))
         } else {
           MediaFeatures(r.id, r.payload.length.toLong, 0L, 0L,
             BinaryCodec.thumbnail(r.payload, thumbBytes),

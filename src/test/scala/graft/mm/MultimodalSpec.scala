@@ -50,6 +50,46 @@ class MultimodalSpec extends SparkSpec {
     assert(f.frames.toSeq == Seq(52L, 52L, 52L))
   }
 
+  /** Deterministic mono 16-bit PCM WAV: a 440 Hz sine at 8 kHz. */
+  private def testWav(nFrames: Int = 800): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v = (math.sin(2 * math.Pi * 440 * i / 8000d) * 16000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio/wav payloads decode for real: frames, channels, amplitude bands") {
+    val wav = testWav()
+    val ds = Seq(Multimodal.MediaRecord(9L, wav, "audio/wav")).toDS()
+    val f = Multimodal.extractFeatures(ds, frameStep = 100, thumbSide = 4)
+      .collect().head
+    assert(f.nBytes == wav.length.toLong)
+    assert(f.width == 800L && f.height == 1L, "decoded frame/channel counts")
+    assert(f.frames.length == 8, "one band per 100-frame block")
+    // Mean |amplitude| of a full-scale-16000 sine is ~2/pi * 16000 ~ 10186;
+    // 100 frames cover 5.5 periods, so every band sits near that.
+    assert(f.frames.forall(b => b > 9000L && b < 11000L),
+      s"sine amplitude bands: ${f.frames.toSeq}")
+    assert(f.thumb.length == 16)
+  }
+
+  test("corrupt audio payloads yield the declared error row, not a crash") {
+    val junk = Array[Byte](82, 73, 70, 70, 1, 2, 3) // "RIFF" then garbage
+    val ds = Seq(Multimodal.MediaRecord(8L, junk, "audio/wav")).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.width == -1L && f.height == -1L)
+    assert(f.thumb.isEmpty && f.frames.isEmpty)
+  }
+
   test("corrupt image payloads yield the declared error row, not a crash") {
     val junk = Array[Byte](1, 2, 3, 4, 5)
     val ds = Seq(Multimodal.MediaRecord(7L, junk, "image/png")).toDS()
