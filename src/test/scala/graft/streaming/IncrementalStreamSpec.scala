@@ -208,6 +208,33 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows == Set((1L, 1L)))
   }
 
+  test("intervalJoin leftOuter: unmatched left rows emit with nulls after the watermark closes their band") {
+    implicit val ctx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val out = IncrementalStream.intervalJoin(
+      imps.toDF().toDF("imp_k", "imp_ts"),
+      clicks.toDF().toDF("clk_k", "clk_ts"),
+      "imp_k", "clk_k", "imp_ts", "clk_ts",
+      delay = "5 minutes", within = "10 minutes", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+    clicks.addData((1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    // Advance BOTH watermarks far past imp 2's band so its null-extended
+    // row finalizes.
+    imps.addData((8L, ts("2024-01-01 13:00:00")))
+    clicks.addData((9L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_outer_out").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    q.stop()
+    assert(rows.contains((1L, Some(1L))), s"matched pair missing: $rows")
+    assert(rows.contains((2L, None)), s"outer row missing: $rows")
+  }
+
   test("incrementalSink: replayed batches are idempotent (exactly-once per key)") {
     implicit val ctx = spark.sqlContext
     val target = java.nio.file.Files.createTempDirectory("graft-ssink").toString + "/t"
