@@ -52,10 +52,14 @@ object Cleaning {
   /** E4 — numeric range clamp: value outside [lo, hi] -> sentinel
     * (reference uses 999). Works on varchar-typed numerics via a float
     * cast, exactly like the reference (`cast(DataTypes.FloatType)`);
-    * non-numeric strings cast to NULL and pass through unclamped. */
+    * non-numeric strings cast to NULL and pass through unclamped.
+    * `try_cast`, not `cast`: Spark 4 defaults `spark.sql.ansi.enabled`
+    * to true, where a plain cast THROWS on garbage — the combinator's
+    * whole contract is garbage -> null repair, in either mode. (Under
+    * ansi=false the two casts agree for string -> double.) */
   def clampNum(lo: Double, hi: Double, sentinel: Double = 999d)(
       c: Column): Column = {
-    val f = c.cast("double")
+    val f = c.try_cast("double")
     when(f.lt(lit(lo)) || f.gt(lit(hi)), lit(sentinel)).otherwise(f)
   }
 
@@ -108,18 +112,22 @@ object Cleaning {
 
   /** E16 — dual-format date repair: try the primary (ISO) parse, fall
     * back to an alternate format (reference: `convert(datetime, x, 103)`
-    * = dd/MM/yyyy), else NULL. Requires `spark.sql.ansi.enabled=false`
-    * so failed parses yield NULL (pre-ANSI reference semantics). */
+    * = dd/MM/yyyy), else NULL. `try_to_timestamp`, not `to_timestamp`:
+    * failed parses must yield NULL (the pre-ANSI reference semantics)
+    * in ANSI sessions too — Spark 4's default — where the plain
+    * function throws instead of falling through to the next format. */
   def parseDualFormat(fallbackFmt: String = "dd/MM/yyyy HH:mm:ss")(
       c: Column): Column =
-    coalesce(to_timestamp(c), to_timestamp(c, fallbackFmt))
+    coalesce(try_to_timestamp(c), try_to_timestamp(c, lit(fallbackFmt)))
 
   /** E10 — regex-guarded date repair (the reference's dormant `rlike`
     * variant, `Load HTS Test Kits/.../LoadHtsTestKits.java:54-70`):
     * each (pattern -> format) is tried in order; a value parses with a
-    * format only if it first matches that format's regex; else NULL. */
+    * format only if it first matches that format's regex; else NULL.
+    * `try_to_timestamp` so a regex-passing but unparseable value
+    * (e.g. month 13) repairs to NULL instead of throwing under ANSI. */
   def regexDateRepair(rules: Seq[(String, String)])(c: Column): Column =
     rules.foldRight(lit(null).cast("timestamp")) { case ((pattern, fmt), acc) =>
-      when(c.rlike(pattern), to_timestamp(c, fmt)).otherwise(acc)
+      when(c.rlike(pattern), try_to_timestamp(c, lit(fmt))).otherwise(acc)
     }
 }

@@ -129,6 +129,30 @@ class CleaningSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some("2024-03-04"), Some("2024-03-04"), None, None))
   }
 
+  test("repair combinators survive an ANSI session (Spark 4 default)") {
+    // Spark 4 ships spark.sql.ansi.enabled=true; a user adopting the
+    // library on a stock session must still get garbage -> null
+    // repair, not SparkNumberFormatException/DateTimeException.
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val out = Seq("garbage", "12", "7.5", "2020-13-45")
+        .toDF("v")
+        .select(
+          Cleaning.clampNum(0, 10)(col("v")).as("n"),
+          Cleaning.parseDualFormat()(col("v")).as("t"),
+          Cleaning.regexDateRepair(
+            Seq(("^\\d{4}-\\d{2}-\\d{2}$", "yyyy-MM-dd")))(col("v")).as("r"))
+        .collect()
+      assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
+      assert(out(1).getDouble(0) == 999d) // 12 outside [0,10] -> sentinel
+      assert(out(2).getDouble(0) == 7.5)
+      // regex-passing but unparseable (month 13) repairs to null.
+      assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("recode maps exact values only (E7/E8)") {
     val out = Seq("M", "F", "Male", null).toDF("v")
       .select(Cleaning.recode(Map("M" -> "Male", "F" -> "Female"))(col("v")).as("c"))
