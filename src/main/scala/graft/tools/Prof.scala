@@ -39,7 +39,8 @@ object Prof {
     if (showPlan) {
       val plan = q(spark, dir).queryExecution.executedPlan.toString
       println(plan.linesIterator
-        .filter(l => Seq("Exchange", "Scan parquet", "Window", "Join", "Aggregate", "Generate")
+        .filter(l => Seq("Exchange", "Scan parquet", "Window", "Join",
+          "Aggregate", "Generate", "WholeStageCodegen", "Project")
           .exists(l.contains))
         .map(_.take(160)).mkString("\n"))
     }

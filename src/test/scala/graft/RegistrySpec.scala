@@ -20,6 +20,27 @@ class RegistrySpec extends SparkSpec {
     assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
   }
 
+  test("no query plans a cartesian or nested-loop join (declared all-pairs baselines excepted)") {
+    val dir = "/root/testdata/sf0.001"
+    // Declared exceptions, each bounded by construction:
+    //  - ann_topk broadcasts the query slice against the whole corpus
+    //    by design (the exact baseline its IVF siblings are measured
+    //    against) — its join condition is pure theta (q_id != n_id);
+    //  - the cohort queries attach broadcast BOUNDED dimensions with
+    //    no join condition (the 1-row spine min/max aggregate, the
+    //    n-months spine) — a nested "loop" over a 1-row/80-row build
+    //    side is a per-row constant append, not a scale hazard.
+    val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref")
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => boundedByDesign.contains(q._1))
+      .collect { case (name, fn) =>
+        val plan = fn(spark, dir).queryExecution.sparkPlan.toString()
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+      }.flatten
+    assert(bad.isEmpty, s"nested-loop/cartesian plans: $bad")
+  }
+
   test("every query output column is BIGINT or VARCHAR (canonicalization rule)") {
     val dir = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
