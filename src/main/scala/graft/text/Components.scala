@@ -36,6 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Lineage cut between rounds. With a configured checkpoint
+    * directory (`sparkContext.setCheckpointDir` — standard on a real
+    * cluster) the cut is a RELIABLE checkpoint: round state survives
+    * executor loss, which matters when a 100 TB closure runs tens of
+    * minutes. Without one (local/dev sessions) it falls back to
+    * `localCheckpoint`, whose blocks live on executors — faster, but
+    * an executor failure aborts the job instead of recomputing. */
+  private def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** (id, comp) for every vertex appearing in `pairs`; comp is the
     * minimum vertex id reachable through the pair graph.
     *
@@ -51,14 +63,16 @@ object Components {
     // which the edge set drops as self-loops).
     val vertices = pairs.select(col(aCol).as("id"))
       .unionByName(pairs.select(col(bCol).as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .transform(pin)
 
     // Invariant carried through both phases: edges oriented
     // large -> small (u > v), deduplicated, no self-loops.
     var edges = pairs.filter(col(aCol) =!= col(bCol))
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .transform(pin)
 
     // Cheap exact-enough stability check: (count, sum of 64-bit edge
     // hashes). A round that changes nothing produces the identical
@@ -95,7 +109,7 @@ object Components {
         .where(col("x") =!= col("m"))
         .select(col("x").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true) // lineage reset; read by signature + next round
+        .transform(pin) // lineage reset; read by signature + next round
 
       val next = signature(ss)
       converged = next == sig

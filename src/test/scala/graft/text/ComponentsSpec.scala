@@ -63,6 +63,22 @@ class ComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(1L) && m.size == 1001)
   }
 
+  test("a configured checkpoint dir switches rounds to RELIABLE checkpoints") {
+    // On a real cluster a checkpoint dir is standard; Components.pin
+    // must then cut lineage through fault-tolerant checkpoint() (round
+    // state survives executor loss) instead of localCheckpoint. The
+    // dir stays set for the shared test session afterwards — reliable
+    // checkpoints to temp disk are valid (just slower) everywhere.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val m = cc((1L, 2L), (2L, 3L), (7L, 8L))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    // Proof the reliable path ran: checkpoint data landed in the dir.
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, s"no reliable checkpoint files under $dir")
+  }
+
   test("random graph matches a driver-side union-find oracle") {
     val rnd = new scala.util.Random(1234)
     val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
