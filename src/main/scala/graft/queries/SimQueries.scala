@@ -128,6 +128,17 @@ object SimQueries {
     Similarity.srpNearDuplicates(vectors(spark, dir), dim = 64,
       bands = SrpBands, planes = SrpPlanes, minScoreC = 400000L)
 
+  /** SRP-bucketed top-k search over the same query slice as
+    * [[annTopK]]/[[annIvf]] — the training-free member of the search
+    * family (brute = exact baseline, IVF = trained cells, SRP = zero
+    * training passes). 4 bands widen recall at the cost of x4 exchange
+    * volume on the (broadcast-sized) candidate join. */
+  def annSrp(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Similarity.srpTopK(v.filter(col("id") < 8), v, dim = 64,
+      bands = 4, planes = SrpPlanes, k = K)
+  }
+
   /** Augmented kNN corpus (×4): every embedding plus its rotations by
     * 16, 32 and 48 positions (`concat(vec[17..64], vec[1..16])` etc. —
     * norm-preserving, genuinely different directions, pure builtins so
@@ -192,6 +203,7 @@ object SimQueries {
     "embedding_dedup" -> (embeddingDedup _),
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
+    "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _)
   )
@@ -216,6 +228,33 @@ object SimQueries {
     * source CTE `v(id, vec)`. */
   private def vnSql =
     s"vn AS (SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm FROM v)"
+
+  /** CTE chain ending in `bkt(id, band, bkt)` — the SQL replay of
+    * [[Similarity.srpBuckets]]: hyperplanes regenerated from the same
+    * md5 construction, projections as the same ordered left-fold dot.
+    * Expects a prior CTE `vn(id, vec, nrm)`. */
+  private def srpBucketsSql(bands: Int, planes: Int): String =
+    // NOTE: no continuation line below may start with "||" — this CTE
+    // is interpolated into oracle strings that stripMargin AGAIN,
+    // which would eat the first pipe of a leading "||".
+    s"""planes AS (
+      |  SELECT b, p,
+      |    [CASE WHEN CAST('0x' || substr(md5('srp:' || CAST(b AS VARCHAR) ||
+      |            ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |            1, 15) AS BIGINT) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END
+      |     for i in generate_series(0, 63)] AS s
+      |  FROM generate_series(0, ${bands - 1}) AS gb(b),
+      |       generate_series(0, ${planes - 1}) AS gp(p)
+      |), proj AS (
+      |  SELECT vn.id, pl.b AS band, pl.p,
+      |         ${dotSql("vn.vec", "pl.s")} AS pr
+      |  FROM vn CROSS JOIN planes pl
+      |), bkt AS (
+      |  SELECT id, band,
+      |         CAST(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM proj GROUP BY id, band
+      |)""".stripMargin
 
   /** The augmented ×4 rotation corpus as SQL (mirror of
     * [[augmentedVectors]]). */
@@ -358,24 +397,8 @@ object SimQueries {
     "embedding_dedup_srp" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |$vnSql,
-        |planes AS (
-        |  SELECT b, p,
-        |    [CASE WHEN CAST('0x' || substr(md5('srp:' || CAST(b AS VARCHAR)
-        |            || ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
-        |            1, 15) AS BIGINT) % 2 = 0
-        |          THEN 1.0 ELSE -1.0 END
-        |     for i in generate_series(0, 63)] AS s
-        |  FROM generate_series(0, ${SrpBands - 1}) AS gb(b),
-        |       generate_series(0, ${SrpPlanes - 1}) AS gp(p)
-        |), proj AS (
-        |  SELECT vn.id, pl.b AS band, pl.p,
-        |         ${dotSql("vn.vec", "pl.s")} AS pr
-        |  FROM vn CROSS JOIN planes pl
-        |), bkt AS (
-        |  SELECT id, band,
-        |         CAST(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
-        |  FROM proj GROUP BY id, band
-        |), cand AS (
+        |${srpBucketsSql(SrpBands, SrpPlanes)},
+        |cand AS (
         |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
         |  FROM bkt a JOIN bkt c
         |    ON a.band = c.band AND a.bkt = c.bkt AND a.id < c.id
@@ -384,6 +407,25 @@ object SimQueries {
         |       ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
         |FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
         |WHERE ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} >= 400000""".stripMargin,
+    "ann_srp" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${srpBucketsSql(4, SrpPlanes)},
+        |cand AS (
+        |  SELECT DISTINCT q.id AS q_id, c.id AS n_id
+        |  FROM bkt q JOIN bkt c
+        |    ON q.band = c.band AND q.bkt = c.bkt AND q.id <> c.id
+        |  WHERE q.id < 8
+        |), scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM cand JOIN vn x ON cand.q_id = x.id JOIN vn y ON cand.n_id = y.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
     "knn_graph_ivf" ->
       s"""WITH $augmentedSql,
         |$vnSql,

@@ -183,18 +183,26 @@ object Similarity {
     * Scale shape: the signature is a PURE PROJECTION over literal
     * hyperplanes — no training job, no centers to ship; the corpus
     * shuffles once per band by (band, bucket); nothing is all-pairs. */
-  def srpNearDuplicates(vectors: DataFrame, dim: Int, bands: Int,
-      planes: Int, minScoreC: Long, salt: String = "srp"): DataFrame = {
+  /** (id, vec, nrm, band, bkt) — one row per vector per band, bucket =
+    * the band's `planes` projection sign bits. A pure projection over
+    * literal hyperplanes: no training pass, no shuffle. */
+  def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
+      salt: String): DataFrame = {
     require(planes <= 62, "bucket bits must fit a long")
     val vn = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    val perBand = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val bucket = (0 until planes).map { p =>
         val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
         when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       vn.withColumn("band", lit(b)).withColumn("bkt", bucket)
     }.reduce(_ unionByName _)
-    val byBucket = perBand.repartition(col("band"), col("bkt"))
+  }
+
+  def srpNearDuplicates(vectors: DataFrame, dim: Int, bands: Int,
+      planes: Int, minScoreC: Long, salt: String = "srp"): DataFrame = {
+    val byBucket = srpBuckets(vectors, dim, bands, planes, salt)
+      .repartition(col("band"), col("bkt"))
     val a = byBucket.select(col("band"), col("bkt"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val bb = byBucket.select(col("band").as("band_b"), col("bkt").as("bkt_b"),
@@ -207,6 +215,31 @@ object Similarity {
       // A pair colliding in several bands scores identically each time.
       .distinct()
       .filter(col("score_c") >= minScoreC)
+  }
+
+  /** SRP-bucketed top-k search — the TRAINING-FREE ANN variant:
+    * candidates are corpus vectors sharing any band bucket with the
+    * query, scored exactly, top-k per query. Recall follows the same
+    * banding math as [[srpNearDuplicates]] — high-cosine neighbours
+    * collide w.h.p.; distant ones mostly don't, which is the filter.
+    * A query whose buckets hold no other vector emits nothing (the
+    * recall<1 honesty of any blocked ANN; [[bruteForceTopK]] is the
+    * exact baseline). Queries broadcast; the corpus never all-pairs. */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, dim: Int, bands: Int,
+      planes: Int, k: Int, salt: String = "srp"): DataFrame = {
+    val c = srpBuckets(corpus, dim, bands, planes, salt)
+      .select(col("band"), col("bkt"), col("id").as("n_id"),
+        col("vec").as("n_vec"), col("nrm").as("n_nrm"))
+    val q = srpBuckets(queries, dim, bands, planes, salt)
+      .select(col("band"), col("bkt"), col("id").as("q_id"),
+        col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val scored = broadcast(q).join(c, Seq("band", "bkt"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+      .distinct() // multi-band collisions score identically
+    topK(scored, k)
   }
 
   /** Exact all-pairs kNN graph with the candidate matrix COLLECTED to
