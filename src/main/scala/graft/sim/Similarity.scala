@@ -162,6 +162,22 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1f else -1f
   }
 
+  /** (id, vec, nrm, band, bkt) — one row per vector per band, bucket =
+    * the band's `planes` projection sign bits. A pure projection over
+    * literal hyperplanes: no training pass, no shuffle. */
+  def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
+      salt: String): DataFrame = {
+    require(planes <= 62, "bucket bits must fit a long")
+    val vn = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+    (0 until bands).map { b =>
+      val bucket = (0 until planes).map { p =>
+        val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
+        when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      vn.withColumn("band", lit(b)).withColumn("bkt", bucket)
+    }.reduce(_ unionByName _)
+  }
+
   /** Banded signed-random-projection LSH near-duplicate pairs — the
     * TRAINING-FREE blocking alternative to trained-cell (IVF)
     * assignment: each of `bands` hash tables maps a vector to a
@@ -182,23 +198,13 @@ object Similarity {
     *
     * Scale shape: the signature is a PURE PROJECTION over literal
     * hyperplanes — no training job, no centers to ship; the corpus
-    * shuffles once per band by (band, bucket); nothing is all-pairs. */
-  /** (id, vec, nrm, band, bkt) — one row per vector per band, bucket =
-    * the band's `planes` projection sign bits. A pure projection over
-    * literal hyperplanes: no training pass, no shuffle. */
-  def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
-      salt: String): DataFrame = {
-    require(planes <= 62, "bucket bits must fit a long")
-    val vn = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    (0 until bands).map { b =>
-      val bucket = (0 until planes).map { p =>
-        val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
-        when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      vn.withColumn("band", lit(b)).withColumn("bkt", bucket)
-    }.reduce(_ unionByName _)
-  }
-
+    * shuffles once per band by (band, bucket); nothing is all-pairs.
+    * Skew hazard: a dense direction in the corpus concentrates one
+    * bucket, and the in-bucket self-join is quadratic in bucket size —
+    * the knob is more `planes` (each bit halves expected bucket
+    * population); real systems also sub-split buckets past a cap, the
+    * same move as the n-gram inverted index's df-cap
+    * (graft.queries.TextQueries `DfCap`). */
   def srpNearDuplicates(vectors: DataFrame, dim: Int, bands: Int,
       planes: Int, minScoreC: Long, salt: String = "srp"): DataFrame = {
     val byBucket = srpBuckets(vectors, dim, bands, planes, salt)

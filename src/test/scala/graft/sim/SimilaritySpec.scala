@@ -148,6 +148,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("srpTopK finds each planted twin as its query's top neighbour") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val twins = base.take(20).map { case (i, a) =>
+      (i + 1000L, a.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val corpus = (base ++ twins).map { case (i, a) => (i, a.toSeq) }
+      .toDF("id", "vec")
+    val queries = corpus.filter($"id" < 20)
+    val out = Similarity
+      .srpTopK(queries, corpus, dim = 64, bands = 4, planes = 6, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // Each query's twin (cosine ~0.999) should surface as rank 1 for
+    // nearly every query — banding at 4x6 catches ~0.9999 of pairs
+    // this similar; random 64-dim vectors sit near orthogonal.
+    val hits = (0L until 20L).count(q => out.get(q).contains(q + 1000L))
+    assert(hits >= 16, s"twin recall $hits/20: $out")
+  }
+
   test("IVF assigns to nearest centroid and searches only the bucket") {
     // Two clear clusters around e1 and e2; centroids are one member of each.
     val v = vecs(
