@@ -135,6 +135,32 @@ object IncrementalStream {
       }
       .start()
 
+  /** [[incrementalSink]] against a JDBC target — the reference's
+    * ACTUAL sink type (SURVEY §2.1 S6), streamed: each micro-batch
+    * anti-joins the current table state over a JDBC scan and appends
+    * only new keys, so at-least-once epoch replay still lands each
+    * logical key exactly once in the database. The anti-join carries
+    * the idempotence; no database-side merge/upsert is required —
+    * exactly the property the reference's scheduled batch re-runs rely
+    * on. Proven end-to-end against embedded Derby with a redelivered
+    * batch in `JdbcIntegrationSpec`. */
+  def incrementalSinkJdbc(stream: DataFrame, conn: graft.sources.Jdbc.Conn,
+      table: String, keys: Seq[String], checkpoint: String,
+      writePartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = graft.sources.Jdbc.tableScan(spark, conn, table)
+        val fresh = graft.etl.Incremental.newRecords(batch, target, keys)
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try {
+          if (fresh.count() > 0)
+            graft.sources.Jdbc.append(fresh, conn, table, writePartitions)
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+
   /** A keyed record for the custom-state operator: `seq` orders
     * records within a key (extraction id / event time as long), `value`
     * is the payload. */
