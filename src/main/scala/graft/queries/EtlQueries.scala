@@ -235,7 +235,11 @@ object EtlQueries {
     * Scale shape: the lookup join is broadcast (no fact shuffle), the
     * dedup is a map-side-combining max_by, and the anti-join shuffles
     * both sides once on the composite key — three stages total, none
-    * quadratic, independent of fact width. */
+    * quadratic, independent of fact width. (The anti-join target is
+    * DERIVED from the dedup output here — a test-fixture stand-in for
+    * the separately-stored ODS table a production run reads — so this
+    * plan pays the dedup twice where production pays one dedup plus
+    * one target scan; the oracle replays the same derivation.) */
   def referencePipeline(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val nation = Tables.nation(spark, dir)
