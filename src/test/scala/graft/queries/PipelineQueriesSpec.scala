@@ -167,4 +167,47 @@ class PipelineQueriesSpec extends SparkSpec {
       assert(first.getLong(1) == manual)
     } finally v.unpersist()
   }
+
+  test("tokenize_ids: covers every doc, id sequence length = token count, OOV consistent") {
+    val t = PipelineQueries.tokenizeIds(spark, dir).cache()
+    try {
+      assert(t.count() == docs.count())
+      // ids_str holds exactly n_tokens comma-separated values, every
+      // id in [0, 16], and n_oov counts exactly the zeros.
+      val bad = t.filter(
+        size(split(col("ids_str"), ",")) =!= col("n_tokens") ||
+        exists(split(col("ids_str"), ","),
+          s => s.cast("long") < 0L || s.cast("long") > 16L) ||
+        size(filter(split(col("ids_str"), ","), _ === "0")) =!=
+          col("n_oov").cast("int"))
+      assert(bad.count() == 0, bad.collect().take(3).mkString("\n"))
+      // The small-K cutoff leaves real OOV tokens in the corpus.
+      assert(t.agg(sum(col("n_oov"))).first().getLong(0) > 0,
+        "OOV path not exercised — raise corpus variety or lower K")
+      // Re-tokenize one doc end-to-end.
+      val row = t.orderBy(col("doc_id")).first()
+      val nTokens = docs.filter(col("doc_id") === row.getLong(0))
+        .select(size(graft.text.TextFunctions.tokens(col("text"))))
+        .first().getInt(0)
+      assert(row.getLong(1) == nTokens.toLong)
+    } finally t.unpersist()
+  }
+
+  test("exact corpus profile agrees with the approx sketches within tolerance") {
+    // corpus_profile publishes EXACT distincts/percentiles because they
+    // are oracle-checkable; the documented 100 TB move is swapping in
+    // approx_count_distinct / approx_percentile. This pins that the
+    // swap is actually available and lands within its error bound on
+    // real data (HLL++ default rsd = 5%).
+    val exact = docs.agg(
+      countDistinct(col("source")).as("d"),
+      expr("percentile(n_chars, 0.5)").as("p50")).first()
+    val approx = docs.agg(
+      approx_count_distinct(col("source")).as("d"),
+      expr("approx_percentile(n_chars, 0.5, 1000)").as("p50")).first()
+    val (de, da) = (exact.getLong(0).toDouble, approx.getLong(0).toDouble)
+    assert(math.abs(de - da) / de <= 0.1, s"distinct: exact $de approx $da")
+    val (pe, pa) = (exact.getDouble(1), approx.getLong(1).toDouble)
+    assert(math.abs(pe - pa) / pe <= 0.1, s"p50: exact $pe approx $pa")
+  }
 }
