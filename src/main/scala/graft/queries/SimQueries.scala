@@ -196,6 +196,13 @@ object SimQueries {
     Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
   }
 
+  /** Training-free kNN graph over the same ×4 corpus — the SRP member
+    * of the graph family (exact baseline / trained IVF / zero-training
+    * SRP), same 4-band tables as [[annSrp]]. */
+  def knnGraphSrp(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
+      bands = 4, planes = SrpPlanes, k = K)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk"        -> (annTopK _),
     "ann_ivf"         -> (annIvf _),
@@ -205,7 +212,8 @@ object SimQueries {
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
-    "knn_graph_ivf"   -> (knnGraphIvf _)
+    "knn_graph_ivf"   -> (knnGraphIvf _),
+    "knn_graph_srp"   -> (knnGraphSrp _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -437,6 +445,24 @@ object SimQueries {
         |  FROM ranked_assign p JOIN assign a
         |    ON p.bucket = a.bucket AND p.id <> a.id),
         |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    "knn_graph_srp" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${srpBucketsSql(4, SrpPlanes)},
+        |cand AS (
+        |  SELECT DISTINCT a.id AS q_id, c.id AS n_id
+        |  FROM bkt a JOIN bkt c
+        |    ON a.band = c.band AND a.bkt = c.bkt AND a.id <> c.id
+        |), scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM cand JOIN vn x ON cand.q_id = x.id JOIN vn y ON cand.n_id = y.id
+        |), ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY q_id
         |      ORDER BY score_c DESC, n_id ASC) AS rank
         |  FROM scored)

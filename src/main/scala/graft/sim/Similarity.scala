@@ -248,6 +248,32 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** SRP-bucketed kNN graph — every vector's top-k neighbours among
+    * its band-bucket collisions, the training-free sibling of
+    * [[knnGraphTopK]]: no broadcast side (unlike [[srpTopK]], both
+    * join sides are the corpus), the self-join's two subtrees share
+    * the one (band, bucket) exchange, and per-query ranking windows
+    * over q_id (corpus-cardinality keys — no hot partition). A vector
+    * whose buckets hold no other vector emits no rows (blocked-ANN
+    * recall honesty; [[knnGraphExact]] is the exact baseline). */
+  def srpKnnGraph(corpus: DataFrame, dim: Int, bands: Int, planes: Int,
+      k: Int, salt: String = "srp"): DataFrame = {
+    val byBucket = srpBuckets(corpus, dim, bands, planes, salt)
+      .repartition(col("band"), col("bkt"))
+    val a = byBucket.select(col("band"), col("bkt"), col("id").as("q_id"),
+      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+    val b = byBucket.select(col("band").as("band_b"), col("bkt").as("bkt_b"),
+      col("id").as("n_id"), col("vec").as("n_vec"), col("nrm").as("n_nrm"))
+    val scored = a.join(b,
+        col("band") === col("band_b") && col("bkt") === col("bkt_b") &&
+          col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+      .distinct() // multi-band collisions score identically
+    topK(scored, k)
+  }
+
   /** Exact all-pairs kNN graph with the candidate matrix COLLECTED to
     * the driver and evaluated by the native
     * [[graft.expressions.KnnTopKExpr]]: the corpus is scanned once and
