@@ -64,4 +64,118 @@ object Incremental {
     }.reduce(_ && _)
     source.join(tgtKeys, cond, "left_anti")
   }
+
+  /** Single LongType digest of a composite key for Bloom membership.
+    * xxhash64 folds children left-to-right and SKIPS null children
+    * (accumulator unchanged), so two rows that match under `<=>`
+    * (componentwise both-null-or-equal) always digest identically —
+    * the Bloom filter can therefore never produce a false NEGATIVE for
+    * a null-safe match, which is the property the exactness argument
+    * below rests on. Collisions (distinct keys, same digest) are just
+    * false positives and are screened out by the exact anti-join. */
+  private def keyDigest(keys: Seq[String]): Column = xxhash64(keys.map(col): _*)
+
+  /** Optimal Bloom bit count for `n` items at false-positive rate
+    * `fpp`: m = -n ln(fpp) / (ln 2)^2, floored at 64 bits and capped
+    * at 2^27 bits (16 MiB) so the driver-side sketch stays broadcast-
+    * sized no matter what a caller passes. */
+  private[etl] def bloomNumBits(n: Long, fpp: Double): Long = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    math.min(math.max(m, 64L), 1L << 27)
+  }
+
+  /** Distributed Bloom build over `df`'s composite-key digest: one
+    * column-pruned scan + a partial-merge aggregate (Catalyst's
+    * `BloomFilterAggregate`, the engine behind Spark's own runtime
+    * row-level filtering), collected to the driver as one serialized
+    * sketch of at most 16 MiB. Returns null iff `df` has no rows. */
+  private def buildBloom(df: DataFrame, keys: Seq[String],
+      expectedItems: Long, fpp: Double): Array[Byte] =
+    df.select(call_function("graft_bloom_agg", keyDigest(keys),
+        lit(expectedItems), lit(bloomNumBits(expectedItems, fpp))).as("bf"))
+      .head.getAs[Array[Byte]](0)
+
+  /** Bloom-filter SEMI-JOIN REDUCTION of the incremental anti-join —
+    * the 100 TB form of the reference's signature operator. The daily
+    * source delta is orders of magnitude smaller than the accumulated
+    * target (the reference's ODS holds every row ever loaded), yet
+    * [[newRecords]] shuffles BOTH sides on the key hash, so the target
+    * shuffle dominates cost and grows without bound as history
+    * accumulates.
+    *
+    * This variant builds a Bloom filter over the SOURCE keys (one
+    * map-side-combining aggregate over the small delta, driver sketch
+    * <= 16 MiB) and pre-filters the target scan with `might_contain`
+    * before the join: a target key that fails the membership test
+    * cannot equal any source key, and a target row that matches no
+    * source row contributes nothing to a LEFT ANTI join, so dropping
+    * it cannot change the result. False POSITIVES merely retain
+    * harmless extra target rows; false NEGATIVES are impossible
+    * (same-digest property on [[keyDigest]]). The result is therefore
+    * EXACTLY [[newRecords]] for any filter quality, while the target's
+    * shuffle volume drops from |history| to ~|delta| * (1 + fpp).
+    *
+    * The membership predicate sits directly above the target's scan
+    * (plan-asserted in `BloomIncrementalSpec`), so at 100 TB the
+    * reduction happens before the exchange — the only full-width pass
+    * over the target is the column-pruned key scan inside the Bloom
+    * probe itself, and with a columnar format that scan touches only
+    * the key columns.
+    *
+    * `expectedSourceItems` sizes the sketch (pass the delta's
+    * approximate row count; an underestimate only raises fpp, never
+    * breaks exactness). */
+  def newRecordsBloom(
+      source: DataFrame,
+      target: DataFrame,
+      keys: Seq[String],
+      expectedSourceItems: Long,
+      fpp: Double = 0.01,
+      strictKeys: Set[String] = Set.empty): DataFrame = {
+    val bloom = buildBloom(source, keys, expectedSourceItems, fpp)
+    if (bloom == null) {
+      // Empty source: the anti-join is empty regardless of the target,
+      // so skip the target scan entirely (limit(0) prunes it).
+      newRecords(source, target.limit(0), keys, strictKeys = strictKeys)
+    } else {
+      val pruned = target.filter(
+        call_function("graft_might_contain", lit(bloom), keyDigest(keys)))
+      newRecords(source, pruned, keys, strictKeys = strictKeys)
+    }
+  }
+
+  /** Bloom-filter SHUFFLE BYPASS for append-mostly workloads — the
+    * complementary direction to [[newRecordsBloom]]. When most source
+    * rows are genuinely new (event streams, crawl frontiers,
+    * dedup-against-registry), the anti-join shuffles a huge source
+    * side only to discover that almost nothing matches. Here the Bloom
+    * filter is built over the TARGET keys, and source rows whose key
+    * FAILS the membership test are provably absent from the target —
+    * they are results and bypass the join entirely, never entering an
+    * exchange. Only the `might_contain` sliver (true duplicates plus
+    * an fpp fraction of the new rows) goes through the exact
+    * anti-join. Exact for any filter quality: the bypass branch admits
+    * no false negatives, and the sliver branch is the real anti-join.
+    *
+    * The two branches re-scan the source, but both scans are
+    * column-pruned + predicate-filtered columnar reads, which at scale
+    * cost far less than the exchange they replace; cache `source`
+    * first if it is an expensive derived frame. */
+  def newRecordsBloomBypass(
+      source: DataFrame,
+      target: DataFrame,
+      keys: Seq[String],
+      expectedTargetItems: Long,
+      fpp: Double = 0.01,
+      strictKeys: Set[String] = Set.empty): DataFrame = {
+    val bloom = buildBloom(target, keys, expectedTargetItems, fpp)
+    if (bloom == null) source // empty target: every source row is new
+    else {
+      val might = call_function("graft_might_contain", lit(bloom), keyDigest(keys))
+      val sliver = newRecords(source.filter(might), target, keys,
+        strictKeys = strictKeys)
+      sliver.unionByName(source.filter(!might))
+    }
+  }
 }

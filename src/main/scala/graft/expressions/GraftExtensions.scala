@@ -64,6 +64,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.plans.TopKByAgg(children.head, children(1),
           intLit(children(2), "k"), boolLit(children(3), "asc"))))
+    // Bloom semi-join reduction (etl/Incremental.newRecordsBloom*):
+    // Catalyst's own BloomFilterAggregate / BloomFilterMightContain —
+    // the engine behind Spark's runtime row-level filtering — exposed
+    // as callable functions so the incremental anti-join can build a
+    // delta-side sketch and prune the accumulated-history side before
+    // its exchange. Both are codegen'd; the probe deserializes the
+    // sketch once per task.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_knn_topk"),
       new ExpressionInfo(classOf[KnnTopKExpr].getName, "graft_knn_topk"),

@@ -209,7 +209,29 @@ object CleaningQueries {
       .select(col("user_id"), col("event_type"),
         iso(col("last_d")).as("last_day_iso"), col("n"))
 
+  /** Semi-structured extraction — `events.props` is a JSON document
+    * column (the shape every log/crawl pipeline carries). Two
+    * extraction paths, both Catalyst-native and null-on-garbage under
+    * the session's pre-ANSI semantics: a TYPED parse through a declared
+    * schema (`from_json` -> struct, the bulk-ETL path: one parse per
+    * row no matter how many fields are pulled) and a JSONPath string
+    * extractor (`get_json_object`, the ad-hoc path). A missing path
+    * yields NULL, not an error — asserted by the `missing_attr` column
+    * riding along. At scale this is a pure projection: no shuffle, and
+    * the parse cost is the scan cost. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+      col("event_id"), col("event_type"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k").as("k"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.missing").as("missing_attr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "json_extract"        -> (jsonExtract _),
     "distinct_projection" -> (distinctProjection _),
     "group_collapse"      -> (groupCollapse _),
     "date_clamp"        -> (dateClamp _),
@@ -229,6 +251,12 @@ object CleaningQueries {
       |FROM nation WHERE n_regionkey < 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS missing_attr
+        |FROM events""".stripMargin,
     "distinct_projection" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
     "group_collapse" ->

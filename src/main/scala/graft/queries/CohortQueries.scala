@@ -210,7 +210,39 @@ object CohortQueries {
         (col("t") - col("s")).as("days_after"))
   }
 
+  /** Retention cohort matrix — the product-analytics staple over the
+    * event stream: users grouped by their FIRST-activity period,
+    * counted in every period they remain active, keyed by offset. The
+    * single-shuffle formulation: ONE groupBy(user) aggregates both the
+    * cohort period (min) and the distinct active-period set
+    * (collect_set over truncated timestamps — bounded by the calendar,
+    * not by event volume, thanks to in-aggregate dedup), then
+    * explode + re-aggregate over (cohort, offset). The naive
+    * formulation — first-activity frame JOIN distinct-activity frame,
+    * then COUNT(DISTINCT user) — costs three exchanges and a
+    * distinct-aggregate; this one costs two, and the second is over
+    * |cohorts x offsets| partial counts (map-side combined), not
+    * users. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // Daily grain: the event table spans ~30 days, so days are the
+    // cohort unit with signal (monthly would collapse to one cell);
+    // the shape is identical at any grain.
+    val perUser = ev
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id")
+      .agg(min(col("d")).as("cohort_d"), collect_set(col("d")).as("days"))
+    perUser
+      .select(col("cohort_d"), explode(col("days")).as("act_d"))
+      .groupBy(col("cohort_d"),
+        datediff(col("act_d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(iso(col("cohort_d")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retention_cohort"     -> (retentionCohort _),
     "month_spine"          -> (monthSpine _),
     "full_outer_encounter" -> (fullOuterEncounter _),
     "art_outcome"          -> (artOutcome _),
@@ -237,6 +269,20 @@ object CohortQueries {
       |  ON ev.user_id = o.o_custkey AND ev.e_d >= o.o_d""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Independent formulation: join + COUNT(*) over per-user distinct
+    // activity months instead of the engine's collect_set/explode.
+    "retention_cohort" ->
+      """WITH fu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d
+        |  FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_d FROM events
+        |)
+        |SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', f.cohort_d, a.act_d) AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM fu f JOIN act a USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     // Same native-ASOF oracle for the operator and its composition
     // baseline — both must agree with DuckDB's independent ASOF JOIN.
     "asof_join" -> asofOracle,

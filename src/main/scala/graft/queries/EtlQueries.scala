@@ -60,6 +60,63 @@ object EtlQueries {
         col("o_orderpriority"))
   }
 
+  /** J3 at 100 TB — the same anti-join with Bloom semi-join reduction
+    * (`Incremental.newRecordsBloom`): a sketch over the source keys
+    * prunes the target before its exchange. Result-identical to
+    * [[incrementalAntijoin]] by construction (false positives retain
+    * harmless target rows; false negatives are impossible), so it
+    * shares that query's oracle verbatim — a green hash here is a
+    * machine check of the exactness argument, not just of the happy
+    * path. */
+  def incrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val source = orders.withColumn("cust_k", nullableCustkey(orders))
+    val target = source.filter(col("o_orderkey") % 10 < 8)
+    Incremental.newRecordsBloom(source, target, Seq("cust_k", "o_orderkey"),
+        expectedSourceItems = 1L << 20)
+      .select(
+        col("o_orderkey"), col("cust_k"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_totalprice_c"),
+        iso(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  /** J3 append-mostly direction — Bloom shuffle bypass
+    * (`Incremental.newRecordsBloomBypass`): source rows provably
+    * absent from the target skip the join entirely; only the
+    * might-contain sliver anti-joins. Same oracle again: exactness
+    * holds for any filter quality. */
+  def incrementalBloomBypass(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val source = orders.withColumn("cust_k", nullableCustkey(orders))
+    val target = source.filter(col("o_orderkey") % 10 < 8)
+    Incremental.newRecordsBloomBypass(source, target, Seq("cust_k", "o_orderkey"),
+        expectedTargetItems = 1L << 20)
+      .select(
+        col("o_orderkey"), col("cust_k"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("o_totalprice_c"),
+        iso(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"))
+  }
+
+  /** SCD Type 2 historization (`etl/Scd2.historize`) over the event
+    * stream: per user, one row per `event_type` EPISODE (consecutive
+    * repeats collapse) with half-open validity `[valid_from, valid_to)`
+    * and `is_current`. The oracle replays the same two-window
+    * formulation in DuckDB; sub-second precision is preserved through
+    * the windows (only the final output formats to seconds, identically
+    * in both engines). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.etl.Scd2.historize(ev, keys = Seq("user_id"),
+        tracked = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+        validCol = "ts")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("is_current").cast("long").as("is_current"))
+  }
+
   /** J5/W1 — latest-record-per-key dedup via window row_number (the
     * SURVEY §2.6 W1 mapping; the max_by-aggregate variant in
     * Dedup.latestPerKey is the better plan when keys are heavily
@@ -283,6 +340,9 @@ object EtlQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "incremental_antijoin" -> (incrementalAntijoin _),
+    "incremental_bloom"    -> (incrementalBloom _),
+    "incremental_bloom_bypass" -> (incrementalBloomBypass _),
+    "scd2_history"         -> (scd2History _),
     "reference_pipeline"   -> (referencePipeline _),
     "latest_per_key"       -> (latestPerKey _),
     "max_fields_dedup"     -> (maxFieldsDedupQ _),
@@ -296,6 +356,24 @@ object EtlQueries {
     "skew_cap_topk"         -> (skewCapTopk _),
     "skew_cap_noopt"        -> (skewCapNoopt _)
   )
+
+  private val antijoinOracle: String =
+    s"""WITH src AS (
+      |  SELECT *, CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS cust_k
+      |  FROM orders
+      |), tgt AS (
+      |  SELECT * FROM src WHERE o_orderkey % 10 < 8
+      |)
+      |SELECT s.o_orderkey, s.cust_k, s.o_orderstatus,
+      |       ${centsSql.format("s.o_totalprice")} AS o_totalprice_c,
+      |       strftime(CAST(s.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+      |       s.o_orderpriority
+      |FROM src s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM tgt t
+      |  WHERE s.cust_k IS NOT DISTINCT FROM t.cust_k
+      |    AND s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The full §3.1 pipeline, stage by stage. The dedup is formulated
@@ -346,23 +424,28 @@ object EtlQueries {
         |  SELECT 1 FROM latest t WHERE t.o_orderkey % 10 < 8
         |    AND s.o_custkey IS NOT DISTINCT FROM t.o_custkey
         |    AND s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey)""".stripMargin,
-    "incremental_antijoin" ->
-      s"""WITH src AS (
-        |  SELECT *, CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS cust_k
-        |  FROM orders
-        |), tgt AS (
-        |  SELECT * FROM src WHERE o_orderkey % 10 < 8
+    "incremental_antijoin" -> antijoinOracle,
+    // The Bloom variants are result-identical to the plain anti-join
+    // BY DESIGN — sharing its oracle verbatim is the point: a green
+    // hash machine-checks the semi-join-reduction exactness argument.
+    "incremental_bloom" -> antijoinOracle,
+    "incremental_bloom_bypass" -> antijoinOracle,
+    "scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    (lag(ts) OVER w IS NULL
+        |     OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), ep AS (
+        |  SELECT * FROM marked WHERE chg
         |)
-        |SELECT s.o_orderkey, s.cust_k, s.o_orderstatus,
-        |       ${centsSql.format("s.o_totalprice")} AS o_totalprice_c,
-        |       strftime(CAST(s.o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
-        |       s.o_orderpriority
-        |FROM src s
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM tgt t
-        |  WHERE s.cust_k IS NOT DISTINCT FROM t.cust_k
-        |    AND s.o_orderkey IS NOT DISTINCT FROM t.o_orderkey
-        |)""".stripMargin,
+        |SELECT user_id, event_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(lead(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  CAST(lead(ts) OVER w2 IS NULL AS BIGINT) AS is_current
+        |FROM ep
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "latest_per_key" ->
       s"""SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         |       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS l_shipdate,

@@ -229,7 +229,32 @@ object TextQueries {
       substring(hex(bin), 1, 16).as("head_hex"))
   }
 
+  /** Percentile-threshold quality gate — the corpus-curation step that
+    * drops the shortest X% of documents PER LANGUAGE (a global cutoff
+    * would gut compact-script languages). The cutoff is defined by
+    * RANK, not value interpolation: `percent_rank() >= 0.1` keeps a
+    * document iff at least 10% of its language's corpus ranks strictly
+    * below it — tie-stable and bit-identical across engines (the
+    * interpolated `percentile_cont` cutoff is not, since boundary
+    * inclusion then hinges on a float equality).
+    *
+    * Scale shape: one hash exchange on `lang` + a per-language sort.
+    * Language partitions are few and huge — the real-scale variant
+    * computes approximate per-lang cutoffs first (approx_percentile
+    * over a map-side-combining agg, no sort) and gates by value; the
+    * rank formulation here is the exact, oracle-checkable
+    * specification of the same semantics. */
+  def qualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+    Tables.documents(spark, dir)
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= 0.1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_percentile" -> (qualityPercentile _),
     "exact_dedup"        -> (exactDedup _),
     "minhash_dedup"      -> (minhashDedup _),
     "ngram_jaccard"      -> (ngramJaccard _),
@@ -413,6 +438,11 @@ object TextQueries {
     s"len(list_filter(t, x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   val oracles: Map[String, String] = Map(
+    "quality_percentile" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+        |  FROM documents) WHERE pr >= 0.1""".stripMargin,
     "exact_dedup" ->
       """WITH n AS (
         |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
