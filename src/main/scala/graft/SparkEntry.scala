@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CleaningQueries, CohortQueries, EtlQueries, PipelineQueries, SimQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CleaningQueries, CohortQueries, EtlQueries, PipelineQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -28,9 +28,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries ++
-      TextQueries.queries ++ SimQueries.queries ++ PipelineQueries.queries
+      TextQueries.queries ++ SimQueries.queries ++ PipelineQueries.queries ++
+      AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles ++
-      TextQueries.oracles ++ SimQueries.oracles ++ PipelineQueries.oracles
+      TextQueries.oracles ++ SimQueries.oracles ++ PipelineQueries.oracles ++
+      AnalyticsQueries.oracles
 }

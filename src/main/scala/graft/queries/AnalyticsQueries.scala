@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import EtlQueries.{cents, centsSql}
+
+/** Multi-dimensional aggregation + window-function surface — the
+  * analytics operators a complete engine owes its users beyond the
+  * reference's plain GROUP BYs: ROLLUP/CUBE subtotal lattices, PIVOT /
+  * UNPIVOT reshaping, and the full rank/offset/distribution window
+  * family. All oracle-checked against DuckDB's independent
+  * implementations (GROUPING bitmask order verified identical:
+  * first-listed column = MSB in both engines).
+  *
+  * Scale shapes: rollup/cube expand each input row into its grouping
+  * combinations BEFORE the exchange and then hash-aggregate with
+  * map-side combine — subtotals cost one pass, not one job per level.
+  * The pivot pins its value list explicitly, which skips the
+  * values-discovery job AND keeps the plan a single hash aggregate
+  * (pivoting on an unknown column set needs a collect to even name the
+  * output columns — never do that at 100 TB). Window ranks shuffle once
+  * on the partition key; the deliberate total order (cents, orderkey)
+  * makes every rank/offset function deterministic under retries.
+  */
+object AnalyticsQueries {
+
+  /** ROLLUP (status, priority): detail rows + per-status subtotals +
+    * grand total in ONE aggregate; `grouping_id` distinguishes the
+    * levels, `(all)` labels the rolled-up dimensions (the input columns
+    * are non-null, so the label is unambiguous). */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_price_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid").cast("long").as("gid"), col("n"), col("sum_price_c"))
+
+  /** CUBE (status, mktsegment) across the orders-customer join: all
+    * four grouping combinations in one aggregate. The dimension join is
+    * broadcast (customer key+segment only). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .cube(col("o_orderstatus"), col("c_mktsegment"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(cents(col("o_totalprice"))).as("sum_price_c"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("gid").cast("long").as("gid"), col("n"), col("sum_price_c"))
+  }
+
+  /** PIVOT: status values become columns. The value list is pinned
+    * (`Seq("F","O","P")`) — without it Spark must first run a DISTINCT
+    * job just to learn the output schema. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+
+  /** UNPIVOT (melt) — the inverse reshaping, via Dataset.unpivot:
+    * the pivoted (priority × {F,O,P}) matrix back to tall
+    * (priority, status, n) rows. Null cells (combination absent from
+    * the data) survive the round-trip as explicit zero-able rows, which
+    * the oracle reproduces with a dimension cross join. */
+  def unpivotStatus(spark: SparkSession, dir: String): DataFrame =
+    pivotStatus(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_f").as("F"), col("n_o").as("O"), col("n_p").as("P")),
+        "status", "n")
+
+  /** The window-function family on one deterministic total order
+    * (cents(price), orderkey — unique, so every function below is
+    * retry-stable): row_number / rank / dense_rank, lag / lead,
+    * ntile, percent_rank / cume_dist (scaled to exact-integer
+    * millionths: the inputs are small-integer ratios, and IEEE
+    * divide+floor is bit-identical across engines), and a running
+    * sum. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("price_c", cents(col("o_totalprice")))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("price_c"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+      col("o_orderkey"), col("o_orderstatus"), col("price_c"),
+      row_number().over(w).cast("long").as("rn"),
+      rank().over(w).cast("long").as("rk"),
+      dense_rank().over(w).cast("long").as("drk"),
+      lag(col("price_c"), 1).over(w).as("prev_c"),
+      lead(col("price_c"), 1).over(w).as("next_c"),
+      ntile(10).over(w).cast("long").as("decile"),
+      floor(percent_rank().over(w) * lit(1000000d)).as("pr_ppm"),
+      floor(cume_dist().over(w) * lit(1000000d)).as("cd_ppm"),
+      sum(col("price_c")).over(wRun).as("run_sum_c"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_agg"     -> (rollupAgg _),
+    "cube_agg"       -> (cubeAgg _),
+    "pivot_status"   -> (pivotStatus _),
+    "unpivot_status" -> (unpivotStatus _),
+    "window_suite"   -> (windowSuite _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rollup_agg" ->
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       sum(${centsSql.format("o_totalprice")}) AS sum_price_c
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "cube_agg" ->
+      s"""SELECT coalesce(o.o_orderstatus, '(all)') AS status,
+        |       coalesce(c.c_mktsegment, '(all)') AS segment,
+        |       CAST(GROUPING(o.o_orderstatus, c.c_mktsegment) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       sum(${centsSql.format("o.o_totalprice")}) AS sum_price_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE(o.o_orderstatus, c.c_mktsegment)""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // Cross join of observed dimensions reproduces unpivot's null
+    // cells (a combination absent from the data) exactly.
+    "unpivot_status" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+        |  FROM orders GROUP BY 1, 2
+        |), dims AS (
+        |  SELECT p.o_orderpriority, s.status
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+        |  CROSS JOIN (SELECT unnest(['F','O','P']) AS status) s
+        |)
+        |SELECT d.o_orderpriority, d.status, c.n
+        |FROM dims d LEFT JOIN cells c
+        |  ON d.o_orderpriority = c.o_orderpriority AND d.status = c.status""".stripMargin,
+    "window_suite" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+        |       ${centsSql.format("o_totalprice")} AS price_c,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(rank() OVER w AS BIGINT) AS rk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |       lag(${centsSql.format("o_totalprice")}, 1) OVER w AS prev_c,
+        |       lead(${centsSql.format("o_totalprice")}, 1) OVER w AS next_c,
+        |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
+        |       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
+        |       sum(${centsSql.format("o_totalprice")}) OVER (
+        |         PARTITION BY o_orderstatus
+        |         ORDER BY ${centsSql.format("o_totalprice")}, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_c
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY ${centsSql.format("o_totalprice")}, o_orderkey)""".stripMargin
+  )
+}
