@@ -107,7 +107,38 @@ object AnalyticsQueries {
       sum(col("price_c")).over(wRun).as("run_sum_c"))
   }
 
+  /** The complete set-operation surface in one tagged frame:
+    * INTERSECT / INTERSECT ALL / EXCEPT / EXCEPT ALL (Spark's
+    * intersect/intersectAll/except/exceptAll — DISTINCT vs multiset
+    * semantics both covered) plus the LEFT SEMI join (membership
+    * filter keeping left-side duplicates — the shape Spark compiles
+    * `WHERE EXISTS` to). Operands are two overlapping orders slices
+    * projected to (custkey, status).
+    *
+    * Scale shape: each set op compiles to a hash aggregate + hash
+    * join on the full projected row — same exchange discipline as a
+    * groupBy; the semi variant is the cheapest (no dedup aggregate,
+    * build side only carries the key pair). Catalyst's
+    * ReplaceIntersectWithSemiJoin / ReplaceExceptWithAntiJoin handle
+    * the DISTINCT forms, so they inherit AQE skew handling like any
+    * join. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val proj = Seq(col("o_custkey"), col("o_orderstatus"))
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderkey") % 10 < 8).select(proj: _*)
+    val b = o.filter(col("o_orderkey") % 3 === 0).select(proj: _*)
+    def tag(t: String, df: DataFrame) =
+      df.select(lit(t).as("op") +: proj: _*)
+    tag("intersect", a.intersect(b))
+      .unionByName(tag("intersect_all", a.intersectAll(b)))
+      .unionByName(tag("except", a.except(b)))
+      .unionByName(tag("except_all", a.exceptAll(b)))
+      .unionByName(tag("semi", a.join(b,
+        Seq("o_custkey", "o_orderstatus"), "left_semi")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_ops"        -> (setOps _),
     "rollup_agg"     -> (rollupAgg _),
     "cube_agg"       -> (cubeAgg _),
     "pivot_status"   -> (pivotStatus _),
@@ -116,6 +147,23 @@ object AnalyticsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "set_ops" ->
+      """WITH a AS (
+        |  SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 10 < 8
+        |), b AS (
+        |  SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT 'intersect' AS op, * FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', * FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except', * FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'except_all', * FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'semi', s.* FROM a s WHERE EXISTS (
+        |  SELECT 1 FROM b t
+        |  WHERE s.o_custkey = t.o_custkey AND s.o_orderstatus = t.o_orderstatus)""".stripMargin,
     "rollup_agg" ->
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,

@@ -195,4 +195,42 @@ object IncrementalStream {
       }(org.apache.spark.sql.Encoders.product[Rec],
         org.apache.spark.sql.Encoders.product[Rec])
   }
+
+  /** Streaming SCD2 episode detection — the streaming analog of
+    * [[graft.etl.Scd2.historize]]'s change-detection half: per key,
+    * emit a record exactly when the tracked VALUE changes from the
+    * previously observed one (the row that OPENS a new episode; the
+    * batch operator's `valid_to` chaining is then a trivial downstream
+    * join/window over the emitted opens). Same-value advances update
+    * the stored sequence silently — the episode stays open; replayed
+    * or late records (seq not past the stored one) emit nothing, so
+    * at-least-once delivery cannot fabricate episodes.
+    *
+    * In-order delivery per key is the contract (within a batch, rows
+    * are sorted by seq; ACROSS batches a late row is dropped, exactly
+    * like the batch operator would collapse it) — put a watermarked
+    * sort upstream if the transport reorders. State per key is ONE
+    * record, same bound as [[latestChanges]]. Proven equivalent to the
+    * batch operator by the differential in `IncrementalStreamSpec`. */
+  def episodeOpens(stream: Dataset[Rec]): Dataset[Rec] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    stream
+      .groupByKey(_.key)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[Rec, Rec](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Rec], state: GroupState[Rec]) =>
+          val out = Seq.newBuilder[Rec]
+          var last = state.getOption
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            last match {
+              case Some(p) if r.seq <= p.seq => // late/replay: no-op
+              case Some(p) if p.value == r.value => last = Some(r)
+              case _ => out += r; last = Some(r)
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }(org.apache.spark.sql.Encoders.product[Rec],
+        org.apache.spark.sql.Encoders.product[Rec])
+  }
 }

@@ -255,6 +255,37 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c")), s"got $rows")
   }
 
+  test("episodeOpens == batch Scd2 episode opens (stream-vs-batch differential)") {
+    implicit val ctx = spark.sqlContext
+    // Deterministic observation log: 20 keys x 15 ordered observations,
+    // values cycling through 3 states with key-dependent phase (so some
+    // consecutive observations repeat -> episodes collapse).
+    val recs = for (k <- 1L to 20L; s <- 1L to 15L)
+      yield IncrementalStream.Rec(k, s, s"v${(k * 7 + s * s) % 3}")
+    val ms = MemoryStream[IncrementalStream.Rec]
+    val out = IncrementalStream.episodeOpens(ms.toDS())
+    val q = out.writeStream.format("memory").queryName("ep_out")
+      .outputMode("update").start()
+    // Deliver in seq order split across micro-batches (in-order per key,
+    // batch boundaries arbitrary).
+    recs.sortBy(_.seq).grouped(70).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    // Full at-least-once replay: must fabricate NO new episodes.
+    ms.addData(recs); q.processAllAvailable()
+    val streamed = spark.table("ep_out").as[IncrementalStream.Rec]
+      .collect().toSet
+    q.stop()
+    val batch = graft.etl.Scd2.historize(
+        recs.toDF("key", "seq", "value"),
+        keys = Seq("key"), tracked = Seq("value"),
+        orderCols = Seq("seq"), validCol = "seq")
+      .select(col("key"), col("valid_from").as("seq"), col("value"))
+      .as[IncrementalStream.Rec].collect().toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+  }
+
   test("Resources.loadText reads classpath SQL (S8)") {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
