@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import EtlQueries.{cents, centsSql}
+import EtlQueries.{cents, centsSql, iso}
 
 /** Multi-dimensional aggregation + window-function surface — the
   * analytics operators a complete engine owes its users beyond the
@@ -137,7 +137,75 @@ object AnalyticsQueries {
         Seq("o_custkey", "o_orderstatus"), "left_semi")))
   }
 
+  /** Q3-shaped shipping-priority query — the classic 3-table
+    * join + aggregate + top-k: selective dimension filter (BUILDING
+    * segment, broadcast), date-bounded fact join, revenue aggregate,
+    * bounded top-10. The plan to want at 100 TB: the filtered customer
+    * side broadcasts (no shuffle of orders for its dimension filter),
+    * the orders⋈lineitem equi-join is the ONE big exchange, both date
+    * filters push to the parquet scans, and the final top-10 is a
+    * TakeOrderedAndProject (never a global sort). Revenue is per-row
+    * integer cents before the sum — exact, order-independent, and
+    * bit-identical to the oracle's formulation. (At extreme customer
+    * cardinality the broadcast hint stops holding and AQE falls back
+    * to a shuffle join on custkey — the orders⋈lineitem exchange
+    * remains the dominant cost either way.) */
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
+    val revC = floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+      * lit(100d) + lit(0.5d))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revC).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue_c"),
+        iso(col("o_orderdate")).as("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** Q5-shaped local-supplier-volume query — the 6-table star join:
+    * region⋈nation prune to one region, supplier and customer both
+    * pinned to those nations, revenue only where the customer's nation
+    * equals the supplier's (the classic non-key theta condition riding
+    * an equi-join). All three dimension sides broadcast; orders⋈lineitem
+    * is again the single at-scale exchange. */
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+          * lit(100d) + lit(0.5d)).as("rev_c"))
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3"        -> (tpchQ3 _),
+    "tpch_q5"        -> (tpchQ5 _),
     "set_ops"        -> (setOps _),
     "rollup_agg"     -> (rollupAgg _),
     "cube_agg"       -> (cubeAgg _),
@@ -146,7 +214,32 @@ object AnalyticsQueries {
     "window_suite"   -> (windowSuite _)
   )
 
+  private val revCentsSql =
+    "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
+
   val oracles: Map[String, String] = Map(
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, sum($revCentsSql) AS revenue_c,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |       o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "tpch_q5" ->
+      s"""SELECT n_name, sum($revCentsSql) AS revenue_c
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
     "set_ops" ->
       """WITH a AS (
         |  SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderkey % 10 < 8

@@ -104,6 +104,76 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  private def queryPlan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("scd2_history: both windows share ONE hash exchange on the key") {
+    val p = queryPlan("scd2_history")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"SCD2 must shuffle exactly once:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("json_extract: pure projection — zero exchanges, pruned scan") {
+    val p = queryPlan("json_extract")
+    assert(!p.contains("Exchange"), s"JSON extraction must not shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("struct<")))
+      .getOrElse(fail(s"no ReadSchema:\n$p"))
+    assert(!readSchema.contains("value") && !readSchema.contains("ts:"),
+      s"scan reads columns the extraction never uses:\n$readSchema")
+  }
+
+  test("retention_cohort: two exchanges (per-user agg, matrix agg) — no join, no distinct-agg expand") {
+    val p = queryPlan("retention_cohort")
+    assert(countOf(p, "Exchange hashpartitioning") == 2,
+      s"single-shuffle-per-agg shape lost:\n$p")
+    assert(!p.contains("Join"), s"the join-free formulation regressed:\n$p")
+  }
+
+  test("rollup_agg / cube_agg: one Expand feeding one shuffled hash aggregate") {
+    for (name <- Seq("rollup_agg", "cube_agg")) {
+      val p = queryPlan(name)
+      assert(countOf(p, "Expand") == 1, s"$name: subtotals must expand once:\n$p")
+      assert(countOf(p, "Exchange hashpartitioning") == 1,
+        s"$name: one aggregate exchange expected:\n$p")
+      assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"$name:\n$p")
+    }
+  }
+
+  test("window_suite: all window functions ride one exchange") {
+    val p = queryPlan("window_suite")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window family must share the partition pass:\n$p")
+  }
+
+  test("tpch_q3: bounded top-k (TakeOrderedAndProject), dimension filter pushed to the scan") {
+    val p = queryPlan("tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not global-sort:\n$p")
+    assert(p.contains("BUILDING"), s"segment filter missing from the plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"segment filter did not reach the customer scan:\n$p")
+  }
+
+  test("incremental_bloom: the membership filter sits on the target side BELOW the anti-join") {
+    val p = queryPlan("incremental_bloom")
+    // The target (build) subtree prints AFTER the join node and after
+    // its exchange; the probe filter must sit there — i.e. BELOW the
+    // join and below the target's exchange — never above the join.
+    val joinAt = p.indexOf("LeftAnti")
+    assert(joinAt >= 0, s"no anti-join in:\n$p")
+    val exchangeAt = p.indexOf("Exchange", joinAt)
+    val probeAt = p.indexOf("might_contain")
+    assert(probeAt > exchangeAt && exchangeAt > joinAt,
+      s"bloom probe not below the anti-join's target-side exchange:\n$p")
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating
