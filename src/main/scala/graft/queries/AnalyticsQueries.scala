@@ -203,7 +203,54 @@ object AnalyticsQueries {
       .agg(sum(col("rev_c")).as("revenue_c"))
   }
 
+  /** The SQL-TEXT entry path — the same engine driven through
+    * `spark.sql` instead of the DataFrame API: CTE reused three times,
+    * an uncorrelated scalar subquery (global average), and a CORRELATED
+    * scalar subquery (own-group average; Catalyst rewrites it to an
+    * aggregate + join — no per-row re-execution, unlike a naive
+    * interpreter). The averaged quantity is integer cents, so the
+    * subquery boundary (`c > avg`) is deterministic across engines —
+    * averaging raw doubles here would make the comparison
+    * accumulation-order-dependent. */
+  def sqlSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """WITH t AS (
+        |  SELECT o_orderstatus s,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) c
+        |  FROM orders_v
+        |)
+        |SELECT 'global' AS op, s, count(*) AS n, sum(c) AS sum_c
+        |FROM t WHERE c > (SELECT avg(c) FROM t) GROUP BY s
+        |UNION ALL
+        |SELECT 'corr', s, count(*), sum(c)
+        |FROM t t1 WHERE c > (SELECT avg(t2.c) FROM t t2 WHERE t2.s = t1.s)
+        |GROUP BY s""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles (quartiles + median) per group.
+    * The probe points are QUARTERS deliberately: 0.25/0.5/0.75 are
+    * exact binary fractions, so the rank interpolation
+    * `a + (b-a)*f` / `(1-f)*a + f*b` is IEEE-exact over integer cents
+    * in both engines regardless of which algebraic form each uses —
+    * the floor cannot straddle an ulp. Exact percentiles buffer each
+    * group's values (SortAggregate) — correct as a specification, and
+    * fine when groups are bounded; the 100 TB path for unbounded
+    * groups is `approx_percentile` (one-pass mergeable sketch), whose
+    * error-vs-exact contract the approx differential suite pins. */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("c", cents(col("o_totalprice")))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        floor(percentile(col("c"), lit(0.25))).as("q1_c"),
+        floor(percentile(col("c"), lit(0.5))).as("median_c"),
+        floor(percentile(col("c"), lit(0.75))).as("q3_c"),
+        count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "percentile_agg" -> (percentileAgg _),
+    "sql_subqueries" -> (sqlSubqueries _),
     "tpch_q3"        -> (tpchQ3 _),
     "tpch_q5"        -> (tpchQ5 _),
     "set_ops"        -> (setOps _),
@@ -218,6 +265,28 @@ object AnalyticsQueries {
     "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "percentile_agg" ->
+      """SELECT o_orderstatus,
+        |  CAST(floor(quantile_cont(c, 0.25)) AS BIGINT) AS q1_c,
+        |  CAST(floor(quantile_cont(c, 0.5))  AS BIGINT) AS median_c,
+        |  CAST(floor(quantile_cont(c, 0.75)) AS BIGINT) AS q3_c,
+        |  count(*) AS n
+        |FROM (SELECT o_orderstatus,
+        |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |      FROM orders)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "sql_subqueries" ->
+      """WITH t AS (
+        |  SELECT o_orderstatus s,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) c
+        |  FROM orders
+        |)
+        |SELECT 'global' AS op, s, count(*) AS n, sum(c) AS sum_c
+        |FROM t WHERE c > (SELECT avg(c) FROM t) GROUP BY s
+        |UNION ALL
+        |SELECT 'corr', s, count(*), sum(c)
+        |FROM t t1 WHERE c > (SELECT avg(t2.c) FROM t t2 WHERE t2.s = t1.s)
+        |GROUP BY s""".stripMargin,
     "tpch_q3" ->
       s"""SELECT l_orderkey, sum($revCentsSql) AS revenue_c,
         |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
