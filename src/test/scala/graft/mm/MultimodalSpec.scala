@@ -108,6 +108,76 @@ class MultimodalSpec extends SparkSpec {
     assert(f.frames.toSeq == Seq('a'.toLong, 'f'.toLong, 'a'.toLong, 'f'.toLong))
   }
 
+  /** Deterministic solid-gray JPEG frame. */
+  private def jpegFrame(gray: Int, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Assemble a minimal standards-shaped MJPEG AVI: RIFF('AVI ') with
+    * a dummy hdrl LIST (the walker must skip it) and a movi LIST of
+    * '00dc' frame chunks, word-aligned. */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def cc(s: String) = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      out.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte))
+    val hdrlJunk = Array.fill[Byte](32)(0x7f)
+    val moviBody = {
+      val b = new ByteArrayOutputStream()
+      frames.foreach { f =>
+        b.write("00dc".getBytes("US-ASCII"))
+        b.write(Array[Byte](f.length.toByte, (f.length >> 8).toByte,
+          (f.length >> 16).toByte, (f.length >> 24).toByte))
+        b.write(f)
+        if ((f.length & 1) == 1) b.write(0) // word alignment pad
+      }
+      b.toByteArray
+    }
+    val riffSize = 4 + (8 + 4 + hdrlJunk.length) + (8 + 4 + moviBody.length)
+    cc("RIFF"); le32(riffSize); cc("AVI ")
+    cc("LIST"); le32(4 + hdrlJunk.length); cc("hdrl"); out.write(hdrlJunk)
+    cc("LIST"); le32(4 + moviBody.length); cc("movi"); out.write(moviBody)
+    out.toByteArray
+  }
+
+  test("video/avi MJPEG payloads decode for real: temporal frame sampling") {
+    // 5 frames with increasing gray level; frameStep=2 samples 0,2,4.
+    val grays = Seq(40, 80, 120, 160, 200)
+    val avi = mjpegAvi(grays.map(jpegFrame(_)))
+    val ds = Seq(Multimodal.MediaRecord(9L, avi, "video/avi")).toDS()
+    val f = Multimodal.extractFeatures(ds, frameStep = 2, thumbSide = 2)
+      .collect().head
+    assert(f.nBytes == avi.length.toLong)
+    assert(f.width == 16L && f.height == 16L, "first frame dimensions")
+    assert(f.frames.length == 3, "every 2nd frame of 5 -> 3 samples")
+    // JPEG is lossy but a solid frame round-trips within a few levels;
+    // the sampled sequence must track the true temporal gradient.
+    f.frames.zip(Seq(40L, 120L, 200L)).foreach { case (got, want) =>
+      assert(math.abs(got - want) <= 4, s"frame mean $got vs $want")
+    }
+    assert(f.frames.toSeq.sliding(2).forall(p => p(0) < p(1)),
+      "temporal ordering preserved")
+    // Thumb comes from the first sampled frame (solid gray ~40).
+    assert(f.thumb.length == 4 &&
+      f.thumb.forall(b => math.abs((b & 0xff) - 40) <= 4))
+  }
+
+  test("non-RIFF and empty-movi video payloads yield the declared error row") {
+    val junk = Multimodal.MediaRecord(1L, Array.fill[Byte](64)(3), "video/avi")
+    val noFrames = Multimodal.MediaRecord(2L, mjpegAvi(Seq.empty), "video/avi")
+    val fs = Multimodal.extractFeatures(Seq(junk, noFrames).toDS())
+      .collect().sortBy(_.id)
+    fs.foreach { f =>
+      assert(f.width == -1L && f.height == -1L && f.frames.isEmpty)
+    }
+  }
+
   test("extraction is deterministic across reruns and partitionings") {
     val textRecs = (1L to 20L).map(i =>
       Multimodal.MediaRecord(i, s"payload-$i-${"x" * i.toInt}".getBytes("UTF-8"),
