@@ -97,6 +97,47 @@ object Sink {
     runCountedAppend(fresh, path, writePartitions)
   }
 
+  /** MERGE / upsert (SCD Type 1) into a parquet target: rows whose key
+    * exists in `source` are REPLACED by the source row, absent keys are
+    * inserted, untouched target rows survive — the "latest state wins"
+    * sink between plain append ([[incrementalLoad]]) and history-keeping
+    * SCD2 ([[Scd2.historize]]). Set-based: one null-safe anti-join of
+    * the TARGET against the source keys (the keep set) + union + the
+    * same staged atomic swap as [[fullRefresh]] — reading the current
+    * target while staging is safe because nothing is renamed until the
+    * staging write completes.
+    *
+    * Source rows pass through verbatim — dedupe upstream
+    * (`Dedup.latestPerKey`) when the batch can carry several rows per
+    * key. Scale shape: the rewrite cost is the anti-join (key-hash
+    * exchange) plus a full rewrite of the target — the honest price of
+    * in-place updates on immutable files; when deltas are tiny and
+    * rewrites hurt, that is what log-structured table formats amortize,
+    * and what [[incrementalLoad]] + latest-per-key-at-read expresses
+    * without one. */
+  def upsert(spark: SparkSession, source: DataFrame, path: String,
+      keys: Seq[String], writePartitions: Int = 0): Unit = {
+    if (!pathExists(spark, path)) {
+      fullRefresh(source, path, writePartitions)
+    } else {
+      val kept = Incremental.newRecords(
+        spark.read.parquet(path), source, keys)
+      fullRefresh(kept.unionByName(source), path, writePartitions)
+    }
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `targetFiles` evenly-sized files with the same atomic swap.
+    * Append-per-batch sinks accrete one file set per cycle; at 100 TB
+    * the resulting tiny-file population dominates open/seek cost and
+    * scheduler overhead long before data volume does. Content-identical
+    * by construction (a repartition reshuffles rows, never changes
+    * them). */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    fullRefresh(spark.read.parquet(path).repartition(targetFiles), path)
+  }
+
   /** Target existence through the Hadoop FS API (local/HDFS/object
     * store alike — a `java.io.File` probe only works on local disk). */
   def pathExists(spark: SparkSession, path: String): Boolean = {

@@ -40,6 +40,40 @@ class IncrementalSpec extends SparkSpec {
     assert(fresh.collect().head.getLong(0) == 2L)
   }
 
+  test("upsert: existing keys replaced, absent kept, new inserted (SCD1 merge)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    Sink.upsert(spark, df(Seq((1L, "a"), (2L, "b"), (3L, "c"))), path, Seq("k1"))
+    // Key 2 updated, key 4 inserted, keys 1/3 untouched.
+    Sink.upsert(spark, df(Seq((2L, "B2"), (4L, "d"))), path, Seq("k1"))
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // Null keys merge null-safely: a null-key row is REPLACED, not duplicated.
+    Sink.upsert(spark, df(Seq((null, "n1"))), path, Seq("k1"))
+    Sink.upsert(spark, df(Seq((null, "n2"))), path, Seq("k1"))
+    val nulls = spark.read.parquet(path).collect()
+      .filter(_.isNullAt(0)).map(_.getString(1)).toSeq
+    assert(nulls == Seq("n2"))
+  }
+
+  test("compact rewrites to the target file count, content-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    val data = df((1L to 500L).map(i => (Long.box(i), s"v$i")))
+    data.repartition(10).write.parquet(path)
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 10)
+    Sink.compact(spark, path, 2)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before)
+  }
+
   test("fullRefresh swaps the target atomically (S7 rename/drop analog)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-refresh").toFile
     val path = new java.io.File(dir, "t").getAbsolutePath
