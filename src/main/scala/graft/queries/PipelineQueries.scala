@@ -280,7 +280,43 @@ object PipelineQueries {
           s => s.getField("tid"))).as("ids_str"))
   }
 
+  /** TF-IDF document-term weighting, top-3 terms per document — the
+    * classic relevance/keyword-extraction step completing the
+    * vocabulary family ([[vocabTopK]] publishes the corpus stats;
+    * this query scores terms IN CONTEXT). Weight = tf * ln(N/df),
+    * canonicalized to floor-millionths: both engines compute the
+    * identical double expression (cast-to-double division, natural
+    * log, left-associated products), so the floored BIGINT cannot
+    * diverge beyond a ~1-ulp-at-a-grid-point coincidence.
+    *
+    * Shape at scale: tf aggregates with map-side combine on
+    * (doc, token); the df table is vocabulary-sized and broadcasts
+    * here — at open-vocabulary scale, cap it first (the
+    * [[tokenizeIds]] pattern) or let the token-hash shuffle join
+    * stand; the per-doc top-3 window partitions by doc_id (bounded
+    * groups, no hot key). */
+  def tfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+    val nDocs = docs.count()
+    val dfs = toks.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+    val tfs = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tfc"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("w_ppm").desc, col("token").asc)
+    tfs.join(broadcast(dfs), Seq("token"))
+      .withColumn("w_ppm",
+        floor(col("tfc") * log(lit(nDocs.toDouble) / col("dfc")) * lit(1e6)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("w_ppm"),
+        col("rn").cast("long").as("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tf_idf"             -> (tfIdf _),
     "repetition_stats"   -> (repetitionStats _),
     "tokenize_ids"       -> (tokenizeIds _),
     "decontaminate"      -> (decontaminate _),
@@ -419,6 +455,21 @@ object PipelineQueries {
       s"""SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
         |GROUP BY token ORDER BY tf DESC, token ASC LIMIT $VocabK""".stripMargin,
+    "tf_idf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+        |), n AS (SELECT count(*) AS nd FROM documents),
+        |dfs AS (SELECT token, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY token),
+        |tfs AS (SELECT doc_id, token, count(*) AS tfc FROM toks GROUP BY doc_id, token),
+        |wts AS (
+        |  SELECT t.doc_id, t.token,
+        |    CAST(floor(t.tfc * ln(CAST(n.nd AS DOUBLE) / d.dfc) * 1000000.0) AS BIGINT) AS w_ppm
+        |  FROM tfs t, dfs d, n WHERE t.token = d.token
+        |)
+        |SELECT doc_id, token, w_ppm, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY w_ppm DESC, token ASC) AS rn
+        |  FROM wts) WHERE rn <= 3""".stripMargin,
     // Parallel unnest of (tokens, 1..len) zips token with its position;
     // list(tid ORDER BY pos) restores document order after the join.
     "tokenize_ids" ->
