@@ -70,4 +70,15 @@ object Scd2 {
         nextFrom.as("valid_to"),
         nextFrom.isNull.as("is_current")): _*)
   }
+
+  /** Point-in-time lookup over a historized frame: the rows valid AT
+    * `at` under the half-open contract — `valid_from <= at < valid_to`,
+    * with the open (current) episode matching everything from its
+    * `valid_from` on. Exactly one row per key whose history covers
+    * `at`; keys first observed later drop out. A pure filter — at
+    * scale it rides the scan (and partition-prunes when the history is
+    * stored partitioned on `valid_from` ranges). */
+  def asOf(history: DataFrame, at: Column): DataFrame =
+    history.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || at < col("valid_to")))
 }

@@ -104,6 +104,27 @@ class BloomIncrementalSpec extends SparkSpec {
     assert(result.count() == 90)
   }
 
+  test("strictKeys semantics survive both Bloom variants (MNCH `=` quirk)") {
+    // Under a strict (`=`) key component, a null-keyed row NEVER
+    // matches the target — the reference's live re-insert-forever
+    // behavior. The Bloom digest hashes null and non-null rows
+    // differently only by skipping nulls, which can only ADD false
+    // positives; the exact join downstream must still reproduce the
+    // strict semantics identically.
+    val source = df(Seq((1L, "a"), (null, "b"), (2L, "c"), (null, "d")))
+    val target = df(Seq((1L, "a"), (null, "b"), (2L, "c"), (null, "d")))
+    val plain = Incremental.newRecords(source, target, Seq("k1", "k2"),
+      strictKeys = Set("k1"))
+    val bloom = Incremental.newRecordsBloom(source, target, Seq("k1", "k2"), 16,
+      strictKeys = Set("k1"))
+    val byp = Incremental.newRecordsBloomBypass(source, target, Seq("k1", "k2"), 16,
+      strictKeys = Set("k1"))
+    // null-k1 rows re-insert (strict `=` never matches NULL).
+    assert(keySet(plain) == Set((None, Some("b")), (None, Some("d"))))
+    assert(keySet(bloom) == keySet(plain))
+    assert(keySet(byp) == keySet(plain))
+  }
+
   test("bloomNumBits sizing: monotone in n, bounded to [64, 2^27]") {
     assert(Incremental.bloomNumBits(1, 0.01) >= 64)
     assert(Incremental.bloomNumBits(1000000, 0.01) >

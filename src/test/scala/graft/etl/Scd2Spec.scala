@@ -65,6 +65,26 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("asOf returns exactly the value in force at the probe point") {
+    import org.apache.spark.sql.functions.lit
+    val hist = Scd2.historize(
+      obs(Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), (2L, 25L, "z"))),
+      Seq("id"), Seq("v"), Seq("seq"), "seq")
+    def at(t: Long): Seq[(Long, String)] =
+      Scd2.asOf(hist, lit(t)).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(at(5) == Seq.empty)                      // before any history
+    assert(at(10) == Seq((1L, "a")))                // inclusive valid_from
+    assert(at(19) == Seq((1L, "a")))
+    assert(at(20) == Seq((1L, "b")))                // exclusive valid_to
+    assert(at(27) == Seq((1L, "b"), (2L, "z")))
+    assert(at(99) == Seq((1L, "c"), (2L, "z")))     // open episodes match forever
+    // Exactly one row per covered key at every probe point.
+    (10L to 40L).foreach { t =>
+      assert(at(t).map(_._1).distinct.size == at(t).size, s"dup at $t")
+    }
+  }
+
   test("multiple tracked columns: a change in ANY opens an episode") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
