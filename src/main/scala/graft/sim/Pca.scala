@@ -179,12 +179,22 @@ object Pca {
   /** Project the embedding column onto the model's axes: output column
     * = array of k principal coordinates (float). Shuffle-free — each
     * coordinate is one native codegen'd dot product against a LITERAL
-    * axis vector minus a precomputed scalar. */
+    * axis vector minus a precomputed scalar.
+    *
+    * `center = true` (the default) subtracts the mean — the standard
+    * PCA coordinate system for features/statistics. Pass
+    * `center = false` for COSINE-geometry compression (ANN): an
+    * uncentered orthonormal projection approximately preserves raw dot
+    * products and norms (y1·y2 = x1ᵀWWᵀx2 → x1·x2 as the subspace
+    * captures the energy), whereas translating by the mean distorts
+    * angles between raw vectors. */
   def project(df: DataFrame, vecCol: String, model: PcaModel,
-      outCol: String): DataFrame = {
+      outCol: String, center: Boolean = true): DataFrame = {
     val coords: Seq[Column] = model.components.map { axis =>
       val axisF: Array[Float] = axis.map(_.toFloat)
-      val centerDot = axis.indices.map(i => axis(i) * model.mean(i)).sum
+      val centerDot =
+        if (center) axis.indices.map(i => axis(i) * model.mean(i)).sum
+        else 0.0
       (call_function("graft_dot", col(vecCol), typedlit(axisF))
         - lit(centerDot)).cast("float")
     }.toSeq
