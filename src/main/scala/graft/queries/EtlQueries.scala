@@ -117,6 +117,23 @@ object EtlQueries {
         col("is_current").cast("long").as("is_current"))
   }
 
+  /** Snapshot reconciliation (`etl/Diff.tableDiff`): yesterday = the
+    * 80% slice, today = the 90% slice with priorities rewritten on a
+    * deterministic subset — so all four change classes occur. The
+    * oracle reproduces the classification with an independent
+    * FULL OUTER JOIN + CASE formulation. */
+  def tableDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val oldSnap = orders.filter(col("o_orderkey") % 10 < 8)
+    val newSnap = orders.filter(col("o_orderkey") % 10 > 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("RECLASSIFIED"))
+          .otherwise(col("o_orderpriority")))
+    graft.etl.Diff.tableDiff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_orderpriority"))
+      .select(col("o_orderkey"), col("change"))
+  }
+
   /** J5/W1 — latest-record-per-key dedup via window row_number (the
     * SURVEY §2.6 W1 mapping; the max_by-aggregate variant in
     * Dedup.latestPerKey is the better plan when keys are heavily
@@ -343,6 +360,7 @@ object EtlQueries {
     "incremental_bloom"    -> (incrementalBloom _),
     "incremental_bloom_bypass" -> (incrementalBloomBypass _),
     "scd2_history"         -> (scd2History _),
+    "table_diff"           -> (tableDiffQ _),
     "reference_pipeline"   -> (referencePipeline _),
     "latest_per_key"       -> (latestPerKey _),
     "max_fields_dedup"     -> (maxFieldsDedupQ _),
@@ -430,6 +448,25 @@ object EtlQueries {
     // hash machine-checks the semi-join-reduction exactness argument.
     "incremental_bloom" -> antijoinOracle,
     "incremental_bloom_bypass" -> antijoinOracle,
+    "table_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 < 8
+        |), newsnap AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'RECLASSIFIED'
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 > 0
+        |)
+        |SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed'
+        |       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |         THEN 'changed'
+        |       ELSE 'same' END AS change
+        |FROM oldsnap o FULL OUTER JOIN newsnap n
+        |  ON o.o_orderkey = n.o_orderkey""".stripMargin,
     "scd2_history" ->
       """WITH marked AS (
         |  SELECT user_id, event_type, ts, event_id,
