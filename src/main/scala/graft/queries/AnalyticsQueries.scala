@@ -248,7 +248,45 @@ object AnalyticsQueries {
         floor(percentile(col("c"), lit(0.75))).as("q3_c"),
         count(lit(1)).as("n"))
 
+  /** Ordered conversion funnel over the event stream: users reaching
+    * view -> click(after view) -> purchase(after click). The strictly-
+    * increasing-timestamp contract ("after") is the part a naive
+    * per-type count gets wrong. Three aggregates all keyed on
+    * user_id — same hash partitioning throughout, so the exchanges
+    * line up and the step joins stay co-partitioned; each step's
+    * input is filtered to one event type BEFORE its exchange. */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def first(tpe: String) = ev.filter(col("event_type") === tpe)
+      .groupBy(col("user_id"))
+    val s1 = first("view").agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
+      .unionByName(s2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("step"), col("n_users")))
+      .unionByName(s3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("step"), col("n_users")))
+  }
+
+  /** Equi-width histogram via `width_bucket` — the numeric-profiling
+    * primitive. Bounds chosen so the bucket width is an EXACT double
+    * (500000/20 = 25000), making Spark's width computation and the
+    * oracle's arithmetic emulation bit-identical; out-of-range values
+    * land in the standard overflow buckets 0 / n+1. */
+  def histogramQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(width_bucket(col("o_totalprice"), lit(0d), lit(500000d), lit(20L))
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps"   -> (funnelSteps _),
+    "histogram"      -> (histogramQ _),
     "percentile_agg" -> (percentileAgg _),
     "sql_subqueries" -> (sqlSubqueries _),
     "tpch_q3"        -> (tpchQ3 _),
@@ -265,6 +303,33 @@ object AnalyticsQueries {
     "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT '1_view' AS step, count(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_click', count(*) FROM s2
+        |UNION ALL SELECT '3_purchase', count(*) FROM s3""".stripMargin,
+    // width_bucket emulated arithmetically: width = (hi-lo)/n is the
+    // EXACT double 25000, so floor((v-lo)/width)+1 matches Spark's
+    // internal computation bit-for-bit.
+    "histogram" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |            WHEN o_totalprice >= 500000 THEN 21
+        |            ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+        |       END AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "percentile_agg" ->
       """SELECT o_orderstatus,
         |  CAST(floor(quantile_cont(c, 0.25)) AS BIGINT) AS q1_c,
