@@ -59,6 +59,27 @@ def main():
             print(f"FAIL {name}: {e}")
             failed.append(name)
             continue
+        # Type guard (r7 lesson): DuckDB returns HUGEINT — the type of an
+        # uncast sum(BIGINT) — as a plain Python int, so the value-level
+        # probe below cannot see it, yet the driver's hasher canonicalizes
+        # HUGEINT differently from BIGINT and the hash diverges on equal
+        # values. DESCRIBE the oracle and flag any declared column type
+        # outside the trusted set before values are even compared.
+        trusted = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+                   "VARCHAR", "BOOLEAN"}
+        type_bad = False
+        try:
+            dcols = con.execute(f"DESCRIBE {sql}").fetchall()
+            for cname, ctype, *_ in dcols:
+                base = ctype.split("(")[0].strip().upper()
+                if base not in trusted and not base.endswith("[]"):
+                    print(f"WARN {name}: oracle col '{cname}' has declared "
+                          f"type {ctype} (outside trusted "
+                          f"{{BIGINT,INTEGER,VARCHAR,BOOLEAN}}) — "
+                          f"driver hash may diverge; CAST it")
+                    type_bad = True
+        except Exception as e:
+            print(f"WARN {name}: DESCRIBE failed ({e}) — type guard skipped")
         # Canonicalization guard: the driver's hasher proved unstable on
         # DECIMAL/DATE/DOUBLE in round 1; only int/str (BIGINT/VARCHAR)
         # outputs are trusted. Warn loudly on anything else.
@@ -78,7 +99,11 @@ def main():
         ok_rows = len(orows) == len(srows)
         ok_hash = ok_cols and ok_rows and \
             table_hash(ocols, orows) == table_hash(scols, srows)
-        if ok_hash:
+        if ok_hash and type_bad:
+            failed.append(name)
+            print(f"FAIL {name}: values match but oracle type outside "
+                  f"trusted set — driver hash WILL diverge (see WARN above)")
+        elif ok_hash:
             print(f"PASS {name}: {len(srows)} rows")
         else:
             failed.append(name)

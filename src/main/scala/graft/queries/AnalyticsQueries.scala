@@ -346,14 +346,14 @@ object AnalyticsQueries {
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) c
         |  FROM orders
         |)
-        |SELECT 'global' AS op, s, count(*) AS n, sum(c) AS sum_c
+        |SELECT 'global' AS op, s, count(*) AS n, CAST(sum(c) AS BIGINT) AS sum_c
         |FROM t WHERE c > (SELECT avg(c) FROM t) GROUP BY s
         |UNION ALL
-        |SELECT 'corr', s, count(*), sum(c)
+        |SELECT 'corr', s, count(*), CAST(sum(c) AS BIGINT)
         |FROM t t1 WHERE c > (SELECT avg(t2.c) FROM t t2 WHERE t2.s = t1.s)
         |GROUP BY s""".stripMargin,
     "tpch_q3" ->
-      s"""SELECT l_orderkey, sum($revCentsSql) AS revenue_c,
+      s"""SELECT l_orderkey, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c,
         |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
         |       o_orderpriority
         |FROM customer, orders, lineitem
@@ -365,7 +365,7 @@ object AnalyticsQueries {
         |ORDER BY revenue_c DESC, o_orderdate ASC, l_orderkey ASC
         |LIMIT 10""".stripMargin,
     "tpch_q5" ->
-      s"""SELECT n_name, sum($revCentsSql) AS revenue_c
+      s"""SELECT n_name, CAST(sum($revCentsSql) AS BIGINT) AS revenue_c
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -396,7 +396,7 @@ object AnalyticsQueries {
         |       coalesce(o_orderpriority, '(all)') AS priority,
         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
         |       count(*) AS n,
-        |       sum(${centsSql.format("o_totalprice")}) AS sum_price_c
+        |       CAST(sum(${centsSql.format("o_totalprice")}) AS BIGINT) AS sum_price_c
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "cube_agg" ->
@@ -404,7 +404,7 @@ object AnalyticsQueries {
         |       coalesce(c.c_mktsegment, '(all)') AS segment,
         |       CAST(GROUPING(o.o_orderstatus, c.c_mktsegment) AS BIGINT) AS gid,
         |       count(*) AS n,
-        |       sum(${centsSql.format("o.o_totalprice")}) AS sum_price_c
+        |       CAST(sum(${centsSql.format("o.o_totalprice")}) AS BIGINT) AS sum_price_c
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY CUBE(o.o_orderstatus, c.c_mktsegment)""".stripMargin,
     "pivot_status" ->
@@ -438,10 +438,10 @@ object AnalyticsQueries {
         |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
         |       CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
         |       CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm,
-        |       sum(${centsSql.format("o_totalprice")}) OVER (
+        |       CAST(sum(${centsSql.format("o_totalprice")}) OVER (
         |         PARTITION BY o_orderstatus
         |         ORDER BY ${centsSql.format("o_totalprice")}, o_orderkey
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum_c
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus
         |             ORDER BY ${centsSql.format("o_totalprice")}, o_orderkey)""".stripMargin
