@@ -35,13 +35,19 @@ object Diff {
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "keys required")
+    // A key listed again in compareCols would project duplicate
+    // __o_<c>/__n_<c> columns and fail the join with an ambiguous-
+    // reference error; dedup keeps the call valid (a key column is
+    // equal-by-join on matched rows anyway, so semantics are
+    // unchanged).
+    val projCols = (keys ++ compareCols).distinct
     // Explicit presence markers, NOT key-null probes: a row whose key
     // components are all legitimately NULL is still present.
     val oldP = oldDf
-      .select((keys ++ compareCols).map(c => col(c).as(s"__o_$c")): _*)
+      .select(projCols.map(c => col(c).as(s"__o_$c")): _*)
       .withColumn("__o_present", lit(true))
     val newP = newDf
-      .select((keys ++ compareCols).map(c => col(c).as(s"__n_$c")): _*)
+      .select(projCols.map(c => col(c).as(s"__n_$c")): _*)
       .withColumn("__n_present", lit(true))
     val cond: Column = keys.map(k => col(s"__o_$k") <=> col(s"__n_$k"))
       .reduce(_ && _)

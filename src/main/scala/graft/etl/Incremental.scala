@@ -77,12 +77,23 @@ object Incremental {
 
   /** Optimal Bloom bit count for `n` items at false-positive rate
     * `fpp`: m = -n ln(fpp) / (ln 2)^2, floored at 64 bits and capped
-    * at 2^27 bits (16 MiB) so the driver-side sketch stays broadcast-
-    * sized no matter what a caller passes. */
+    * at the session's `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumBits` (default 2^26 = 8 MiB) so the driver-side sketch
+    * stays broadcast-sized no matter what a caller passes. The cap
+    * must be the SESSION's limit, not a constant: Spark's
+    * `BloomFilterAggregate` silently `min`-clamps `numBits` to that
+    * conf, so requesting more bits than it allows would not fail —
+    * it would quietly deliver roughly double the requested false-
+    * positive rate on large deltas (pruning efficiency, not
+    * exactness: the exact anti-join screens all Bloom positives). */
   private[etl] def bloomNumBits(n: Long, fpp: Double): Long = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val maxBits = try {
+      import org.apache.spark.sql.internal.SQLConf
+      SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    } catch { case scala.util.control.NonFatal(_) => 1L << 26 }
     val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    math.min(math.max(m, 64L), 1L << 27)
+    math.min(math.max(m, 64L), maxBits)
   }
 
   /** Distributed Bloom build over `df`'s composite-key digest: one

@@ -201,18 +201,22 @@ object Multimodal {
       def isFrame(cc: String): Boolean =
         cc.length == 4 && cc(0).isDigit && cc(1).isDigit &&
           cc(2) == 'd' && (cc(3) == 'b' || cc(3) == 'c')
+      // All bounds arithmetic in Long: a corrupt/adversarial chunk size
+      // near Int.MaxValue would wrap `off + 8 + size` negative in Int,
+      // slipping past the `> to` truncation guard and emitting an
+      // out-of-bounds (offset, length) pair.
       def walk(from: Int, to: Int): Unit = {
-        var off = from
+        var off: Long = from
         while (off + 8 <= to) {
-          val cc = fourcc(payload, off)
-          val size = le32(payload, off + 4)
-          if (size < 0 || off + 8 + size > to) return // truncated: stop
+          val cc = fourcc(payload, off.toInt)
+          val size = le32(payload, off.toInt + 4)
+          if (size < 0 || off + 8L + size > to) return // truncated: stop
           if (cc == "LIST" && size >= 4) {
-            val listType = fourcc(payload, off + 8)
+            val listType = fourcc(payload, off.toInt + 8)
             if (listType == "movi" || listType == "rec ")
-              walk(off + 12, off + 8 + size)
-          } else if (isFrame(cc)) out += ((off + 8, size))
-          off += 8 + size + (size & 1) // chunks are word-aligned
+              walk(off.toInt + 12, (off + 8L + size).toInt)
+          } else if (isFrame(cc)) out += ((off.toInt + 8, size))
+          off += 8L + size + (size & 1) // chunks are word-aligned
         }
       }
       walk(12, payload.length)
@@ -294,18 +298,23 @@ object Multimodal {
               audio.waveThumb(pcm, thumbSide * thumbSide),
               audio.amplitudeBands(pcm, frameStep))
         } else if (VideoFormats.contains(r.format)) {
-          val chunks = video.frameChunks(r.payload)
-          if (chunks == null || chunks.isEmpty) errorRow(r)
-          else {
-            val sampled = video.sampleFrames(r.payload, chunks, frameStep)
-            val first = sampled.headOption.orNull
-            if (first == null) errorRow(r)
-            else
-              MediaFeatures(r.id, r.payload.length.toLong,
-                first.getWidth.toLong, first.getHeight.toLong,
-                codec.grayThumb(first, thumbSide),
-                sampled.map(f => if (f == null) -1L else video.meanLum(f)))
-          }
+          // Corrupt payloads are data, not crashes: any parse/decode
+          // throw on an adversarial container becomes an error row,
+          // matching ImageCodec.decode's null-on-failure contract.
+          try {
+            val chunks = video.frameChunks(r.payload)
+            if (chunks == null || chunks.isEmpty) errorRow(r)
+            else {
+              val sampled = video.sampleFrames(r.payload, chunks, frameStep)
+              val first = sampled.headOption.orNull
+              if (first == null) errorRow(r)
+              else
+                MediaFeatures(r.id, r.payload.length.toLong,
+                  first.getWidth.toLong, first.getHeight.toLong,
+                  codec.grayThumb(first, thumbSide),
+                  sampled.map(f => if (f == null) -1L else video.meanLum(f)))
+            }
+          } catch { case scala.util.control.NonFatal(_) => errorRow(r) }
         } else {
           MediaFeatures(r.id, r.payload.length.toLong, 0L, 0L,
             BinaryCodec.thumbnail(r.payload, thumbBytes),

@@ -43,7 +43,23 @@ object Pca {
   /** One-pass mean + covariance, driver-side Jacobi, top-k axes. */
   def fit(corpus: DataFrame, vecCol: String, k: Int): PcaModel = {
     val rows = corpus.select(col(vecCol)).na.drop()
-    val (n, sum, gram, dim) = rows.rdd
+    // null-zero merge: an empty (or all-null-vector) corpus must reach
+    // the require(n > 1) diagnostic below, not treeReduce's generic
+    // "empty collection" throw — so aggregate with a null zero value
+    // instead of reducing.
+    type Partial = (Long, Array[Double], Array[Double], Int)
+    def merge(a: Partial, b: Partial): Partial =
+      if (a == null) b
+      else if (b == null) a
+      else {
+        require(a._4 == b._4, s"dim mismatch ${a._4} vs ${b._4}")
+        var i = 0
+        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
+        i = 0
+        while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
+        (a._1 + b._1, a._2, a._3, a._4)
+      }
+    val agg = rows.rdd
       .map(_.getSeq[Float](0))
       .mapPartitions { it =>
         var cnt = 0L
@@ -70,17 +86,12 @@ object Pca {
           }
         }
         if (cnt == 0) Iterator.empty
-        else Iterator.single((cnt, s, g, d))
+        else Iterator.single((cnt, s, g, d): Partial)
       }
-      .treeReduce { (a, b) =>
-        require(a._4 == b._4, s"dim mismatch ${a._4} vs ${b._4}")
-        var i = 0
-        while (i < a._2.length) { a._2(i) += b._2(i); i += 1 }
-        i = 0
-        while (i < a._3.length) { a._3(i) += b._3(i); i += 1 }
-        (a._1 + b._1, a._2, a._3, a._4)
-      }
-    require(n > 1, s"need >1 vectors to fit PCA, got $n")
+      .treeAggregate(null: Partial)(merge, merge)
+    require(agg != null && agg._1 > 1,
+      s"need >1 vectors to fit PCA, got ${if (agg == null) 0 else agg._1}")
+    val (n, sum, gram, dim) = agg
     require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
     val mean = sum.map(_ / n)
     // covariance C = E[xxT] - mean meanT (population; ranking and axes

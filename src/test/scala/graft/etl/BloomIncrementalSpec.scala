@@ -125,11 +125,15 @@ class BloomIncrementalSpec extends SparkSpec {
     assert(keySet(byp) == keySet(plain))
   }
 
-  test("bloomNumBits sizing: monotone in n, bounded to [64, 2^27]") {
+  test("bloomNumBits sizing: monotone in n, capped at the session's " +
+      "BloomFilterAggregate clamp (never asks for bits Spark would " +
+      "silently drop)") {
+    import org.apache.spark.sql.internal.SQLConf
+    val sessionMax = SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     assert(Incremental.bloomNumBits(1, 0.01) >= 64)
     assert(Incremental.bloomNumBits(1000000, 0.01) >
       Incremental.bloomNumBits(1000, 0.01))
-    assert(Incremental.bloomNumBits(Long.MaxValue / 4, 0.0001) == (1L << 27))
+    assert(Incremental.bloomNumBits(Long.MaxValue / 4, 0.0001) == sessionMax)
     intercept[IllegalArgumentException](Incremental.bloomNumBits(10, 0.0))
   }
 }

@@ -25,6 +25,17 @@ class DiffSpec extends SparkSpec {
       .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
         r.getString(1))).toMap
 
+  test("a key column repeated in compareCols is deduped, not ambiguous") {
+    // Pre-fix this projected duplicate __o_k/__n_k columns and the
+    // join failed with an ambiguous-reference AnalysisException.
+    val got = Diff.tableDiff(
+        df(Seq((1L, "x", "p"), (2L, "y", "q"))),
+        df(Seq((1L, "x", "p"), (2L, "y", "Q"))),
+        Seq("k"), Seq("k", "a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "same", 2L -> "changed"))
+  }
+
   test("all four change classes in one pass") {
     val got = classify(
       oldRows = Seq((1L, "x", "p"), (2L, "y", "q"), (3L, "z", "r")),

@@ -168,6 +168,26 @@ class MultimodalSpec extends SparkSpec {
       f.thumb.forall(b => math.abs((b & 0xff) - 40) <= 4))
   }
 
+  test("adversarial chunk size near Int.MaxValue is an error row, not a crash") {
+    // A frame chunk claiming size 0x7FFFFFF0: in Int arithmetic
+    // off + 8 + size wraps negative and slips past the truncation
+    // guard, emitting an out-of-bounds (offset, length) that blows up
+    // Arrays.copyOfRange and fails the whole task. The walker must do
+    // its bounds math in Long and treat the payload as truncated.
+    val out = new ByteArrayOutputStream()
+    def cc(s: String) = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      out.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte))
+    cc("RIFF"); le32(100); cc("AVI ")
+    cc("00dc"); le32(0x7FFFFFF0) // declared far past the payload end
+    out.write(Array.fill[Byte](32)(0x11))
+    val evil = Multimodal.MediaRecord(7L, out.toByteArray, "video/avi")
+    val f = Multimodal.extractFeatures(Seq(evil).toDS()).collect().head
+    assert(f.width == -1L && f.height == -1L && f.frames.isEmpty,
+      "oversized-chunk payload must classify as corrupt data")
+  }
+
   test("non-RIFF and empty-movi video payloads yield the declared error row") {
     val junk = Multimodal.MediaRecord(1L, Array.fill[Byte](64)(3), "video/avi")
     val noFrames = Multimodal.MediaRecord(2L, mjpegAvi(Seq.empty), "video/avi")

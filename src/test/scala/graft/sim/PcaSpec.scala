@@ -34,6 +34,26 @@ class PcaSpec extends SparkSpec {
       w.toFloat, (i % 3).toFloat * 0f))
   }
 
+  test("fit on an empty or all-null corpus raises the intended diagnostic") {
+    // Pre-fix both cases died inside treeReduce with a generic
+    // "empty collection" UnsupportedOperationException before reaching
+    // the require(n > 1) message.
+    val empty = planted(0).toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException](Pca.fit(empty, "vec", 1))
+    assert(e1.getMessage.contains("need >1 vectors"), e1.getMessage)
+    val allNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, null), org.apache.spark.sql.Row(2L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("vec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val e2 = intercept[IllegalArgumentException](Pca.fit(allNull, "vec", 1))
+    assert(e2.getMessage.contains("need >1 vectors"), e2.getMessage)
+  }
+
   test("fit recovers the planted principal direction, descending variance") {
     val df = planted(2000).toDF("id", "vec")
     val m = Pca.fit(df, "vec", k = 3)
