@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sim.{KMeans, Similarity}
+import graft.sim.{KMeans, Pca, Similarity}
 
 /** Oracle-checked ANN queries over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -203,7 +203,43 @@ object SimQueries {
     Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
       bands = 4, planes = SrpPlanes, k = K)
 
+  /** PCA hash-checked END TO END — fit (distributed mean/Gram, driver
+    * Jacobi) plus the shuffle-free [[Pca.project]] against the DuckDB
+    * oracle's relational replay of the same arithmetic.
+    *
+    * Exactness construction (the k-means-oracle trick, § above):
+    * features are the first two embedding coordinates QUANTIZED TO
+    * INTEGERS (×1000, |x| ≤ ~400), so every partial sum and Gram
+    * product the distributed pass accumulates is an integer far below
+    * 2^53 — double addition over them is exact and ORDER-FREE, which
+    * makes the covariance bit-identical across any partitioning and
+    * bit-identical to the oracle's BIGINT sums. From there both sides
+    * run the identical IEEE op sequence: one 2×2 Jacobi rotation
+    * (closed form — the oracle replays theta/t/c/s and the two-sided
+    * rotation literally), descending-eigenvalue order with stable
+    * ties, largest-|coordinate|-positive sign canonicalization,
+    * axes rounded to FLOAT, [[graft.expressions.DotExpr]]'s
+    * left-fold double dot, minus the double centering dot, rounded to
+    * FLOAT, scaled to integer ten-thousandths. */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Tables.spread(Tables.embeddings(spark, dir)).select(
+      col("vec_id"),
+      array(
+        floor(element_at(col("embedding"), 1).cast("double") * lit(1000.0)
+          + lit(0.5)).cast("float"),
+        floor(element_at(col("embedding"), 2).cast("double") * lit(1000.0)
+          + lit(0.5)).cast("float")).as("vec"))
+    val m = Pca.fit(feats, "vec", 2)
+    Pca.project(feats, "vec", m, "pc")
+      .select(col("vec_id"),
+        floor(element_at(col("pc"), 1).cast("double") * lit(10000.0)
+          + lit(0.5)).as("pc0_c"),
+        floor(element_at(col("pc"), 2).cast("double") * lit(10000.0)
+          + lit(0.5)).as("pc1_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pca_project"     -> (pcaProject _),
     "ann_topk"        -> (annTopK _),
     "ann_ivf"         -> (annIvf _),
     "ann_ivf_probe2"  -> (annIvfProbe2 _),
@@ -353,7 +389,111 @@ object SimQueries {
        |  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id)
        |WHERE score_c >= 400000""".stripMargin
 
+  /** SQL replay of [[Pca.fit]] + [[Pca.project]] on the 2-dim
+    * integer-quantized features — every CTE mirrors one stage of the
+    * Scala arithmetic in the same IEEE op order (see [[pcaProject]]):
+    * exact BIGINT mean/Gram sums; covariance `g/n - m_i*m_j`; the
+    * jacobiEigen entry check (`offDiag > 1e-12 * frobenius`, rotation
+    * guard `|C| > 1e-300`); one literal two-sided rotation; stable
+    * descending eigenvalue order; first-max sign pivot; FLOAT-rounded
+    * axes; DotExpr's `(x0*a0) + (x1*a1)` fold minus the double
+    * centering dot, rounded to FLOAT and scaled. */
+  private val pcaProjectSql: String =
+    """WITH f AS (
+      |  SELECT vec_id,
+      |         floor(CAST(embedding[1] AS DOUBLE) * 1000.0 + 0.5) AS x0,
+      |         floor(CAST(embedding[2] AS DOUBLE) * 1000.0 + 0.5) AS x1
+      |  FROM embeddings
+      |), agg AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CAST(x0 AS BIGINT)) AS DOUBLE) AS s0,
+      |         CAST(sum(CAST(x1 AS BIGINT)) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(x0 AS BIGINT) * CAST(x0 AS BIGINT)) AS DOUBLE) AS g00,
+      |         CAST(sum(CAST(x0 AS BIGINT) * CAST(x1 AS BIGINT)) AS DOUBLE) AS g01,
+      |         CAST(sum(CAST(x1 AS BIGINT) * CAST(x1 AS BIGINT)) AS DOUBLE) AS g11
+      |  FROM f
+      |), mz AS (
+      |  SELECT n, g00, g01, g11, s0 / n AS m0, s1 / n AS m1 FROM agg
+      |), cv AS (
+      |  SELECT n, m0, m1,
+      |         g00 / n - m0 * m0 AS a,
+      |         g01 / n - m0 * m1 AS c,
+      |         g11 / n - m1 * m1 AS b
+      |  FROM mz
+      |), j0 AS (
+      |  SELECT *,
+      |    CASE WHEN sqrt(c*c) >
+      |           1e-12 * greatest(sqrt(((a*a + c*c) + c*c) + b*b), 1e-300)
+      |         AND abs(c) > 1e-300
+      |         THEN 1 ELSE 0 END AS do_rot
+      |  FROM cv
+      |), th AS (
+      |  SELECT *,
+      |    CASE WHEN do_rot = 1 THEN (b - a) / (2.0 * c) ELSE 0.0 END AS theta
+      |  FROM j0
+      |), tv AS (
+      |  SELECT *,
+      |    CASE WHEN do_rot = 0 THEN 0.0
+      |         WHEN theta = 0.0 THEN 1.0
+      |         ELSE (CASE WHEN theta < 0.0 THEN -1.0 ELSE 1.0 END)
+      |              / (abs(theta) + sqrt(theta * theta + 1.0)) END AS t
+      |  FROM th
+      |), trig AS (
+      |  SELECT *,
+      |    CASE WHEN do_rot = 1 THEN 1.0 / sqrt(t*t + 1.0) ELSE 1.0 END AS cth,
+      |    CASE WHEN do_rot = 1
+      |         THEN t * (1.0 / sqrt(t*t + 1.0)) ELSE 0.0 END AS sth
+      |  FROM tv
+      |), rotm AS (
+      |  SELECT *,
+      |    cth * a - sth * c AS a00_1,
+      |    sth * a + cth * c AS a01_1,
+      |    cth * c - sth * b AS a10_1,
+      |    sth * c + cth * b AS a11_1
+      |  FROM trig
+      |), eig AS (
+      |  SELECT *,
+      |    cth * a00_1 - sth * a10_1 AS lam0,
+      |    sth * a01_1 + cth * a11_1 AS lam1,
+      |    cth AS v00, 0.0 - sth AS v10, sth AS v01, cth AS v11
+      |  FROM rotm
+      |), ord AS (
+      |  SELECT *,
+      |    CASE WHEN lam1 > lam0 THEN v01 ELSE v00 END AS p0u0,
+      |    CASE WHEN lam1 > lam0 THEN v11 ELSE v10 END AS p0u1,
+      |    CASE WHEN lam1 > lam0 THEN v00 ELSE v01 END AS p1u0,
+      |    CASE WHEN lam1 > lam0 THEN v10 ELSE v11 END AS p1u1
+      |  FROM eig
+      |), canon AS (
+      |  SELECT *,
+      |    CASE WHEN (CASE WHEN abs(p0u1) > abs(p0u0) THEN p0u1 ELSE p0u0 END)
+      |           < 0.0 THEN -p0u0 ELSE p0u0 END AS e0x,
+      |    CASE WHEN (CASE WHEN abs(p0u1) > abs(p0u0) THEN p0u1 ELSE p0u0 END)
+      |           < 0.0 THEN -p0u1 ELSE p0u1 END AS e0y,
+      |    CASE WHEN (CASE WHEN abs(p1u1) > abs(p1u0) THEN p1u1 ELSE p1u0 END)
+      |           < 0.0 THEN -p1u0 ELSE p1u0 END AS e1x,
+      |    CASE WHEN (CASE WHEN abs(p1u1) > abs(p1u0) THEN p1u1 ELSE p1u0 END)
+      |           < 0.0 THEN -p1u1 ELSE p1u1 END AS e1y
+      |  FROM ord
+      |), md AS (
+      |  SELECT m0, m1,
+      |    CAST(CAST(e0x AS REAL) AS DOUBLE) AS a0x,
+      |    CAST(CAST(e0y AS REAL) AS DOUBLE) AS a0y,
+      |    CAST(CAST(e1x AS REAL) AS DOUBLE) AS a1x,
+      |    CAST(CAST(e1y AS REAL) AS DOUBLE) AS a1y,
+      |    (e0x * m0) + (e0y * m1) AS cd0,
+      |    (e1x * m0) + (e1y * m1) AS cd1
+      |  FROM canon
+      |)
+      |SELECT f.vec_id,
+      |  CAST(floor(CAST(CAST((f.x0 * md.a0x + f.x1 * md.a0y) - md.cd0 AS REAL)
+      |       AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS pc0_c,
+      |  CAST(floor(CAST(CAST((f.x0 * md.a1x + f.x1 * md.a1y) - md.cd1 AS REAL)
+      |       AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS pc1_c
+      |FROM f CROSS JOIN md""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pca_project" -> pcaProjectSql,
     "knn_graph_brute" ->
       s"""WITH $augmentedSql,
         |scored AS (
