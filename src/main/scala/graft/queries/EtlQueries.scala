@@ -355,7 +355,33 @@ object EtlQueries {
         iso(col("o_orderdate")).as("o_orderdate"))
   }
 
+  /** The HLL sketch surface ([[graft.etl.Sketches]]) oracle-checked in
+    * its deterministic envelope: fine-grained sketches per
+    * (status, priority) are UNION-MERGED up to status — the mergeable-
+    * column path an append-only warehouse relies on — and the rolled-up
+    * estimate is asserted against the exact per-status distinct count
+    * within the spec's 3-sigma band (3 * 1.04 / sqrt(2^lgK) ≈ 4.9% at
+    * lgK=12). The estimate itself is hash-based and deterministic for
+    * fixed data, but only the BOUND is the published contract, so the
+    * oracle emits exact counts plus `true` literals — a sharper check
+    * than rows-only, honest about what HLL promises. */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val sketches = graft.etl.Sketches.distinctSketch(orders, "o_custkey",
+      Seq("o_orderstatus", "o_orderpriority"))
+    val rolled = graft.etl.Sketches.rollupEstimate(sketches,
+      Seq("o_orderstatus"))
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val relErr = 3.0 * 1.04 / math.sqrt((1 << 12).toDouble)
+    exact.join(rolled, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_exact"),
+        (abs(col("estimate") - col("n_exact"))
+          <= lit(relErr) * col("n_exact")).as("within_bound"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_distinct"         -> (hllDistinct _),
     "incremental_antijoin" -> (incrementalAntijoin _),
     "incremental_bloom"    -> (incrementalBloom _),
     "incremental_bloom_bypass" -> (incrementalBloomBypass _),
@@ -394,6 +420,15 @@ object EtlQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // The HLL estimate is implementation-defined (Datasketches hash);
+    // the PUBLISHED contract is the 3-sigma error band, so the oracle
+    // pins the exact distinct counts and asserts the band held (true
+    // literals) — see hllDistinct's scaladoc.
+    "hll_distinct" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+        |       true AS within_bound
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // The full §3.1 pipeline, stage by stage. The dedup is formulated
     // as row_number (the reference's user-facing idiom) rather than
     // max_by, so the oracle is an independent formulation of the same
