@@ -65,6 +65,60 @@ object Incremental {
     source.join(tgtKeys, cond, "left_anti")
   }
 
+  /** [[newRecords]] for a HOT-KEY-SKEWED delta — the shape the
+    * reference's signature anti-join meets first at 100 TB: one
+    * facility (SiteCode) contributes a dominant share of the day's
+    * rows, and when the anti-join key set is low-cardinality (site, or
+    * site+date), every hot row hashes to ONE shuffle partition whose
+    * task then carries the whole facility alone while the rest of the
+    * cluster idles. AQE's skew-join splitting covers sort-merge plans
+    * it can see at runtime; this is the explicit, deterministic form
+    * that also works under shuffled-hash plans and documents the
+    * technique.
+    *
+    * Construction: each SOURCE row gets a deterministic salt in
+    * [0, buckets) hashed from `saltSource` (per-row-distinct column(s)
+    * — NOT rand(): retries must be idempotent and reruns reproducible);
+    * the TARGET is column-pruned to its distinct key set, then
+    * replicated once per salt value. The join key becomes
+    * (keys..., salt), so the hot key's source rows spread over
+    * `buckets` partitions while matching stays exact: a source row's
+    * (k, s) finds a target row iff k is in the target key set, because
+    * every target key exists at EVERY salt. Null-safe semantics and
+    * `strictKeys` mirror [[newRecords]].
+    *
+    * Cost model: the replicated side is `buckets x |distinct target
+    * keys|` — for the low-cardinality keys that cause this skew in the
+    * first place (sites, site-dates) that is kilobytes; for
+    * high-cardinality keys the plain [[newRecords]] hash already
+    * distributes fine and salting buys nothing. The target side is
+    * hinted to a shuffle join deliberately: if the distinct key set
+    * were broadcastable there'd be no shuffle to salt — use
+    * `broadcastTarget = true` on [[newRecords]] instead. */
+  def newRecordsSalted(
+      source: DataFrame,
+      target: DataFrame,
+      keys: Seq[String],
+      saltSource: Column,
+      buckets: Int = 16,
+      strictKeys: Set[String] = Set.empty): DataFrame = {
+    require(buckets > 1, s"need >1 salt buckets, got $buckets")
+    val salted = source.withColumn("__salt",
+      pmod(xxhash64(saltSource), lit(buckets.toLong)))
+    // Distinct BEFORE replication: dedup once, replicate the survivors.
+    val tgtKeys = target
+      .select(keys.map(k => col(k).as(s"__tgt_$k")): _*)
+      .dropDuplicates(keys.map(k => s"__tgt_$k"))
+      .withColumn("__tgt_salt",
+        explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+      .hint("merge") // model the non-broadcastable target (see scaladoc)
+    val cond: Column = (keys.map { k =>
+      if (strictKeys.contains(k)) col(k) === col(s"__tgt_$k")
+      else col(k) <=> col(s"__tgt_$k")
+    } :+ (col("__salt") === col("__tgt_salt"))).reduce(_ && _)
+    salted.join(tgtKeys, cond, "left_anti").drop("__salt")
+  }
+
   /** Single LongType digest of a composite key for Bloom membership.
     * xxhash64 folds children left-to-right and SKIPS null children
     * (accumulator unchanged), so two rows that match under `<=>`

@@ -380,8 +380,38 @@ object EtlQueries {
           <= lit(relErr) * col("n_exact")).as("within_bound"))
   }
 
+  /** The anti-join's own skew story (the signature op meets a hot
+    * facility): source = the [[skewed]] frame (~99% of rows on
+    * hot_key 0), target = the cold keys ending 800-999 removed, so the
+    * anti-join is keyed on the LOW-CARDINALITY hot_key alone and the
+    * hot key's entire mass hashes to one shuffle partition in the
+    * plain plan. [[skewAntiSalted]] runs
+    * [[graft.etl.Incremental.newRecordsSalted]] (deterministic source
+    * salt, exploded distinct target keys, exact by construction);
+    * [[skewAntiNoopt]] is the unsalted strawman pinned to the same
+    * shuffle join. Both share one oracle — a green hash on both is a
+    * machine check of the salted rewrite's exactness, and the bench
+    * gap between them is the salting's measured win. */
+  def skewAntiSalted(spark: SparkSession, dir: String): DataFrame = {
+    val s = skewed(spark, dir)
+    val t = s.filter(col("hot_key") =!= 0L && col("hot_key") % 1000 < 800)
+    Incremental.newRecordsSalted(s, t, Seq("hot_key"),
+        saltSource = col("v"), buckets = 16)
+      .select(col("hot_key"), col("v"))
+  }
+
+  /** See [[skewAntiSalted]]. */
+  def skewAntiNoopt(spark: SparkSession, dir: String): DataFrame = {
+    val s = skewed(spark, dir)
+    val t = s.filter(col("hot_key") =!= 0L && col("hot_key") % 1000 < 800)
+    Incremental.newRecords(s, t.hint("merge"), Seq("hot_key"))
+      .select(col("hot_key"), col("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hll_distinct"         -> (hllDistinct _),
+    "skew_anti_salted"     -> (skewAntiSalted _),
+    "skew_anti_noopt"      -> (skewAntiNoopt _),
     "incremental_antijoin" -> (incrementalAntijoin _),
     "incremental_bloom"    -> (incrementalBloom _),
     "incremental_bloom_bypass" -> (incrementalBloomBypass _),
@@ -400,6 +430,19 @@ object EtlQueries {
     "skew_cap_topk"         -> (skewCapTopk _),
     "skew_cap_noopt"        -> (skewCapNoopt _)
   )
+
+  private val skewAntiOracle: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN l_orderkey % 100 = 0 THEN l_orderkey ELSE 0 END
+      |           AS hot_key,
+      |         l_orderkey * 10 + l_linenumber AS v
+      |  FROM lineitem
+      |)
+      |SELECT s.hot_key, CAST(s.v AS BIGINT) AS v FROM s
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM s t
+      |  WHERE t.hot_key <> 0 AND t.hot_key % 1000 < 800
+      |    AND t.hot_key = s.hot_key)""".stripMargin
 
   private val antijoinOracle: String =
     s"""WITH src AS (
@@ -429,6 +472,11 @@ object EtlQueries {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |       true AS within_bound
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // Salted and unsalted skewed anti-join share this oracle verbatim:
+    // a green hash on BOTH machine-checks the salted rewrite's
+    // exactness (same argument as the bloom pair).
+    "skew_anti_salted" -> skewAntiOracle,
+    "skew_anti_noopt"  -> skewAntiOracle,
     // The full §3.1 pipeline, stage by stage. The dedup is formulated
     // as row_number (the reference's user-facing idiom) rather than
     // max_by, so the oracle is an independent formulation of the same

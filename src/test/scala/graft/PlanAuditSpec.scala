@@ -161,6 +161,19 @@ class PlanAuditSpec extends SparkSpec {
       s"segment filter did not reach the customer scan:\n$p")
   }
 
+  test("skew_anti pair: both keep the shuffle anti-join (no broadcast); " +
+      "the salted plan joins on (key, salt)") {
+    val salted = queryPlan("skew_anti_salted")
+    assert(salted.contains("LeftAnti") && !salted.contains("BroadcastHashJoin"),
+      s"salted variant must model the non-broadcastable target:\n$salted")
+    assert(salted.contains("__salt"), s"salt missing from the join key:\n$salted")
+    val noopt = queryPlan("skew_anti_noopt")
+    assert(noopt.contains("LeftAnti") && !noopt.contains("BroadcastHashJoin"),
+      s"the merge hint must survive the target key projection — without " +
+        s"it the strawman broadcasts and the bench differential measures " +
+        s"nothing:\n$noopt")
+  }
+
   test("incremental_bloom: the membership filter sits on the target side BELOW the anti-join") {
     val p = queryPlan("incremental_bloom")
     // The target (build) subtree prints AFTER the join node and after

@@ -26,6 +26,34 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("newRecordsSalted == newRecords, including null keys, and " +
+      "shuffles on (key, salt) with no broadcast") {
+    // Hot key "hot" dominates; nulls exercise the <=> path.
+    val src = ((1 to 400).map(i => (if (i % 4 == 0) s"k$i" else "hot", i.toLong))
+      ++ Seq((null.asInstanceOf[String], 9001L), (null.asInstanceOf[String], 9002L)))
+      .toDF("k", "v")
+    val tgt = (Seq("hot", "k4", "k8") :+ null.asInstanceOf[String]).map((_, 0L))
+      .toDF("k", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "v").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val salted = Incremental.newRecordsSalted(src, tgt, Seq("k"),
+      saltSource = col("v"), buckets = 8)
+    val plain = Incremental.newRecords(src, tgt, Seq("k"))
+    assert(rows(salted) == rows(plain) && rows(plain).nonEmpty)
+    // Null-key rows anti-match under <=> (target holds a null key).
+    assert(!rows(salted).exists(_._1.isEmpty))
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"salted path must model the non-broadcastable target:\n$plan")
+    assert(plan.contains("__salt"), s"join must carry the salt:\n$plan")
+    // Strict keys reproduce the reference's re-insert defect verbatim.
+    val strict = Incremental.newRecordsSalted(src, tgt, Seq("k"),
+      saltSource = col("v"), buckets = 8, strictKeys = Set("k"))
+    assert(rows(strict).count(_._1.isEmpty) == 2,
+      "strict '=' never matches NULL: null-key rows re-insert")
+  }
+
   test("saltedJoin == plain join") {
     val build = Seq(("hot", "H"), ("k1", "A"), ("k7", "B")).toDF("k", "label")
     val salted = Skew.saltedJoin(df, build, "k", col("v"), 4)
