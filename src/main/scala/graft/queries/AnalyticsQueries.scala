@@ -248,6 +248,53 @@ object AnalyticsQueries {
         floor(percentile(col("c"), lit(0.75))).as("q3_c"),
         count(lit(1)).as("n"))
 
+  /** The 100 TB path of [[percentileAgg]], oracle-checked in its
+    * published envelope: exact `percentile` buffers every group value
+    * (SortAggregate — the spec form), while `approx_percentile`'s
+    * Greenwald–Khanna sketch holds O(1/eps · log(eps·n)) state per
+    * group no matter how large the group grows. The sketch's returned
+    * VALUE is implementation- and merge-order-defined, but its rank
+    * guarantee — an element whose exact rank is within eps·n of the
+    * target — is the contract, so the query re-ranks the approximate
+    * median against the group exactly and emits the band check as a
+    * boolean (same honest-envelope style as `hll_distinct`). */
+  def approxPercentileBand(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.01 // accuracy = 1/eps
+    val c = Tables.orders(spark, dir)
+      .withColumn("c", cents(col("o_totalprice")))
+      .select(col("o_orderstatus"), col("c"))
+    val approx = c.groupBy(col("o_orderstatus"))
+      .agg(approx_percentile(col("c"), lit(0.5), lit((1 / eps).toInt)).as("m"))
+    c.join(approx, Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(when(col("c") <= col("m"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("c") < col("m"), 1L).otherwise(0L)).as("rank_lt"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("rank_le") >= floor((lit(0.5) - eps) * col("n")) &&
+          col("rank_lt") <= ceil((lit(0.5) + eps) * col("n")))
+          .as("within_bound"))
+  }
+
+  /** Higher-order array functions — the codegen'd `functions._` lambda
+    * surface (transform/filter/aggregate/zip_with/exists) an embedding
+    * or token pipeline leans on instead of UDFs. Arithmetic runs in
+    * the quantized-integer domain (floor to thousandths), so sums and
+    * products are exact and the DuckDB list_* replay hashes
+    * identically. */
+  def higherOrderFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"), x =>
+      floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+      size(filter(col("embedding"), _ > lit(0.0f))).cast("long").as("n_pos"),
+      aggregate(zip_with(q, reverse(q), (a, b) => a * b), lit(0L),
+        (acc, x) => acc + x).as("q_dotrev"),
+      exists(col("embedding"), _ > lit(0.3f)).as("has_large"))
+  }
+
   /** Ordered conversion funnel over the event stream: users reaching
     * view -> click(after view) -> purchase(after click). The strictly-
     * increasing-timestamp contract ("after") is the part a naive
@@ -288,6 +335,8 @@ object AnalyticsQueries {
     "funnel_steps"   -> (funnelSteps _),
     "histogram"      -> (histogramQ _),
     "percentile_agg" -> (percentileAgg _),
+    "approx_percentile_band" -> (approxPercentileBand _),
+    "higher_order_funcs" -> (higherOrderFuncs _),
     "sql_subqueries" -> (sqlSubqueries _),
     "tpch_q3"        -> (tpchQ3 _),
     "tpch_q5"        -> (tpchQ5 _),
@@ -340,6 +389,29 @@ object AnalyticsQueries {
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    // The approx sketch's returned value is merge-order-defined; the
+    // rank BAND is the contract (see approxPercentileBand scaladoc).
+    "approx_percentile_band" ->
+      """SELECT o_orderstatus, count(*) AS n, true AS within_bound
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "higher_order_funcs" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0))
+        |       AS BIGINT) AS n_pos,
+        |  CAST(list_reduce(list_transform(generate_series(1, len(qv)),
+        |         i -> qv[i] * qv[len(qv) + 1 - i]), (a, b) -> a + b)
+        |       AS BIGINT) AS q_dotrev,
+        |  len(list_filter(embedding, x ->
+        |    CAST(x AS DOUBLE) > CAST(CAST(0.3 AS REAL) AS DOUBLE))) > 0
+        |    AS has_large
+        |FROM q""".stripMargin,
     "sql_subqueries" ->
       """WITH t AS (
         |  SELECT o_orderstatus s,
