@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.types.{LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
 
 /** The driver-contract registry, machine-checked.
   *
@@ -41,11 +41,19 @@ class RegistrySpec extends SparkSpec {
     assert(bad.isEmpty, s"nested-loop/cartesian plans: $bad")
   }
 
-  test("every query output column is BIGINT or VARCHAR (canonicalization rule)") {
+  test("every query output column is BIGINT, VARCHAR, or BOOLEAN " +
+      "(canonicalization rule)") {
+    // BIGINT/VARCHAR since round 2; BOOLEAN added in round 8 for the
+    // honest-envelope band checks (hll_distinct,
+    // approx_percentile_band, higher_order_funcs) — symmetric on both
+    // sides of the driver's hash (DuckDB returns Python True for the
+    // oracle literal and the parquet column alike) and in selfcheck's
+    // DESCRIBE-trusted set. DECIMAL/DATE/DOUBLE remain banned.
     val dir = "/root/testdata/sf0.001"
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, dir).schema.fields.collect {
-        case f if f.dataType != LongType && f.dataType != StringType =>
+        case f if f.dataType != LongType && f.dataType != StringType &&
+            f.dataType != BooleanType =>
           s"$name.${f.name}: ${f.dataType.simpleString}"
       }
     }
