@@ -1,0 +1,30 @@
+#!/usr/bin/env python3
+"""Render a graft.Bench JSON line as the BASELINE_LOCAL.md table body.
+
+Usage: python3 scripts/baseline_table.py <bench_json_file>
+
+Reads the one-line {"metric":...,"queries":{...},"passes":{...}} emitted
+by `graft.Bench` and prints the per-query markdown table (min + the
+three interleaved passes) plus the sum-of-minima headline, ready to
+paste into BASELINE_LOCAL.md after a quiet-host run.
+"""
+import sys, json
+
+def main():
+    with open(sys.argv[1]) as f:
+        line = next(l for l in f if l.strip().startswith("{"))
+    d = json.loads(line)
+    qs, passes = d["queries"], d.get("passes", {})
+    total = sum(v for v in qs.values() if v >= 0)
+    print(f"Total (sum of minima): **{total:.2f} s**. "
+          f"Failed: {', '.join(d.get('failed', [])) or 'none'}.")
+    print()
+    print("| query | min (s) | pass 1 | pass 2 | pass 3 |")
+    print("|---|---|---|---|---|")
+    for name in sorted(qs):
+        ps = passes.get(name, [])
+        cells = " | ".join(f"{p:.2f}" for p in ps) if ps else "| |"
+        print(f"| {name} | {qs[name]:.2f} | {cells} |")
+
+if __name__ == "__main__":
+    main()
