@@ -295,6 +295,65 @@ object AnalyticsQueries {
       exists(col("embedding"), _ > lit(0.3f)).as("has_large"))
   }
 
+  /** GROUPING SETS — the third member of the subtotal-lattice family
+    * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
+    * of grouping combinations, one Expand + one hash aggregate, never
+    * one job per set. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |       coalesce(o_orderpriority, '(all)') AS priority,
+         |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+         |         AS gid,
+         |       count(*) AS n,
+         |       CAST(sum(${centsSql.format("o_totalprice")}) AS BIGINT)
+         |         AS sum_price_c
+         |FROM orders_gs
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |""".stripMargin)
+  }
+
+  /** Window FRAME variants beyond [[windowSuite]]'s running frame: a
+    * sliding ROWS frame (moving 3-row sum), a value-based RANGE frame
+    * (sum over peers within 10000 cents below the current price —
+    * range frames include ORDER-BY peers, which is the part a rows
+    * frame gets wrong), and the frame-sensitive value functions
+    * first/last/nth over the full-partition frame. One deterministic
+    * total order (cents, key), integer outputs. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = cents(col("o_totalprice"))
+    val byStatus = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("price_c"), col("o_orderkey"))
+    val rows3 = byStatus.rowsBetween(-2, Window.currentRow)
+    val range10k = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("price_c")).rangeBetween(-10000L, Window.currentRow)
+    val full = byStatus.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), c.as("price_c"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"),
+        sum(col("price_c")).over(rows3).as("moving3_c"),
+        sum(col("price_c")).over(range10k).as("range10k_c"),
+        first(col("price_c")).over(full).as("first_c"),
+        last(col("price_c")).over(full).as("last_c"),
+        nth_value(col("price_c"), 3).over(full).as("third_c"))
+  }
+
+  /** Regex function family (extract / replace / count) — ETL's other
+    * workhorse besides date parsing. Patterns stay in the portable
+    * character-class subset where Java regex and RE2-style engines
+    * agree (no lookaround, no engine-specific escapes). */
+  def regexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+      regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_")
+        .as("masked_prefix"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_split"),
+      regexp_count(col("text"), lit("ta[bg]")).cast("long").as("n_tab_tag"))
+
   /** Ordered conversion funnel over the event stream: users reaching
     * view -> click(after view) -> purchase(after click). The strictly-
     * increasing-timestamp contract ("after") is the part a naive
@@ -337,6 +396,9 @@ object AnalyticsQueries {
     "percentile_agg" -> (percentileAgg _),
     "approx_percentile_band" -> (approxPercentileBand _),
     "higher_order_funcs" -> (higherOrderFuncs _),
+    "grouping_sets"  -> (groupingSets _),
+    "window_frames"  -> (windowFrames _),
+    "regex_funcs"    -> (regexFuncs _),
     "sql_subqueries" -> (sqlSubqueries _),
     "tpch_q3"        -> (tpchQ3 _),
     "tpch_q5"        -> (tpchQ5 _),
@@ -389,6 +451,46 @@ object AnalyticsQueries {
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    "grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(${centsSql.format("o_totalprice")}) AS BIGINT)
+        |         AS sum_price_c
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "window_frames" ->
+      s"""WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         ${centsSql.format("o_totalprice")} AS price_c
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_orderstatus, price_c,
+        |  CAST(sum(price_c) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY price_c, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_c,
+        |  CAST(sum(price_c) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY price_c
+        |    RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS range10k_c,
+        |  CAST(first_value(price_c) OVER w AS BIGINT) AS first_c,
+        |  CAST(last_value(price_c) OVER w AS BIGINT) AS last_c,
+        |  CAST(nth_value(price_c, 3) OVER w AS BIGINT) AS third_c
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY price_c, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |               AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "regex_funcs" ->
+      """SELECT doc_id,
+        |  coalesce(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,
+        |  regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g')
+        |    AS masked_prefix,
+        |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens_split,
+        |  CAST(len(regexp_extract_all(text, 'ta[bg]')) AS BIGINT)
+        |    AS n_tab_tag
+        |FROM documents""".stripMargin,
     // The approx sketch's returned value is merge-order-defined; the
     // rank BAND is the contract (see approxPercentileBand scaladoc).
     "approx_percentile_band" ->
