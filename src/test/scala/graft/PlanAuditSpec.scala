@@ -151,6 +151,21 @@ class PlanAuditSpec extends SparkSpec {
       s"window family must share the partition pass:\n$p")
   }
 
+  test("grouping_sets: one Expand into one aggregate exchange (same " +
+      "lattice shape as rollup/cube)") {
+    val p = queryPlan("grouping_sets")
+    assert(countOf(p, "Expand") == 1, s"subtotal sets must expand once:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"one aggregate exchange expected:\n$p")
+  }
+
+  test("window_frames: every frame rides ONE partition exchange " +
+      "(extra sorts allowed, extra shuffles not)") {
+    val p = queryPlan("window_frames")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"all frames partition by the same key — one exchange:\n$p")
+  }
+
   test("tpch_q3: bounded top-k (TakeOrderedAndProject), dimension filter pushed to the scan") {
     val p = queryPlan("tpch_q3")
     assert(p.contains("TakeOrderedAndProject"),
