@@ -408,7 +408,49 @@ object EtlQueries {
       .select(col("hot_key"), col("v"))
   }
 
+  /** Declarative data-quality gate ([[graft.etl.Quality]]): seven
+    * rules — batch size, key null counts, status domain violations,
+    * duplicate keys, future dates, distinct cardinalities — evaluated
+    * in ONE aggregate pass and unpivoted to (metric, value). The
+    * reference's 54 jobs load extracts unchecked; this is the
+    * guardrail its 100 TB deployment needs. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.Quality._
+    profile(Tables.orders(spark, dir), Seq(
+      rowCount(),
+      nullCount("o_custkey"),
+      nullCount("o_orderdate"),
+      domainViolations("o_orderstatus", Seq("F", "O", "P")),
+      futureDates("o_orderdate", "1998-12-31"),
+      duplicateKeys("o_orderkey"),
+      distinctCount("o_orderstatus")))
+  }
+
+  /** `DataFrameStatFunctions.freqItems` checked inside its published
+    * contract: the sketch (a distributed Karp-Papadimitriou-Shenker
+    * heavy-hitters pass) GUARANTEES every value with frequency above
+    * the support threshold appears in the result — false positives
+    * allowed, false negatives not. The query computes the exact
+    * heavy hitters (> 25% support) and asserts each is found in the
+    * sketch output; the oracle pins the exact hitters + true
+    * literals (honest-envelope style). */
+  def freqItemsBand(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val freq = orders.stat.freqItems(Seq("o_orderstatus"), 0.25)
+      .select(col("o_orderstatus_freqItems").as("sketch_items"))
+    val n = orders.count()
+    val exactHot = orders.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n) * 0.25)
+    exactHot.crossJoin(freq)
+      .select(col("o_orderstatus"), col("cnt").as("n_exact"),
+        array_contains(col("sketch_items"), col("o_orderstatus"))
+          .as("found"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile"           -> (dqProfile _),
+    "freq_items_band"      -> (freqItemsBand _),
     "hll_distinct"         -> (hllDistinct _),
     "skew_anti_salted"     -> (skewAntiSalted _),
     "skew_anti_noopt"      -> (skewAntiNoopt _),
@@ -472,6 +514,39 @@ object EtlQueries {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |       true AS within_bound
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "dq_profile" ->
+      """WITH m AS (
+        |  SELECT
+        |    count(*) AS row_count,
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS null_o_custkey,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS null_o_orderdate,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL
+        |             AND o_orderstatus NOT IN ('F','O','P')
+        |             THEN 1 ELSE 0 END) AS bad_o_orderstatus,
+        |    sum(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+        |             THEN 1 ELSE 0 END) AS future_o_orderdate,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_o_orderkey,
+        |    count(DISTINCT o_orderstatus) AS distinct_o_orderstatus
+        |  FROM orders
+        |)
+        |SELECT 'row_count' AS metric, CAST(row_count AS BIGINT) AS value FROM m
+        |UNION ALL SELECT 'null_o_custkey', CAST(null_o_custkey AS BIGINT) FROM m
+        |UNION ALL SELECT 'null_o_orderdate', CAST(null_o_orderdate AS BIGINT) FROM m
+        |UNION ALL SELECT 'bad_o_orderstatus', CAST(bad_o_orderstatus AS BIGINT) FROM m
+        |UNION ALL SELECT 'future_o_orderdate', CAST(future_o_orderdate AS BIGINT) FROM m
+        |UNION ALL SELECT 'dup_o_orderkey', CAST(dup_o_orderkey AS BIGINT) FROM m
+        |UNION ALL SELECT 'distinct_o_orderstatus', CAST(distinct_o_orderstatus AS BIGINT) FROM m""".stripMargin,
+    // The sketch's item list is implementation-defined beyond the
+    // no-false-negatives contract; the oracle pins the exact heavy
+    // hitters and asserts the contract held (see freqItemsBand).
+    "freq_items_band" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_exact, true AS found
+        |FROM orders, n
+        |GROUP BY o_orderstatus, n.n
+        |HAVING count(*) > n.n * 0.25""".stripMargin,
     // Salted and unsalted skewed anti-join share this oracle verbatim:
     // a green hash on BOTH machine-checks the salted rewrite's
     // exactness (same argument as the bloom pair).

@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Declarative DQ profiling: rule values, single-pass plan shape,
+  * approx-distinct swap. */
+class QualitySpec extends SparkSpec {
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = true),
+      StructField("status", StringType, nullable = true),
+      StructField("d", StringType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "A", "2020-01-01"),
+      Row(2L, "A", "2020-06-01"),
+      Row(2L, "B", "2021-01-01"),   // dup key
+      Row(3L, "X", "2020-01-01"),   // domain violation
+      Row(null, "B", "2099-01-01"), // null key + future date
+      Row(4L, null, null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  private def metrics(approx: Boolean = false): Map[String, Long] =
+    Quality.profile(df, Seq(
+        Quality.rowCount(),
+        Quality.nullCount("k"),
+        Quality.domainViolations("status", Seq("A", "B")),
+        Quality.futureDates("d", "2030-12-31"),
+        Quality.duplicateKeys("k"),
+        Quality.distinctCount("status")),
+      approxDistinct = approx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("every rule classifies its planted defect") {
+    val m = metrics()
+    assert(m("row_count") == 6L)
+    assert(m("null_k") == 1L)
+    assert(m("bad_status") == 1L, "X outside {A,B}; null not counted")
+    assert(m("future_d") == 1L)
+    // 5 non-null key rows over distinct {1,2,3,4} -> 1 duplicate; the
+    // null-key row is null_k's finding, not a duplicate.
+    assert(m("dup_k") == 1L)
+    assert(m("distinct_status") == 3L)
+  }
+
+  test("all rules run in ONE aggregate pass (single exchange, no join)") {
+    val q = Quality.profile(df, Seq(
+      Quality.rowCount(), Quality.nullCount("k"),
+      Quality.futureDates("d", "2030-12-31")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must not join:\n$plan")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 1,
+      s"one aggregate exchange at most:\n$plan")
+  }
+
+  test("approxDistinct swaps in the bounded-memory variants, values " +
+      "stay in the HLL band") {
+    val m = metrics(approx = true)
+    // Tiny cardinalities: HLL++ is exact here, but assert a band, not
+    // equality, to document the contract being relied on.
+    assert(math.abs(m("distinct_status") - 3L) <= 1)
+    assert(m("dup_k") >= 0L && m("dup_k") <= 2L)
+    assert(m("row_count") == 6L, "non-distinct rules are untouched")
+  }
+}
