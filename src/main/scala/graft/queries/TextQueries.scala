@@ -253,7 +253,23 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Leakage-safe train/val/test assignment ([[graft.text.Splits]]):
+    * every document splits by the portable hash of its near-dup
+    * cluster canonical (its connected-component label; singletons
+    * hash their own id), so no near-duplicate pair ever straddles a
+    * split boundary — the property that separates measuring
+    * generalization from measuring memorization. Composes the REAL
+    * minhash → LSH → components pipeline; the oracle replays all of
+    * it (the recursive-CTE closure) plus the bucket arithmetic. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Splits.leakageSafeSplit(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id",
+      dedupComponents(spark, dir))
+      .select(col("doc_id"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "train_split"        -> (trainSplit _),
     "quality_percentile" -> (qualityPercentile _),
     "exact_dedup"        -> (exactDedup _),
     "minhash_dedup"      -> (minhashDedup _),
@@ -454,6 +470,19 @@ object TextQueries {
     "minhash_dedup" -> minhashOracle,
     "dedup_components" -> componentsOracle,
     "dedup_canonical" -> dedupCanonicalOracle,
+    "train_split" -> (componentsCtes +
+      s""", bucketed AS (
+        |  SELECT d.doc_id,
+        |    ${TF.portableHashSql(
+               "CAST(coalesce(c.comp, d.doc_id) AS VARCHAR)", "split")}
+        |      % 1000 AS b
+        |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN b < 900 THEN 'train'
+        |       WHEN b < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM bucketed""".stripMargin),
     "stratified_sample" ->
       s"""SELECT doc_id, lang,
         |       ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "split")} % 1000 AS gate
