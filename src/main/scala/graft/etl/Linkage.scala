@@ -1,0 +1,45 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage — approximate matching for the entity fields
+  * exact keys can't join: misspelled names, re-keyed registrations,
+  * OCR'd identifiers. The reference's patient pipeline links on exact
+  * composite keys only; a real master-patient-index pass needs the
+  * fuzzy companion.
+  *
+  * Scale shape: edit distance across all pairs is O(n²) and dies at
+  * any scale, so candidate generation is BLOCKED — pairs form only
+  * within a block (registration site, birth year, phonetic bucket,
+  * an LSH band...), turning cost into Σ|block|². Within a block, a
+  * LENGTH-DIFFERENCE prefilter discards pairs that cannot possibly
+  * meet the threshold (|len(a) − len(b)| > maxDist implies
+  * levenshtein > maxDist) BEFORE the O(len²) distance evaluates —
+  * a cheap codegen'd guard ahead of the expensive one. For corpora
+  * where blocks themselves grow unbounded, compose with the minhash/
+  * SRP blocking in [[graft.text.MinHashLSH]] / [[graft.sim.Similarity]]
+  * instead of a categorical block key. */
+object Linkage {
+
+  /** Within-block candidate pairs of `df` whose `nameCol` edit
+    * distance is at most `maxDist`: (id_a, id_b, name_a, name_b,
+    * dist), id_a < id_b. One shuffle on the block key; the
+    * length-difference bound prunes before the distance runs. */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("__blk_b"))
+    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+      // Cheap impossibility bound first; Catalyst keeps this conjunct
+      // ahead of the quadratic-cost levenshtein.
+      .filter(abs(length(col("name_a")) - length(col("name_b")))
+        <= maxDist)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+  }
+}

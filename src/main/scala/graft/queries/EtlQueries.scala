@@ -448,7 +448,17 @@ object EtlQueries {
           .as("found"))
   }
 
+  /** Fuzzy record linkage over the part catalog: brand-blocked name
+    * pairs within edit distance 3 ([[graft.etl.Linkage.fuzzyPairs]]).
+    * Blocking bounds the quadratic candidate space; the length-diff
+    * prefilter prunes impossible pairs before the distance runs. */
+  def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Linkage.fuzzyPairs(Tables.part(spark, dir),
+      "p_partkey", "p_name", "p_brand", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_match"          -> (fuzzyMatch _),
     "dq_profile"           -> (dqProfile _),
     "freq_items_band"      -> (freqItemsBand _),
     "hll_distinct"         -> (hllDistinct _),
@@ -514,6 +524,12 @@ object EtlQueries {
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |       true AS within_bound
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "dq_profile" ->
       """WITH m AS (
         |  SELECT
