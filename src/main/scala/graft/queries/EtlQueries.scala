@@ -457,7 +457,31 @@ object EtlQueries {
       "p_partkey", "p_name", "p_brand", maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
 
+  /** Incremental aggregate maintenance proven equal to recompute:
+    * "yesterday's" summary (orderkeys ending 0-7) merged with the
+    * delta's summary (the rest) — one union + one |groups| aggregate,
+    * history never re-read — against an oracle that aggregates the
+    * FULL table directly. A green hash is a machine check of the
+    * merge algebra ([[graft.etl.IncrementalAgg]]). */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.etl.IncrementalAgg._
+    val orders = Tables.orders(spark, dir)
+      .withColumn("price_c", cents(col("o_totalprice")))
+    val keys = Seq("o_orderstatus")
+    val metrics = Seq(
+      countMetric(),
+      sumMetric(col("price_c"), "sum_price_c"),
+      minMetric(col("price_c"), "min_price_c"),
+      maxMetric(col("price_c"), "max_price_c"))
+    val yesterday = summarize(
+      orders.filter(col("o_orderkey") % 10 < 8), keys, metrics)
+    val delta = summarize(
+      orders.filter(col("o_orderkey") % 10 >= 8), keys, metrics)
+    merge(Seq(yesterday, delta), keys, metrics)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "incremental_agg"      -> (incrementalAgg _),
     "fuzzy_match"          -> (fuzzyMatch _),
     "dq_profile"           -> (dqProfile _),
     "freq_items_band"      -> (freqItemsBand _),
@@ -523,6 +547,17 @@ object EtlQueries {
       """SELECT o_orderstatus,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
         |       true AS within_bound
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // Full-table recompute: the incremental merge must hash-equal it.
+    "incremental_agg" ->
+      """SELECT o_orderstatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |            AS BIGINT) AS sum_price_c,
+        |       min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS min_price_c,
+        |       max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |         AS max_price_c
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
