@@ -295,6 +295,39 @@ object AnalyticsQueries {
       exists(col("embedding"), _ > lit(0.3f)).as("has_large"))
   }
 
+  /** Statistical moments (population variance, Pearson correlation)
+    * in the ORDER-FREE formulation: the built-in `corr`/`var_pop`
+    * stream doubles through a merge tree, so their low bits depend on
+    * partition boundaries; here every group first reduces to exact
+    * integer sums (n, Σx, Σy, Σx², Σy², Σxy — associative BIGINT
+    * addition, any partitioning), and the moments derive from those
+    * six numbers in double precision — bit-identical on any cluster
+    * and in any engine given the same sums. One aggregate pass, six
+    * longs of state per group, unconditionally scalable. (Bound: the
+    * integer sums stay exact while Σy² < 2^63 — dollars-scaled prices
+    * keep ~10^3 headroom over the 100 TB row count.) */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_quantity").cast("double") + lit(0.5)).as("x"),
+      floor(col("l_extendedprice").cast("double") + lit(0.5)).as("y"))
+    val s = li.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val dn = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val covN = dn * d("sxy") - d("sx") * d("sy") // n²·cov
+    val varXN = dn * d("sxx") - d("sx") * d("sx") // n²·var(x)
+    val varYN = dn * d("syy") - d("sy") * d("sy")
+    s.select(col("flag"), col("n"),
+      floor(covN / sqrt(varXN * varYN) * lit(1e6) + lit(0.5))
+        .as("corr_ppm"),
+      floor(varXN / (dn * dn) * lit(1e6) + lit(0.5)).as("var_qty_ppm"))
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -397,6 +430,7 @@ object AnalyticsQueries {
     "approx_percentile_band" -> (approxPercentileBand _),
     "higher_order_funcs" -> (higherOrderFuncs _),
     "grouping_sets"  -> (groupingSets _),
+    "stats_moments"  -> (statsMoments _),
     "window_frames"  -> (windowFrames _),
     "regex_funcs"    -> (regexFuncs _),
     "sql_subqueries" -> (sqlSubqueries _),
@@ -451,6 +485,36 @@ object AnalyticsQueries {
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    // Same six exact integer sums, same double derivation — see
+    // statsMoments' order-free construction.
+    "stats_moments" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |         CAST(floor(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(CAST(l_extendedprice AS DOUBLE) + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT flag, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x*x) AS BIGINT) AS sxx,
+        |         CAST(sum(y*y) AS BIGINT) AS syy,
+        |         CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY flag
+        |), dd AS (
+        |  SELECT flag, n,
+        |    CAST(n AS DOUBLE) AS dn,
+        |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+        |    CAST(sxx AS DOUBLE) AS dsxx, CAST(syy AS DOUBLE) AS dsyy,
+        |    CAST(sxy AS DOUBLE) AS dsxy
+        |  FROM s
+        |)
+        |SELECT flag, n,
+        |  CAST(floor((dn * dsxy - dsx * dsy)
+        |        / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))
+        |        * 1e6 + 0.5) AS BIGINT) AS corr_ppm,
+        |  CAST(floor((dn * dsxx - dsx * dsx) / (dn * dn) * 1e6 + 0.5)
+        |       AS BIGINT) AS var_qty_ppm
+        |FROM dd""".stripMargin,
     "grouping_sets" ->
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
         |       coalesce(o_orderpriority, '(all)') AS priority,
