@@ -30,7 +30,11 @@ class RegistrySpec extends SparkSpec {
     //    no join condition (the 1-row spine min/max aggregate, the
     //    n-months spine) — a nested "loop" over a 1-row/80-row build
     //    side is a per-row constant append, not a scale hazard.
-    val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref")
+    //  - freq_items_band cross-joins the ONE-row freqItems sketch
+    //    frame onto the handful of exact heavy hitters — a 1-row
+    //    broadcast build side, constant per row.
+    val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref",
+      "freq_items_band")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => boundedByDesign.contains(q._1))
       .collect { case (name, fn) =>
