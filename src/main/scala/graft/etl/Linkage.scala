@@ -35,11 +35,18 @@ object Linkage {
       col(blockCol).as("__blk_b"))
     a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
       // Cheap impossibility bound first; Catalyst keeps this conjunct
-      // ahead of the quadratic-cost levenshtein.
+      // ahead of the distance computation.
       .filter(abs(length(col("name_a")) - length(col("name_b")))
         <= maxDist)
-      .filter(levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      // THRESHOLDED levenshtein: the banded dynamic program abandons a
+      // pair the moment its distance provably exceeds maxDist —
+      // O(maxDist·len) with early exit instead of O(len²) — and most
+      // in-block pairs exit early. Returns -1 past the threshold.
+      // Computed ONCE and reused for both the filter and the output.
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        col("dist"))
   }
 }

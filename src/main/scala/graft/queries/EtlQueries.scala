@@ -453,7 +453,11 @@ object EtlQueries {
     * Blocking bounds the quadratic candidate space; the length-diff
     * prefilter prunes impossible pairs before the distance runs. */
   def fuzzyMatch(spark: SparkSession, dir: String): DataFrame =
-    graft.etl.Linkage.fuzzyPairs(Tables.part(spark, dir),
+    // spread(): the part table arrives as ONE split, which would put
+    // every in-block pair evaluation on a single core; the probe side
+    // of the broadcast join carries the quadratic work, so it must be
+    // partitioned across the session width.
+    graft.etl.Linkage.fuzzyPairs(Tables.spread(Tables.part(spark, dir)),
       "p_partkey", "p_name", "p_brand", maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
 
