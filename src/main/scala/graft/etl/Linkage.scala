@@ -41,11 +41,13 @@ object Linkage {
       // THRESHOLDED levenshtein: the banded dynamic program abandons a
       // pair the moment its distance provably exceeds maxDist —
       // O(maxDist·len) with early exit instead of O(len²) — and most
-      // in-block pairs exit early. Returns -1 past the threshold.
-      // Computed ONCE and reused for both the filter and the output.
+      // in-block pairs exit early. Returns -1 past the threshold, so
+      // `>= 0` IS the complete acceptance test (an extra `<= maxDist`
+      // conjunct would survive into the join condition as a second
+      // full evaluation of the distance).
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist"))
   }

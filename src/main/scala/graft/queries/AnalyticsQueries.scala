@@ -328,6 +328,47 @@ object AnalyticsQueries {
       floor(varXN / (dn * dn) * lit(1e6) + lit(0.5)).as("var_qty_ppm"))
   }
 
+  /** TPC-H Q4 shape: EXISTS semi-join from a date-windowed fact slice
+    * — plans as a LeftSemi with the window filter pushed to the
+    * orders scan; lineitem is probed only for existence, never
+    * aggregated. */
+  def tpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("od", col("o_orderdate").cast("date"))
+      .filter(col("od") >= lit("1997-01-01").cast("date") &&
+        col("od") < lit("1997-10-01").cast("date"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") >= lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): a HAVING-gated
+    * aggregate over the fact drives a semi-join back onto the
+    * order/customer star, bounded top-k output. The having aggregate
+    * runs ONCE; its tiny key list broadcasts back against the fact —
+    * never a re-aggregation per probe. */
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("qty_c", cents(col("l_quantity")))
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("qty_c")).as("sum_qty_c"))
+      .filter(col("sum_qty_c") > lit(250 * 100L))
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        iso(col("o_orderdate")).as("o_orderdate"),
+        cents(col("o_totalprice")).as("o_totalprice_c"),
+        col("sum_qty_c"))
+      .orderBy(col("o_totalprice_c").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -431,6 +472,8 @@ object AnalyticsQueries {
     "higher_order_funcs" -> (higherOrderFuncs _),
     "grouping_sets"  -> (groupingSets _),
     "stats_moments"  -> (statsMoments _),
+    "tpch_q4"        -> (tpchQ4 _),
+    "tpch_q18"       -> (tpchQ18 _),
     "window_frames"  -> (windowFrames _),
     "regex_funcs"    -> (regexFuncs _),
     "sql_subqueries" -> (sqlSubqueries _),
@@ -485,6 +528,31 @@ object AnalyticsQueries {
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    "tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND CAST(l_shipdate AS DATE) >= DATE '1998-01-01')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "tpch_q18" ->
+      s"""SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+        |       ${centsSql.format("o_totalprice")} AS o_totalprice_c,
+        |       CAST(big.sum_qty_c AS BIGINT) AS sum_qty_c
+        |FROM orders
+        |JOIN (
+        |  SELECT l_orderkey,
+        |         sum(${centsSql.format("l_quantity")}) AS sum_qty_c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(${centsSql.format("l_quantity")}) > 25000
+        |) big ON big.l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice_c DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
     // Same six exact integer sums, same double derivation — see
     // statsMoments' order-free construction.
     "stats_moments" ->

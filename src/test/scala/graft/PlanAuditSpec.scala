@@ -189,6 +189,20 @@ class PlanAuditSpec extends SparkSpec {
         s"nothing:\n$noopt")
   }
 
+  test("fuzzy_match: broadcast build side, spread probe side, " +
+      "thresholded distance computed once") {
+    val p = queryPlan("fuzzy_match")
+    assert(p.contains("BroadcastHashJoin"),
+      s"block join must broadcast the 20k-row build side:\n$p")
+    assert(p.contains("Some(3)"),
+      s"thresholded levenshtein (early-exit band) missing:\n$p")
+    assert(countOf(p, "levenshtein") <= 2,
+      s"distance must not be evaluated more than join-filter + " +
+        s"project once each:\n$p")
+    assert(p.contains("RoundRobinPartitioning") || p.contains("Exchange"),
+      s"single-split probe side must be spread:\n$p")
+  }
+
   test("incremental_bloom: the membership filter sits on the target side BELOW the anti-join") {
     val p = queryPlan("incremental_bloom")
     // The target (build) subtree prints AFTER the join node and after
