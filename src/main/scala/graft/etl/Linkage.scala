@@ -51,4 +51,25 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist"))
   }
+
+  /** Graded variant of [[fuzzyPairs]]: within-block pairs scored by
+    * native Jaro-Winkler similarity
+    * ([[graft.expressions.JaroWinklerExpr]], codegen'd in the join's
+    * hot loop), keeping pairs at or above `minSim`. Edit distance
+    * counts edits; Jaro-Winkler grades prefix-weighted likeness —
+    * the usual scorer for human-entered name drift. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, minSim: Double): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, s"minSim in [0,1], got $minSim")
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("__blk_b"))
+    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+      .withColumn("sim",
+        call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("sim"))
+  }
 }

@@ -64,6 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.plans.TopKByAgg(children.head, children(1),
           intLit(children(2), "k"), boolLit(children(3), "asc"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerExpr(children.head, children(1))))
     // Bloom semi-join reduction (etl/Incremental.newRecordsBloom*):
     // Catalyst's own BloomFilterAggregate / BloomFilterMightContain —
     // the engine behind Spark's runtime row-level filtering — exposed

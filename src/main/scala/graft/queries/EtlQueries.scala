@@ -484,7 +484,20 @@ object EtlQueries {
     merge(Seq(yesterday, delta), keys, metrics)
   }
 
+  /** Graded fuzzy linkage: brand-blocked Jaro-Winkler pairs at or
+    * above 0.90, scores in exact millionths. The native expression's
+    * doubles are BIT-IDENTICAL to DuckDB's `jaro_winkler_similarity`
+    * (fixture-verified in `StringSimilaritySpec`), so both the
+    * threshold cut and the scaled scores hash-match exactly. */
+  def jwMatch(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Linkage.jaroWinklerPairs(
+        Tables.spread(Tables.part(spark, dir)),
+        "p_partkey", "p_name", "p_brand", minSim = 0.90)
+      .select(col("id_a"), col("id_b"),
+        floor(col("sim") * lit(1e6) + lit(0.5)).as("sim_ppm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jw_match"             -> (jwMatch _),
     "incremental_agg"      -> (incrementalAgg _),
     "fuzzy_match"          -> (fuzzyMatch _),
     "dq_profile"           -> (dqProfile _),
@@ -563,6 +576,13 @@ object EtlQueries {
         |       max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
         |         AS max_price_c
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "jw_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+        |            * 1e6 + 0.5) AS BIGINT) AS sim_ppm
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.90""".stripMargin,
     "fuzzy_match" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist

@@ -1,0 +1,64 @@
+package graft.expressions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+
+/** Jaro-Winkler: published known answers (bit-compared against
+  * DuckDB's jaro_winkler_similarity on the same fixtures), edge
+  * conventions, codegen-vs-interpreted equality. */
+class StringSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerExpr.similarity(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("known answers match DuckDB jaro_winkler_similarity bit-for-bit") {
+    // Values captured from DuckDB on the identical inputs.
+    val fixtures = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abc", "abc", 1.0),
+      ("", "a", 0.0),
+      ("", "", 0.0),
+      ("ab", "ba", 0.0), // window 0: transposed bigram has no matches
+      ("red widget", "red widgte", 0.98),
+      ("small ring", "small rings", 0.9818181818181818))
+    for ((a, b, want) <- fixtures) {
+      assert(jw(a, b) == want, s"jw($a, $b) = ${jw(a, b)}, want $want")
+      assert(jw(b, a) == want, s"symmetry broken on ($a, $b)")
+    }
+  }
+
+  test("expression path (codegen) equals the static scorer and is " +
+      "null-safe") {
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+      (null.asInstanceOf[String], "x")).toDF("a", "b")
+    df.createOrReplaceTempView("jw_t")
+    val rows = spark.sql(
+      "SELECT graft_jaro_winkler(a, b) FROM jw_t").collect()
+    assert(rows(0).getDouble(0) == 0.9611111111111111)
+    assert(rows(1).getDouble(0) == 0.8133333333333332)
+    assert(rows(2).isNullAt(0), "null input -> null, not a crash")
+    // Whole-stage codegen actually compiles this expression (a local
+    // relation folds at plan time, so assert on a parquet source).
+    val onParquet = graft.Tables.part(spark, "/root/testdata/sf0.001")
+      .selectExpr("graft_jaro_winkler(p_name, p_brand) AS s")
+    val plan = onParquet.queryExecution.executedPlan.toString
+    // The `*(n)` operator prefix marks whole-stage-codegen membership;
+    // a CodegenFallback expression would strip it from the Project.
+    assert(plan.contains("*(1) Project") || plan.contains("WholeStageCodegen"),
+      plan)
+    assert(onParquet.count() > 0)
+  }
+
+  test("multi-byte code points are matched as characters, not bytes") {
+    // ü is 2 bytes in UTF-8; byte-level matching would misalign.
+    assert(jw("über", "über") == 1.0)
+    assert(jw("über", "uber") < 1.0 && jw("über", "uber") > 0.5)
+  }
+}
