@@ -22,8 +22,10 @@ def main():
     print("| query | min (s) | pass 1 | pass 2 | pass 3 |")
     print("|---|---|---|---|---|")
     for name in sorted(qs):
-        ps = passes.get(name, [])
-        cells = " | ".join(f"{p:.2f}" for p in ps) if ps else "| |"
+        # Pad/truncate to exactly 3 pass cells so partial runs cannot
+        # shift cells under the wrong headers.
+        ps = (passes.get(name, []) + [None] * 3)[:3]
+        cells = " | ".join("" if p is None else f"{p:.2f}" for p in ps)
         print(f"| {name} | {qs[name]:.2f} | {cells} |")
 
 if __name__ == "__main__":

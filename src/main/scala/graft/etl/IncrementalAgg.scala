@@ -41,7 +41,11 @@ object IncrementalAgg {
   def summarize(df: DataFrame, keys: Seq[String],
       metrics: Seq[Metric]): DataFrame = {
     require(metrics.nonEmpty, "at least one metric required")
-    val aggs = metrics.map(m => m.agg.cast("long").as(m.name))
+    // No implicit cast: metrics keep their natural aggregate type (a
+    // silent cast-to-long would truncate fractional metrics and break
+    // the merge-equals-recompute guarantee; callers wanting integer
+    // outputs quantize their input columns instead).
+    val aggs = metrics.map(m => m.agg.as(m.name))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -55,7 +59,7 @@ object IncrementalAgg {
       metrics: Seq[Metric]): DataFrame = {
     require(summaries.nonEmpty, "at least one summary required")
     val unioned = summaries.reduce(_.unionByName(_))
-    val aggs = metrics.map(m => m.mergeAgg(col(m.name)).cast("long").as(m.name))
+    val aggs = metrics.map(m => m.mergeAgg(col(m.name)).as(m.name))
     unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * instead of a categorical block key. */
 object Linkage {
 
+  /** Shared blocked candidate-pair scaffold: self-join on the block
+    * key, ordered ids (id_a < id_b), both names carried. */
+  private def candidatePairs(df: DataFrame, idCol: String,
+      nameCol: String, blockCol: String): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("__blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      col(blockCol).as("__blk_b"))
+    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+  }
+
   /** Within-block candidate pairs of `df` whose `nameCol` edit
     * distance is at most `maxDist`: (id_a, id_b, name_a, name_b,
     * dist), id_a < id_b. One shuffle on the block key; the
@@ -29,11 +40,7 @@ object Linkage {
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      col(blockCol).as("__blk"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
-      col(blockCol).as("__blk_b"))
-    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+    candidatePairs(df, idCol, nameCol, blockCol)
       // Cheap impossibility bound first; Catalyst keeps this conjunct
       // ahead of the distance computation.
       .filter(abs(length(col("name_a")) - length(col("name_b")))
@@ -61,11 +68,7 @@ object Linkage {
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCol: String, minSim: Double): DataFrame = {
     require(minSim >= 0.0 && minSim <= 1.0, s"minSim in [0,1], got $minSim")
-    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      col(blockCol).as("__blk"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
-      col(blockCol).as("__blk_b"))
-    a.join(b, col("__blk") === col("__blk_b") && col("id_a") < col("id_b"))
+    candidatePairs(df, idCol, nameCol, blockCol)
       .withColumn("sim",
         call_function("graft_jaro_winkler", col("name_a"), col("name_b")))
       .filter(col("sim") >= minSim)

@@ -63,7 +63,11 @@ object Quality {
     * keys are [[nullCount]]'s finding, not this rule's). */
   def duplicateKeys(c: String): Rule =
     Rule(s"dup_$c", count(col(c)) - count_distinct(col(c)),
-      Some(count(col(c)) - approx_count_distinct(col(c))))
+      // Clamped at 0: HLL can OVERestimate distinct counts, and a
+      // negative "duplicate count" would nonsensically trip load
+      // gates asserting dup == 0 on a clean batch.
+      Some(greatest(lit(0L),
+        count(col(c)) - approx_count_distinct(col(c)))))
 
   /** Evaluate all rules in one aggregate pass; output
     * (metric VARCHAR, value BIGINT), one row per rule, in rule order.

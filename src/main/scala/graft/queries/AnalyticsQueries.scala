@@ -323,7 +323,12 @@ object AnalyticsQueries {
     val varXN = dn * d("sxx") - d("sx") * d("sx") // n²·var(x)
     val varYN = dn * d("syy") - d("sy") * d("sy")
     s.select(col("flag"), col("n"),
-      floor(covN / sqrt(varXN * varYN) * lit(1e6) + lit(0.5))
+      // A zero-variance (degenerate) group has no defined correlation:
+      // emit NULL rather than letting 0/0 = NaN flow into floor (Spark
+      // would silently cast NaN to 0 while an engine with checked
+      // casts errors — the guard keeps both sides honest and aligned).
+      when(varXN * varYN > 0.0,
+        floor(covN / sqrt(varXN * varYN) * lit(1e6) + lit(0.5)))
         .as("corr_ppm"),
       floor(varXN / (dn * dn) * lit(1e6) + lit(0.5)).as("var_qty_ppm"))
   }
@@ -577,9 +582,11 @@ object AnalyticsQueries {
         |  FROM s
         |)
         |SELECT flag, n,
-        |  CAST(floor((dn * dsxy - dsx * dsy)
-        |        / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))
-        |        * 1e6 + 0.5) AS BIGINT) AS corr_ppm,
+        |  CASE WHEN (dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy) > 0.0
+        |       THEN CAST(floor((dn * dsxy - dsx * dsy)
+        |             / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))
+        |             * 1e6 + 0.5) AS BIGINT)
+        |       END AS corr_ppm,
         |  CAST(floor((dn * dsxx - dsx * dsx) / (dn * dn) * 1e6 + 0.5)
         |       AS BIGINT) AS var_qty_ppm
         |FROM dd""".stripMargin,

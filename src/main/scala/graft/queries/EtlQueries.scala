@@ -438,10 +438,14 @@ object EtlQueries {
     val orders = Tables.orders(spark, dir)
     val freq = orders.stat.freqItems(Seq("o_orderstatus"), 0.25)
       .select(col("o_orderstatus_freqItems").as("sketch_items"))
-    val n = orders.count()
+    // Threshold stays relational (a 1-row count frame cross-joined in)
+    // — an eager orders.count() here would run a full scan job at
+    // DataFrame-CONSTRUCTION time, taxing every schema/plan inspection.
+    val n = orders.agg(count(lit(1)).as("__n"))
     val exactHot = orders.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > lit(n) * 0.25)
+      .crossJoin(n)
+      .filter(col("cnt") > col("__n") * 0.25)
     exactHot.crossJoin(freq)
       .select(col("o_orderstatus"), col("cnt").as("n_exact"),
         array_contains(col("sketch_items"), col("o_orderstatus"))
