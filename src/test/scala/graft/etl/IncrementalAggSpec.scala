@@ -47,6 +47,18 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(left) == rows(right))
   }
 
+  test("fractional metrics merge without truncation (no silent " +
+      "cast-to-long inside the operator)") {
+    val m = Seq(IncrementalAgg.sumMetric(
+      org.apache.spark.sql.functions.col("v"), "s"))
+    val b1 = IncrementalAgg.summarize(Seq(("g", 0.6)).toDF("g", "v"), keys, m)
+    val b2 = IncrementalAgg.summarize(Seq(("g", 0.6)).toDF("g", "v"), keys, m)
+    val merged = IncrementalAgg.merge(Seq(b1, b2), keys, m)
+      .collect().head.getDouble(1)
+    assert(math.abs(merged - 1.2) < 1e-12,
+      s"0.6 + 0.6 must merge to 1.2, got $merged (pre-fix: 0)")
+  }
+
   test("a new group arriving only in the delta appears in the merge") {
     val stored = summarize(Seq(("old", 1L), ("old", 2L)).toDF("g", "v"),
       keys, metrics)

@@ -63,7 +63,20 @@ class QualitySpec extends SparkSpec {
     // Tiny cardinalities: HLL++ is exact here, but assert a band, not
     // equality, to document the contract being relied on.
     assert(math.abs(m("distinct_status") - 3L) <= 1)
+    // Clamped at 0 by construction: HLL overestimation must never
+    // read as a negative duplicate count.
     assert(m("dup_k") >= 0L && m("dup_k") <= 2L)
     assert(m("row_count") == 6L, "non-distinct rules are untouched")
+  }
+
+  test("approx duplicateKeys never goes negative, even at cardinalities " +
+      "where HLL error is real") {
+    import spark.implicits._
+    // 50k distinct keys, zero duplicates: any HLL overestimate would
+    // push count - estimate negative without the clamp.
+    val big = (1L to 50000L).toDF("k")
+    val v = Quality.profile(big, Seq(Quality.duplicateKeys("k")),
+      approxDistinct = true).collect().head.getLong(1)
+    assert(v >= 0L, s"clamp failed: dup_k = $v")
   }
 }
