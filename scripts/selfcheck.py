@@ -71,8 +71,11 @@ def main():
         try:
             dcols = con.execute(f"DESCRIBE {sql}").fetchall()
             for cname, ctype, *_ in dcols:
-                base = ctype.split("(")[0].strip().upper()
-                if base not in trusted and not base.endswith("[]"):
+                # Arrays are checked by ELEMENT type: a DOUBLE[] column
+                # carries exactly the float-canonicalization hazard the
+                # guard exists to catch; BIGINT[]/VARCHAR[] are fine.
+                base = ctype.split("(")[0].strip().upper().rstrip("[]")
+                if base not in trusted:
                     print(f"WARN {name}: oracle col '{cname}' has declared "
                           f"type {ctype} (outside trusted "
                           f"{{BIGINT,INTEGER,VARCHAR,BOOLEAN}}) — "

@@ -34,9 +34,16 @@ object Quality {
   /** Count of rows (the batch-size sanity metric). */
   def rowCount(): Rule = Rule("row_count", count(lit(1)))
 
+  /** Empty-batch-safe conditional count: `sum` over zero rows is NULL,
+    * and a NULL metric on the day with no delta — the most common
+    * anomalous batch — would make every `value == 0` load gate
+    * three-valued instead of tripping. */
+  private def count0(cond: Column): Column =
+    coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L))
+
   /** Count of NULL values in `c` — 0 for a sound key column. */
   def nullCount(c: String): Rule =
-    Rule(s"null_$c", sum(when(col(c).isNull, 1L).otherwise(0L)))
+    Rule(s"null_$c", count0(col(c).isNull))
 
   /** Exact distinct count of `c` (HLL estimate under
     * `approxDistinct`). */
@@ -47,15 +54,24 @@ object Quality {
   /** Count of non-null values of `c` outside the allowed set. */
   def domainViolations(c: String, allowed: Seq[String]): Rule =
     Rule(s"bad_$c",
-      sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
-        .otherwise(0L)))
+      count0(col(c).isNotNull && !col(c).isin(allowed: _*)))
 
   /** Count of non-null `c` values strictly after `maxIso`
-    * (future-dated records — E3's detection twin). */
+    * (future-dated records — E3's detection twin). Only counts values
+    * that PARSE as dates — pair with [[unparseableDates]], which
+    * catches the format-corrupted ones this rule cannot see (a
+    * non-ANSI cast turns garbage into NULL, never into "future"). */
   def futureDates(c: String, maxIso: String): Rule =
     Rule(s"future_$c",
-      sum(when(col(c).cast("date") > lit(maxIso).cast("date"), 1L)
-        .otherwise(0L)))
+      count0(col(c).cast("date") > lit(maxIso).cast("date")))
+
+  /** Count of non-null `c` values that fail to parse as dates — the
+    * corruption mode [[futureDates]]/[[nullCount]] are both blind to:
+    * a batch whose dates drifted to a non-ISO format has zero nulls
+    * and zero future dates, yet every value is unusable. */
+  def unparseableDates(c: String): Rule =
+    Rule(s"unparseable_$c",
+      count0(col(c).isNotNull && col(c).cast("date").isNull))
 
   /** Non-null rows minus distinct non-null keys: 0 iff `c` is unique
     * among non-null values (`count_distinct` skips NULLs, so counting

@@ -15,14 +15,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * real codegen (a static call inside whole-stage codegen, the same
   * shape as Spark's own `levenshtein`), never a UDF.
   *
-  * Definition (the standard one, matching DuckDB's
-  * `jaro_winkler_similarity` so the oracle can replay it): Jaro
-  * similarity from match count m (equal chars within the
-  * floor(max(l1,l2)/2)-1 window), half-transposition count t;
-  * Winkler boost `jw = j + min(prefix,4) * 0.1 * (1-j)` applied only
-  * when j > 0.7. Any empty side scores 0 — including BOTH empty,
-  * matching DuckDB's convention exactly (verified empirically) so a
-  * DuckDB oracle replays every case. */
+  * Definition (the standard one): Jaro similarity from match count m
+  * (equal chars within the floor(max(l1,l2)/2)-1 window),
+  * half-transposition count t; Winkler boost
+  * `jw = j + min(prefix,4) * 0.1 * (1-j)` applied only when j > 0.7.
+  * Any empty side scores 0 — including BOTH empty, matching DuckDB's
+  * convention (verified empirically).
+  *
+  * DuckDB parity, precisely: bit-identical on ASCII input (fixture-
+  * and corpus-verified — the `jw_match` oracle hash-matches on the
+  * full blocked pair space). On NON-ASCII input the two diverge BY
+  * DESIGN: this expression matches Unicode code points (ü is one
+  * character), while DuckDB's rapidfuzz backend scores raw UTF-8
+  * bytes (ü is two, shifting lengths, window, and prefix — verified:
+  * 'über'/'uber' scores 0.8333 here vs 0.7833 in DuckDB). Character-
+  * level matching is the standard definition; byte-level is an
+  * implementation artifact, so the divergence is kept, not copied. */
 case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -272,8 +272,13 @@ object AnalyticsQueries {
         sum(when(col("c") < col("m"), 1L).otherwise(0L)).as("rank_lt"),
         count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("n"),
-        (col("rank_le") >= floor((lit(0.5) - eps) * col("n")) &&
-          col("rank_lt") <= ceil((lit(0.5) + eps) * col("n")))
+        // The contract: the returned element occupies ranks
+        // [rank_lt+1, rank_le]; that interval must INTERSECT the
+        // allowed band [ceil((p-eps)n), floor((p+eps)n)]. (The looser
+        // floor/<=-on-both-sides form would accept a sketch value
+        // sitting one rank outside the band.)
+        (col("rank_le") >= ceil((lit(0.5) - eps) * col("n")) &&
+          col("rank_lt") + lit(1L) <= floor((lit(0.5) + eps) * col("n")))
           .as("within_bound"))
   }
 
@@ -303,14 +308,22 @@ object AnalyticsQueries {
     * addition, any partitioning), and the moments derive from those
     * six numbers in double precision — bit-identical on any cluster
     * and in any engine given the same sums. One aggregate pass, six
-    * longs of state per group, unconditionally scalable. (Bound: the
-    * integer sums stay exact while Σy² < 2^63 — dollars-scaled prices
-    * keep ~10^3 headroom over the 100 TB row count.) */
+    * longs of state per group.
+    *
+    * Exactness bound, worked: y is price in HUNDREDS (≤ ~1,050 for
+    * TPC-H prices), so y² ≤ ~1.1e6 and Σy² stays below 2^63 up to
+    * ~8e12 rows per group — an order of magnitude past the ~3e11 rows
+    * the largest group would hold at 100 TB. (Dollar-scaled y would
+    * overflow the BIGINT sum ~50x BELOW that scale: y² ~ 1.1e10 caps
+    * a group at ~8e8 rows. Correlation is scale-invariant, so the
+    * coarser unit costs the corr metric nothing; only the quantity
+    * variance column depends on x's units, which are unscaled.) */
   def statsMoments(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(
       col("l_returnflag").as("flag"),
       floor(col("l_quantity").cast("double") + lit(0.5)).as("x"),
-      floor(col("l_extendedprice").cast("double") + lit(0.5)).as("y"))
+      floor(col("l_extendedprice").cast("double") / lit(100.0) + lit(0.5))
+        .as("y"))
     val s = li.groupBy(col("flag")).agg(
       count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -564,7 +577,8 @@ object AnalyticsQueries {
       """WITH b AS (
         |  SELECT l_returnflag AS flag,
         |         CAST(floor(CAST(l_quantity AS DOUBLE) + 0.5) AS BIGINT) AS x,
-        |         CAST(floor(CAST(l_extendedprice AS DOUBLE) + 0.5) AS BIGINT) AS y
+        |         CAST(floor(CAST(l_extendedprice AS DOUBLE) / 100.0 + 0.5)
+        |              AS BIGINT) AS y
         |  FROM lineitem
         |), s AS (
         |  SELECT flag, count(*) AS n,

@@ -408,9 +408,10 @@ object EtlQueries {
       .select(col("hot_key"), col("v"))
   }
 
-  /** Declarative data-quality gate ([[graft.etl.Quality]]): seven
+  /** Declarative data-quality gate ([[graft.etl.Quality]]): eight
     * rules — batch size, key null counts, status domain violations,
-    * duplicate keys, future dates, distinct cardinalities — evaluated
+    * future AND unparseable dates, duplicate keys, distinct
+    * cardinalities — evaluated
     * in ONE aggregate pass and unpivoted to (metric, value). The
     * reference's 54 jobs load extracts unchecked; this is the
     * guardrail its 100 TB deployment needs. */
@@ -422,6 +423,7 @@ object EtlQueries {
       nullCount("o_orderdate"),
       domainViolations("o_orderstatus", Seq("F", "O", "P")),
       futureDates("o_orderdate", "1998-12-31"),
+      unparseableDates("o_orderdate"),
       duplicateKeys("o_orderkey"),
       distinctCount("o_orderstatus")))
   }
@@ -604,8 +606,11 @@ object EtlQueries {
         |    sum(CASE WHEN o_orderstatus IS NOT NULL
         |             AND o_orderstatus NOT IN ('F','O','P')
         |             THEN 1 ELSE 0 END) AS bad_o_orderstatus,
-        |    sum(CASE WHEN CAST(o_orderdate AS DATE) > DATE '1998-12-31'
+        |    sum(CASE WHEN TRY_CAST(o_orderdate AS DATE) > DATE '1998-12-31'
         |             THEN 1 ELSE 0 END) AS future_o_orderdate,
+        |    sum(CASE WHEN o_orderdate IS NOT NULL
+        |             AND TRY_CAST(o_orderdate AS DATE) IS NULL
+        |             THEN 1 ELSE 0 END) AS unparseable_o_orderdate,
         |    count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_o_orderkey,
         |    count(DISTINCT o_orderstatus) AS distinct_o_orderstatus
         |  FROM orders
@@ -615,6 +620,7 @@ object EtlQueries {
         |UNION ALL SELECT 'null_o_orderdate', CAST(null_o_orderdate AS BIGINT) FROM m
         |UNION ALL SELECT 'bad_o_orderstatus', CAST(bad_o_orderstatus AS BIGINT) FROM m
         |UNION ALL SELECT 'future_o_orderdate', CAST(future_o_orderdate AS BIGINT) FROM m
+        |UNION ALL SELECT 'unparseable_o_orderdate', CAST(unparseable_o_orderdate AS BIGINT) FROM m
         |UNION ALL SELECT 'dup_o_orderkey', CAST(dup_o_orderkey AS BIGINT) FROM m
         |UNION ALL SELECT 'distinct_o_orderstatus', CAST(distinct_o_orderstatus AS BIGINT) FROM m""".stripMargin,
     // The sketch's item list is implementation-defined beyond the

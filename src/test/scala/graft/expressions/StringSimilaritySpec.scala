@@ -56,9 +56,16 @@ class StringSimilaritySpec extends SparkSpec {
     assert(onParquet.count() > 0)
   }
 
-  test("multi-byte code points are matched as characters, not bytes") {
-    // ü is 2 bytes in UTF-8; byte-level matching would misalign.
+  test("multi-byte code points are matched as characters, not bytes " +
+      "(DELIBERATE divergence from DuckDB's byte-level scoring)") {
     assert(jw("über", "über") == 1.0)
-    assert(jw("über", "uber") < 1.0 && jw("über", "uber") > 0.5)
+    // Code-point scoring: [ü,b,e,r] vs [u,b,e,r] -> 3 matches of 4.
+    assert(jw("über", "uber") == 0.8333333333333334)
+    // DuckDB (rapidfuzz) scores raw UTF-8 bytes for the same pair:
+    // [C3,BC,62,65,72] vs [75,62,65,72] -> 0.7833333333333333. The
+    // jw_match oracle stays hash-green because part names are ASCII;
+    // non-ASCII corpora score by the standard (character) definition
+    // here, not DuckDB's byte artifact.
+    assert(jw("über", "uber") != 0.7833333333333333)
   }
 }
