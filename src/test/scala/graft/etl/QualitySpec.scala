@@ -69,6 +69,44 @@ class QualitySpec extends SparkSpec {
     assert(m("row_count") == 6L, "non-distinct rules are untouched")
   }
 
+  test("an EMPTY batch profiles to all zeros, never NULL metrics") {
+    val empty = df.filter(org.apache.spark.sql.functions.lit(false))
+    val m = Quality.profile(empty, Seq(
+        Quality.rowCount(),
+        Quality.nullCount("k"),
+        Quality.domainViolations("status", Seq("A", "B")),
+        Quality.futureDates("d", "2030-12-31"),
+        Quality.unparseableDates("d"),
+        Quality.duplicateKeys("k")))
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+    m.foreach { case (k, v) =>
+      assert(v == 0L, s"$k must be 0 on an empty batch, got $v " +
+        "(a NULL here makes every value==0 load gate three-valued " +
+        "on the day with no delta)")
+    }
+  }
+
+  test("unparseableDates catches format-corrupted dates that nullCount " +
+      "and futureDates are both blind to") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("d", StringType, nullable = true)))
+    // All non-null, zero parse as ISO dates: the drifted-format batch.
+    val drifted = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("31-12-1998"), Row("12/31/1998"), Row("not a date"))),
+      schema)
+    val m = Quality.profile(drifted, Seq(
+        Quality.nullCount("d"),
+        Quality.futureDates("d", "1998-12-31"),
+        Quality.unparseableDates("d")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("null_d") == 0L && m("future_d") == 0L,
+      "the blind rules see a clean batch")
+    assert(m("unparseable_d") == 3L,
+      "every value is unusable and only this rule says so")
+  }
+
   test("approx duplicateKeys never goes negative, even at cardinalities " +
       "where HLL error is real") {
     import spark.implicits._
