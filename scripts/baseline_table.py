@@ -25,8 +25,12 @@ def main():
         # Pad/truncate to exactly 3 pass cells so partial runs cannot
         # shift cells under the wrong headers.
         ps = (passes.get(name, []) + [None] * 3)[:3]
-        cells = " | ".join("" if p is None else f"{p:.2f}" for p in ps)
-        print(f"| {name} | {qs[name]:.2f} | {cells} |")
+        # The -1 sentinel marks a FAILED query; render it as 'fail'
+        # so it cannot read as a (fast) timing in the pasted table.
+        fmt = lambda v: "fail" if v is not None and v < 0 else \
+            ("" if v is None else f"{v:.2f}")
+        cells = " | ".join(fmt(p) for p in ps)
+        print(f"| {name} | {fmt(qs[name])} | {cells} |")
 
 if __name__ == "__main__":
     main()

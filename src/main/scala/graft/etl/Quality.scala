@@ -63,7 +63,7 @@ object Quality {
     * non-ANSI cast turns garbage into NULL, never into "future"). */
   def futureDates(c: String, maxIso: String): Rule =
     Rule(s"future_$c",
-      count0(col(c).cast("date") > lit(maxIso).cast("date")))
+      count0(tryDate(c) > lit(maxIso).cast("date")))
 
   /** Count of non-null `c` values that fail to parse as dates — the
     * corruption mode [[futureDates]]/[[nullCount]] are both blind to:
@@ -71,7 +71,15 @@ object Quality {
     * and zero future dates, yet every value is unusable. */
   def unparseableDates(c: String): Rule =
     Rule(s"unparseable_$c",
-      count0(col(c).isNotNull && col(c).cast("date").isNull))
+      count0(col(c).isNotNull && tryDate(c).isNull))
+
+  /** ANSI-safe string→date coercion: `try_cast` returns NULL for
+    * garbage under BOTH ANSI modes, where a plain cast would THROW
+    * under `spark.sql.ansi.enabled=true` on exactly the
+    * format-corrupted batch these rules exist to classify (and
+    * matches the oracle's TRY_CAST). */
+  private def tryDate(c: String): Column =
+    expr(s"try_cast(`$c` as date)")
 
   /** Non-null rows minus distinct non-null keys: 0 iff `c` is unique
     * among non-null values (`count_distinct` skips NULLs, so counting

@@ -67,8 +67,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "graft_jaro_winkler"),
-      (children: Seq[Expression]) =>
-        JaroWinklerExpr(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        // Checked arity: a wrong-argument-count SQL call must surface
+        // as a clean analysis-time error naming the function, not an
+        // IndexOutOfBoundsException from children(1).
+        if (children.size != 2)
+          throw new IllegalArgumentException(
+            s"graft_jaro_winkler expects exactly 2 arguments (left, right), got ${children.size}")
+        JaroWinklerExpr(children.head, children(1))
+      }))
     // Bloom semi-join reduction (etl/Incremental.newRecordsBloom*):
     // Catalyst's own BloomFilterAggregate / BloomFilterMightContain —
     // the engine behind Spark's runtime row-level filtering — exposed

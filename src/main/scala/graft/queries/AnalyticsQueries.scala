@@ -273,12 +273,14 @@ object AnalyticsQueries {
         count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("n"),
         // The contract: the returned element occupies ranks
-        // [rank_lt+1, rank_le]; that interval must INTERSECT the
-        // allowed band [ceil((p-eps)n), floor((p+eps)n)]. (The looser
-        // floor/<=-on-both-sides form would accept a sketch value
-        // sitting one rank outside the band.)
-        (col("rank_le") >= ceil((lit(0.5) - eps) * col("n")) &&
-          col("rank_lt") + lit(1L) <= floor((lit(0.5) + eps) * col("n")))
+        // [rank_lt+1, rank_le]; that interval must INTERSECT Spark's
+        // published approx_percentile guarantee
+        // floor((p-eps)·N) <= rank <= ceil((p+eps)·N). Edges use
+        // floor below / ceil above — the tighter ceil/floor band
+        // would reject a contract-compliant value landing exactly on
+        // a fractional band edge.
+        (col("rank_le") >= floor((lit(0.5) - eps) * col("n")) &&
+          col("rank_lt") + lit(1L) <= ceil((lit(0.5) + eps) * col("n")))
           .as("within_bound"))
   }
 

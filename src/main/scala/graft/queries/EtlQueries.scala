@@ -438,11 +438,14 @@ object EtlQueries {
     * literals (honest-envelope style). */
   def freqItemsBand(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
+    // NOTE: freqItems is EAGER — the KPS heavy-hitters job runs (and
+    // collects its sketch) right here at DataFrame-construction time,
+    // so constructing this query already costs one orders scan.
     val freq = orders.stat.freqItems(Seq("o_orderstatus"), 0.25)
       .select(col("o_orderstatus_freqItems").as("sketch_items"))
-    // Threshold stays relational (a 1-row count frame cross-joined in)
-    // — an eager orders.count() here would run a full scan job at
-    // DataFrame-CONSTRUCTION time, taxing every schema/plan inspection.
+    // The threshold count, by contrast, stays relational (a 1-row
+    // count frame cross-joined in), so the sketch scan above is the
+    // ONLY construction-time job this query triggers.
     val n = orders.agg(count(lit(1)).as("__n"))
     val exactHot = orders.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"))

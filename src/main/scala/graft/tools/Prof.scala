@@ -18,14 +18,8 @@ object Prof {
     val dir = args.drop(1).filterNot(_.startsWith("--")).headOption.getOrElse("/root/testdata/sf0.1")
     val runs = args.drop(2).filterNot(_.startsWith("--")).headOption.map(_.toInt).getOrElse(3)
     val showPlan = args.contains("--plan")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .withExtensions(new graft.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession.configure(
+        SparkSession.builder().master("local[32]"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.SparkEntry.queries(name)

@@ -11,11 +11,8 @@ import org.apache.spark.sql.functions._
 object ProfileKnn {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .withExtensions(new graft.expressions.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession.configure(
+        SparkSession.builder().master("local[32]"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](label: String)(f: => A): A = {

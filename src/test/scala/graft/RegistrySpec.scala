@@ -13,6 +13,20 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
   */
 class RegistrySpec extends SparkSpec {
 
+  test("session pins pre-ANSI semantics via GraftSession (the one place)") {
+    // The reference runs Spark 3.3 (ANSI off): garbage casts yield
+    // NULL. Spark 4 defaults ANSI on; every entry point (Verify,
+    // Bench, tools, this test session) must build through
+    // GraftSession.configure so the pin cannot drift per-binary.
+    // COVERAGE.md "ANSI-mode audit" documents which query families
+    // would change behavior if this pin were dropped.
+    assert(GraftSession.AnsiEnabled == "false")
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "false",
+      "live session lost the pre-ANSI pin — a cast-of-garbage would " +
+        "throw instead of yielding NULL, changing E4/E16/DQ semantics")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("every registered query has a DuckDB oracle, and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
