@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash, Sink}
+import graft.etl.{Cleaning, Dedup, Incremental, LookupRemap, PiiHash, SchemaDrift, Sink}
 
 /** Config-driven incremental-load jobs.
   *
@@ -134,17 +134,40 @@ object Job {
     * frame is pinned DISK_ONLY across the count + append actions (via
     * [[Sink.runCountedAppend]]) so the clean+remap+anti-join plan runs
     * once, mirroring the reference's `persist(DISK_ONLY)` policy
-    * (`LoadCTPatients.java:59,170`). */
+    * (`LoadCTPatients.java:59,170`).
+    *
+    * Drift tolerance: when the target exists, the appended batch is
+    * [[SchemaDrift.conform]]ed to the target's schema — a source that
+    * grew, lost, or retyped columns since the last run (the drift the
+    * reference's JDBC schema-on-read absorbs silently, SURVEY §1.1)
+    * appends as typed NULLs / dropped extras / try_cast values instead
+    * of forking the parquet table into mixed schemas. The drift, if
+    * any, is returned by [[loadWithReport]]'s report frame. */
   def load(spark: SparkSession, source: DataFrame, targetPath: String,
-      spec: JobSpec, writePartitions: Int = 0): Long = {
+      spec: JobSpec, writePartitions: Int = 0): Long =
+    loadWithReport(spark, source, targetPath, spec, writePartitions)._1
+
+  /** [[load]], also returning the schema-drift report for the appended
+    * batch vs the pre-existing target (empty frame when the target is
+    * being created or nothing drifted). */
+  def loadWithReport(spark: SparkSession, source: DataFrame,
+      targetPath: String, spec: JobSpec,
+      writePartitions: Int = 0): (Long, DataFrame) = {
     val exists = Sink.pathExists(spark, targetPath)
-    val fresh =
+    val (fresh, report) =
       if (!exists) {
         val cleaned = transform(source, spec)
         val hashed = PiiHash.hashColumns(cleaned, spec.piiHash)
-        if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
-        else hashed
-      } else run(source, spark.read.parquet(targetPath), spec)
-    Sink.runCountedAppend(fresh, targetPath, writePartitions)
+        val projected =
+          if (spec.projection.nonEmpty) hashed.select(spec.projection.map(col): _*)
+          else hashed
+        (projected, SchemaDrift.reportDf(spark, projected.schema, projected.schema))
+      } else {
+        val target = spark.read.parquet(targetPath)
+        val out = run(source, target, spec)
+        (SchemaDrift.conform(out, target.schema),
+          SchemaDrift.reportDf(spark, target.schema, out.schema))
+      }
+    (Sink.runCountedAppend(fresh, targetPath, writePartitions), report)
   }
 }

@@ -435,6 +435,32 @@ object AnalyticsQueries {
         nth_value(col("price_c"), 3).over(full).as("third_c"))
   }
 
+  /** Time-interval RANGE frames — the trailing-window feature staple
+    * (`RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW`) that
+    * [[windowFrames]]'s value-based RANGE does not cover: the frame
+    * bound is a calendar interval over the ORDER BY date, so rows
+    * per frame vary with event density, and same-day peers are all
+    * included regardless of tie order (which keeps the result
+    * deterministic without a key tiebreak in the ORDER BY). Two
+    * trailing features per order, partitioned by customer: 7-day
+    * spend and 30-day order count. One window partition pass — both
+    * frames share the (o_custkey, od) sort. */
+  def windowIntervalFrames(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("od"),
+      cents(col("o_totalprice")).as("price_c"))
+    t.select(
+        col("o_orderkey"), col("o_custkey"),
+        date_format(col("od"), "yyyy-MM-dd").as("od"), col("price_c"),
+        expr("""sum(price_c) OVER (PARTITION BY o_custkey ORDER BY od
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)""")
+          .as("trail7_c"),
+        expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY od
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""")
+          .as("n30"))
+  }
+
   /** Regex function family (extract / replace / count) — ETL's other
     * workhorse besides date parsing. Patterns stay in the portable
     * character-class subset where Java regex and RE2-style engines
@@ -495,6 +521,7 @@ object AnalyticsQueries {
     "tpch_q4"        -> (tpchQ4 _),
     "tpch_q18"       -> (tpchQ18 _),
     "window_frames"  -> (windowFrames _),
+    "window_interval_frames" -> (windowIntervalFrames _),
     "regex_funcs"    -> (regexFuncs _),
     "sql_subqueries" -> (sqlSubqueries _),
     "tpch_q3"        -> (tpchQ3 _),
@@ -637,6 +664,22 @@ object AnalyticsQueries {
         |             ORDER BY price_c, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING
         |               AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "window_interval_frames" ->
+      s"""WITH t AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(o_orderdate AS DATE) AS od,
+        |         ${centsSql.format("o_totalprice")} AS price_c
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, strftime(od, '%Y-%m-%d') AS od,
+        |  price_c,
+        |  CAST(sum(price_c) OVER (PARTITION BY o_custkey ORDER BY od
+        |    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail7_c,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY od
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |    AS n30
+        |FROM t""".stripMargin,
     "regex_funcs" ->
       """SELECT doc_id,
         |  coalesce(regexp_extract(text, '([a-z]+)', 1), '') AS first_word,

@@ -505,7 +505,47 @@ object EtlQueries {
       .select(col("id_a"), col("id_b"),
         floor(col("sim") * lit(1e6) + lit(0.5)).as("sim_ppm"))
 
+  /** Schema-drift-tolerant union ([[graft.etl.SchemaDrift]]): batch A
+    * is the expected shape; batch B drifted on all three axes —
+    * `o_orderkey` retyped to varchar (with a corrupt slice that no
+    * longer parses), `price_c` dropped, `o_orderpriority` added.
+    * `conform` absorbs every axis: retype → try_cast (corrupt → NULL
+    * key), missing → typed NULL, added → dropped. The oracle replays
+    * the same conformance relationally. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("price_c"))
+    val b = o.filter(col("o_orderkey") % 2 === 1).select(
+      when(col("o_orderkey") % 1000 === 1,
+          concat(lit("corrupt-"), col("o_orderkey")))
+        .otherwise(col("o_orderkey").cast("string")).as("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority"))
+    graft.etl.SchemaDrift.unionConformed(a, b)
+  }
+
+  /** The drift REPORT for [[schemaDrift]]'s batch pair — the
+    * metadata surface a load job emits next to its appended count
+    * (`Job.loadWithReport`). Schema-level, driver-side, deterministic;
+    * the oracle pins the three expected drift rows as literals. */
+  def schemaDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val expected = o.select(
+      col("o_orderkey"), col("o_orderstatus").as("status"),
+      cents(col("o_totalprice")).as("price_c")).schema
+    val actual = o.select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderpriority")).schema
+    graft.etl.SchemaDrift.reportDf(spark, expected, actual)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_drift"         -> (schemaDrift _),
+    "schema_drift_report"  -> (schemaDriftReport _),
     "jw_match"             -> (jwMatch _),
     "incremental_agg"      -> (incrementalAgg _),
     "fuzzy_match"          -> (fuzzyMatch _),
@@ -565,6 +605,28 @@ object EtlQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Conformance replayed relationally: even keys keep their price,
+    // odd keys re-enter via varchar round-trip (corrupt slice -> NULL
+    // key via TRY_CAST) with NULL price; the added column is absent.
+    "schema_drift" ->
+      s"""SELECT o_orderkey, o_orderstatus AS status,
+        |       ${centsSql.format("o_totalprice")} AS price_c
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT TRY_CAST(CASE WHEN o_orderkey % 1000 = 1
+        |                     THEN 'corrupt-' || o_orderkey
+        |                     ELSE CAST(o_orderkey AS VARCHAR) END AS BIGINT),
+        |       o_orderstatus,
+        |       NULL
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
+    // Schema-level metadata pinned as literals (types are Spark
+    // simpleString names — the report is the engine's own surface).
+    "schema_drift_report" ->
+      """SELECT * FROM (VALUES
+        |  ('o_orderkey', 'retyped', 'bigint', 'string'),
+        |  ('o_orderpriority', 'added', 'absent', 'string'),
+        |  ('price_c', 'missing', 'bigint', 'absent'))
+        |  AS t("column", kind, expected_type, actual_type)""".stripMargin,
     // The HLL estimate is implementation-defined (Datasketches hash);
     // the PUBLISHED contract is the 3-sigma error band, so the oracle
     // pins the exact distinct counts and asserts the band held (true

@@ -77,4 +77,34 @@ class JobSpecSpec extends SparkSpec {
     assert(stored.select("PatientPKHash").collect()
       .forall(_.getString(0).matches("[0-9A-F]{64}")))
   }
+
+  test("drifted incremental batch conforms to the target schema instead of forking it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-job-drift").toFile
+    val path = new java.io.File(dir, "ct_patient").getAbsolutePath
+    assert(Job.load(spark, source, path, spec) == 3)
+    // Next extract drifted: Gender column gone, a new EMR column
+    // appeared, and a brand-new patient arrives.
+    val driftedSchema = StructType(schema.fields.filterNot(_.name == "Gender")
+      :+ StructField("Emr", StringType, nullable = true))
+    val drifted = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, 100L, 7L, "1992-02-03", "70", "single", "2024-03-01", "AMRS"))),
+      driftedSchema)
+    val driftSpec = spec.copy(
+      recodes = Map.empty, // Gender no longer exists in the source
+      projection = spec.projection.filterNot(_ == "Gender"))
+    val (n, report) = Job.loadWithReport(spark, drifted, path, driftSpec)
+    assert(n == 1)
+    // The accumulated table keeps ONE schema: the original projection.
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.toSeq == spec.projection)
+    assert(stored.count() == 4)
+    // The drifted row's Gender conformed to NULL; old rows keep theirs.
+    assert(stored.filter($"PatientPK" === 7L).collect().head
+      .isNullAt(stored.columns.indexOf("Gender")))
+    // The report names the missing column (Gender) — the Emr extra was
+    // already cut by the job's own projection before conformance.
+    val kinds = report.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kinds("Gender") == "missing")
+  }
 }
