@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -280,6 +280,72 @@ object PipelineQueries {
           s => s.getField("tid"))).as("ids_str"))
   }
 
+  /** Pinned BPE merge table (rank order) for [[bpeTokenize]] — the
+    * trainer-handoff artifact a real pipeline ships alongside the
+    * corpus. 20 merges chosen so corpus words exercise every depth:
+    * full multi-level collapses (table, value, scan, fast → one
+    * piece), partial merges (data → [d, a, ta]; stream → [st, r, e,
+    * a, m]), and the overlapping-pair case (agg: a g g → [ag, g] →
+    * [agg] — LEFT-TO-RIGHT non-overlapping within a rank). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "b" -> "l", "ta" -> "bl", "tabl" -> "e",
+    "v" -> "a", "l" -> "u", "va" -> "lu", "valu" -> "e",
+    "s" -> "c", "sc" -> "a", "sca" -> "n",
+    "r" -> "o", "ro" -> "w",
+    "k" -> "e", "ke" -> "y",
+    "a" -> "g", "ag" -> "g",
+    "s" -> "t", "f" -> "a", "fa" -> "st")
+
+  /** BPE-apply as a pure string-function chain, no UDF: the token's
+    * symbols are fenced as `|s1||s2||...|`, and each merge (a,b), in
+    * rank order, is ONE literal `replace('|a||b|' -> '|ab|')`. Literal
+    * replace scans left-to-right and resumes AFTER each substitution —
+    * exactly BPE's non-overlapping greedy application — and the `|`
+    * fences make partial-symbol matches impossible. The whole chain
+    * (regexp char-split + 20 replaces + trim/split) stays inside
+    * whole-stage codegen; DuckDB's `replace` has identical semantics,
+    * so the oracle replays the chain verbatim. */
+  private[queries] def bpePieces(tok: Column): Column = {
+    val wrapped = regexp_replace(tok, "(.)", "\\|$1\\|")
+    val merged = BpeMerges.foldLeft(wrapped) { case (s, (a, b)) =>
+      call_function("replace", s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    split(trim(merged, "|"), "\\|\\|")
+  }
+
+  /** Sub-word (BPE) tokenization with the pinned merge table — the
+    * step [[tokenizeIds]] (whole-token vocab) stops short of: apply
+    * [[BpeMerges]] to every token, id the resulting pieces by
+    * deterministic alphabetical rank, and emit each doc's id sequence
+    * (comma-joined VARCHAR, same driver-hashable form as
+    * [[tokenizeIds]]).
+    *
+    * Shape at scale: the merge chain is a per-row projection (no
+    * shuffle, no state); the piece vocabulary is tiny (sub-word
+    * closure of the corpus alphabet) and broadcast; the only corpus
+    * shuffles are the distinct for the vocab and the per-doc
+    * reassembly — same envelope as [[tokenizeIds]]. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+    val pieces = toks.select(col("doc_id"), col("pos"),
+      posexplode(bpePieces(col("tok"))).as(Seq("pidx", "piece")))
+    val vocab = pieces.select(col("piece")).distinct()
+      .withColumn("pid",
+        row_number().over(Window.orderBy(col("piece"))).cast("long"))
+    pieces.join(broadcast(vocab), Seq("piece"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count_distinct(col("pos")).as("n_tokens"),
+        count(lit(1)).as("n_pieces"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("pidx"), col("pid")))),
+          s => s.getField("pid"))).as("ids_csv"))
+  }
+
   /** TF-IDF document-term weighting, top-3 terms per document — the
     * classic relevance/keyword-extraction step completing the
     * vocabulary family ([[vocabTopK]] publishes the corpus stats;
@@ -316,6 +382,7 @@ object PipelineQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_tokenize"       -> (bpeTokenize _),
     "tf_idf"             -> (tfIdf _),
     "repetition_stats"   -> (repetitionStats _),
     "tokenize_ids"       -> (tokenizeIds _),
@@ -330,10 +397,41 @@ object PipelineQueries {
 
   private val toksSql = "string_split_regex(text, '\\s+')"
 
+  /** DuckDB replay of [[bpePieces]]'s merge chain, generated from the
+    * SAME [[BpeMerges]] constant so the two sides cannot drift. */
+  private val bpeChainSql: String =
+    BpeMerges.foldLeft("regexp_replace(tok, '(.)', '|\\1|', 'g')") {
+      case (s, (a, b)) => s"replace($s, '|$a||$b|', '|$a$b|')"
+    }
+
   private def ngramsSql(t: String, n: Int) =
     s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
 
   val oracles: Map[String, String] = Map(
+    "bpe_tokenize" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |         unnest(generate_series(1, len(t))) AS pos
+        |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+        |), split_toks AS (
+        |  SELECT doc_id, pos,
+        |         string_split(trim($bpeChainSql, '|'), '||') AS ps
+        |  FROM toks WHERE len(tok) > 0
+        |), pieces AS (
+        |  SELECT doc_id, pos, unnest(ps) AS piece,
+        |         unnest(generate_series(1, len(ps))) AS pidx
+        |  FROM split_toks
+        |), vocab AS (
+        |  SELECT piece, row_number() OVER (ORDER BY piece ASC) AS pid
+        |  FROM (SELECT DISTINCT piece FROM pieces)
+        |)
+        |SELECT p.doc_id,
+        |       CAST(count(DISTINCT p.pos) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_pieces,
+        |       array_to_string(list(v.pid ORDER BY p.pos, p.pidx), ',')
+        |         AS ids_csv
+        |FROM pieces p JOIN vocab v USING (piece)
+        |GROUP BY p.doc_id""".stripMargin,
     // Independent lag+cumsum formulation of session_window's merge
     // semantics: a new session starts when the gap to the previous
     // event is >= 12h (session_window merges on strict overlap,

@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.IncrementalStream
+import graft.streaming.IncrementalStream.Rec
+
+/** Streaming operators promoted to the driver's CORRECTNESS registry.
+  *
+  * There is no DuckDB oracle for a STREAM, but a replay-immune
+  * streaming operator's FINAL TABLE over a replayed fixture is a
+  * plain relation — and for [[IncrementalStream.episodeOpens]] that
+  * relation is exactly the SCD2 episode-opens set
+  * ([[graft.etl.Scd2.historize]]'s change-detection half), which SQL
+  * expresses as a lag() inequality. Registering that run machine-ties
+  * the streaming path to the batch oracle every round, instead of
+  * only inside ScalaTest (`IncrementalStreamSpec` keeps the
+  * batch-vs-stream differentials and the cross-batch/late-data
+  * torture cases).
+  *
+  * MemoryStream is driver-fed by design (it is Spark's own harness
+  * for exactly this replay pattern); the collect here is the DECLARED
+  * envelope of the correctness surface, not the deployment path — a
+  * real topology reads Kafka/files with the same operator and the
+  * same state bound (one record per key). */
+object StreamingQueries {
+
+  private val runId = new AtomicLong(0L)
+
+  /** Replay the events table through the streaming SCD2-opens
+    * operator: per user ordered by event_id, emit exactly the records
+    * where event_type changes. Delivery: three in-order micro-batches,
+    * then a FULL at-least-once replay of the whole fixture — a
+    * non-replay-immune operator would fabricate duplicate opens and
+    * redden the hash. */
+  def streamEpisodeOpens(spark: SparkSession, dir: String): DataFrame = {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val recs = Tables.events(spark, dir)
+      .select(col("user_id").as("key"), col("event_id").as("seq"),
+        col("event_type").as("value"))
+      .as[Rec].collect().sortBy(_.seq)
+    val ms = MemoryStream[Rec]
+    val name = s"stream_episode_opens_${runId.incrementAndGet()}"
+    val q = IncrementalStream.episodeOpens(ms.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      val batchSize = math.max(1, recs.length / 3)
+      recs.grouped(batchSize).foreach { b =>
+        ms.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      ms.addData(recs.toIndexedSeq) // full replay: must add nothing
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_episode_opens" -> (streamEpisodeOpens _))
+
+  val oracles: Map[String, String] = Map(
+    // The batch truth the stream must land on: first observation per
+    // user plus every value change, keyed by the observing event.
+    "stream_episode_opens" ->
+      """WITH t AS (
+        |  SELECT user_id AS key, event_id AS seq, event_type AS value,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT key, seq, value FROM t
+        |WHERE prev IS NULL OR prev <> value""".stripMargin)
+}

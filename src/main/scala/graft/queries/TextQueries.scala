@@ -154,6 +154,57 @@ object TextQueries {
       substring(md5(col("text")), 1, 16).as("fp_md5"),
       TF.simHash(TF.tokens(col("text")), 16).as("simhash16"))
 
+  /** Span width for [[spanDedup]] — wide enough that chance repeats
+    * across the synthetic small-vocabulary corpus are rare, narrow
+    * enough that real duplicated passages are caught. */
+  private[queries] val SpanK = 8
+
+  /** Exact substring-span dedup (the Lee et al. practical form the
+    * doc-level MinHash family doesn't cover): find every token
+    * position whose k-gram repeats in ANOTHER document, then merge
+    * overlapping/adjacent hits into maximal spans — the regions a
+    * training-data pipeline would cut. Emits one row per maximal span
+    * (doc_id, span_start, span_end, span_tokens; 1-based inclusive
+    * token indices).
+    *
+    * Relational shape, no iteration: gram hash → one groupBy to find
+    * cross-doc repeats → join back (the probe side is the gram
+    * stream; AQE handles the usually-small build side) → per-doc
+    * gaps-and-islands (lag + running sum) to union intervals. Equal
+    * gram length makes interval union exact with only start
+    * positions: a next start within K of the previous start overlaps
+    * or touches, so islands break exactly when `pos - lag(pos) > K`.
+    *
+    * 100 TB story: three key-partitioned shuffles (gram hash, join
+    * back, doc window) over the gram stream — each linear, none
+    * quadratic; the suffix-array original is a single-machine
+    * construction this replaces with group-and-window primitives. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TF.wordNgrams(TF.tokens(col("text")), SpanK))
+          .as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        TF.portableHash(col("g"), "span").as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("gh"))
+    val marked = grams.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = marked
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > SpanK, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (SpanK - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, 4 bands of 15 bits for
     * LSH candidates (a near-dup differs in few bits, so at least one
     * band collides), exact Hamming verify <= 2. Never all-pairs. */
@@ -276,6 +327,7 @@ object TextQueries {
     "ngram_jaccard"      -> (ngramJaccard _),
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
+    "span_dedup"         -> (spanDedup _),
     "simhash_dedup"      -> (simhashDedup _),
     "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _),
@@ -546,6 +598,38 @@ object TextQueries {
         |       ELSE 'fr' END AS lang_guess
         |FROM stats""".stripMargin,
     "doc_fingerprint" -> simhashOracle,
+    "span_dedup" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, $toksSql AS t FROM documents
+        |), g0 AS (
+        |  SELECT doc_id, ${ngramsSql("t", SpanK)} AS gs
+        |  FROM toks WHERE len(t) >= $SpanK
+        |), grams AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(gs))) AS pos,
+        |         unnest([${hashSql("x", "span")} for x in gs]) AS gh
+        |  FROM g0
+        |), dup AS (
+        |  SELECT gh FROM grams GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), marked AS (
+        |  SELECT doc_id, pos FROM grams JOIN dup USING (gh)
+        |), brks AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+        |                ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
+        |  FROM marked
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM brks
+        |)
+        |SELECT doc_id,
+        |       CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
+        |       CAST(max(pos) + ${SpanK - 1} - min(pos) + 1 AS BIGINT)
+        |         AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "simhash_dedup" -> simhashDedupOracle,
     "corpus_profile" ->
       s"""SELECT lang,
