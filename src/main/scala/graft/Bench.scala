@@ -22,7 +22,19 @@ object Bench {
     // measured pass reflects steady-state throughput, not whole-stage
     // codegen compilation of each plan (profiled at 2-4s per large
     // plan on first execution, ~0 after).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    // Optional subset (comma-separated names in SPARK_GRAFT_QUERIES):
+    // the at-scale soak benches the heavy queries without paying for
+    // the full registry at every scale.
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_QUERIES") match {
+        case None => SparkEntry.queries
+        case Some(csv) =>
+          val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+          val unknown = names -- SparkEntry.queries.keySet
+          require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: $unknown")
+          SparkEntry.queries.view.filterKeys(names).toMap
+      }
+    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -50,7 +62,7 @@ object Bench {
         None
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = selected.toSeq.sortBy(_._1)
     val passes: Seq[Map[String, Option[Double]]] = (1 to 3).map { _ =>
       ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
     }
