@@ -203,6 +203,21 @@ object SimQueries {
     Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
       bands = 4, planes = SrpPlanes, k = K)
 
+  /** The measured scale lever for SRP banding (SCALE.md): bucket count
+    * must track corpus size — occupancy n/2^planes is what the
+    * bucket-local pair count is quadratic IN, so planes grows with
+    * log2(n) to pin occupancy. [[SrpPlanes]]=6 (64 buckets/band) is
+    * sized for the sf0.01/sf0.1 corpus; this 10-plane variant
+    * (1024 buckets/band) is the sf1-appropriate setting — the sf1
+    * soak measures the same corpus/operator at both settings
+    * (BENCH_SF1*.json). Correctness is scale-independent: the oracle
+    * replays the 10-plane construction exactly. */
+  private val SrpPlanesScaled = 10
+
+  def knnGraphSrpScaled(spark: SparkSession, dir: String): DataFrame =
+    Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
+      bands = 4, planes = SrpPlanesScaled, k = K)
+
   /** PCA hash-checked END TO END — fit (distributed mean/Gram, driver
     * Jacobi) plus the shuffle-free [[Pca.project]] against the DuckDB
     * oracle's relational replay of the same arithmetic.
@@ -249,7 +264,8 @@ object SimQueries {
     "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
-    "knn_graph_srp"   -> (knnGraphSrp _)
+    "knn_graph_srp"   -> (knnGraphSrp _),
+    "knn_graph_srp_scaled" -> (knnGraphSrpScaled _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -594,6 +610,24 @@ object SimQueries {
       s"""WITH $augmentedSql,
         |$vnSql,
         |${srpBucketsSql(4, SrpPlanes)},
+        |cand AS (
+        |  SELECT DISTINCT a.id AS q_id, c.id AS n_id
+        |  FROM bkt a JOIN bkt c
+        |    ON a.band = c.band AND a.bkt = c.bkt AND a.id <> c.id
+        |), scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM cand JOIN vn x ON cand.q_id = x.id JOIN vn y ON cand.n_id = y.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    "knn_graph_srp_scaled" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${srpBucketsSql(4, 10)},
         |cand AS (
         |  SELECT DISTINCT a.id AS q_id, c.id AS n_id
         |  FROM bkt a JOIN bkt c
