@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * [[conform]] aligns a drifted batch to an expected schema — missing
   * columns become typed NULLs, extra columns are dropped, retyped
   * columns go through `try_cast` (garbage → NULL under BOTH ANSI
-  * modes) — and [[report]] / [[reportDf]] make the drift visible
+  * modes) — and [[drifts]] / [[reportDf]] make the drift visible
   * instead of silent. Composed into [[graft.jobs.Job.load]] so the
   * incremental append can never fork the target's schema.
   *

@@ -149,7 +149,12 @@ object Job {
 
   /** [[load]], also returning the schema-drift report for the appended
     * batch vs the pre-existing target (empty frame when the target is
-    * being created or nothing drifted). */
+    * being created or nothing drifted).
+    *
+    * Limit, by design: a batch that lost one of `spec.keys` fails at
+    * analysis time in the anti-join — record identity cannot be
+    * defaulted to NULL without silently re-keying the table; that
+    * drift needs a human, not a conform(). */
   def loadWithReport(spark: SparkSession, source: DataFrame,
       targetPath: String, spec: JobSpec,
       writePartitions: Int = 0): (Long, DataFrame) = {

@@ -104,6 +104,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("bpe_tokenize: piece-vocab join broadcasts; merge chain is one projection") {
+    val df = SparkEntry.queries("bpe_tokenize")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"piece vocab not broadcast:\n$plan")
+    // The 20-merge replace chain must stay a projection — no UDF, no
+    // extra exchange beyond the vocab distinct + per-doc reassembly.
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+    assert(df.count() > 0)
+  }
+
   private def queryPlan(name: String): String =
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
