@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
   *    per-dimension group counts stay constant while group SIZES grow
   *    — the correct at-scale aggregation shape.
   *  - Names (p_name/c_name/s_name) get a per-copy " dddddddd" suffix
-  *    (8 repeated digits): within-copy edit-distance/Jaro-Winkler
-  *    structure is untouched (suffix cancels), while cross-copy twins
-  *    sit at edit distance >= 8 and JW <= ~(2L/(L+9)+1)/3 < 0.9 for
-  *    the corpus's name lengths — so blocked linkage measures honest
-  *    blocks that GROW with scale (brand cardinality is fixed, as in
-  *    TPC-H) without fabricated exact twins.
+  *    (8 repeated digits) on EVERY copy, including copy 0 — an
+  *    untagged copy would make each name a clean PREFIX of its tagged
+  *    twins, which Jaro-Winkler scores 0.91+ (measured: 1.74M
+  *    fabricated cross-copy pairs before this was fixed). With uniform
+  *    tags: within-copy EDIT DISTANCES are exactly preserved (shared
+  *    suffix cancels), cross-copy identical-base twins sit at edit
+  *    distance 8 and JW <= ~0.85 < 0.9 (8 unmatched tag chars), and
+  *    blocked-linkage CANDIDATE counts — the runtime driver — are
+  *    tag-independent (blocking is by brand, candidates are block
+  *    pairs). The one measured distortion: within-copy JW scores lift
+  *    uniformly (every pair shares the 9-char suffix), so jw_match's
+  *    OUTPUT rows at threshold 0.9 are an overcount vs an untagged
+  *    corpus; its runtime, being candidate-bound, is unaffected.
   *  - documents: every token gets a per-copy `z<c>` suffix — all
   *    within-copy n-gram/duplicate/near-dup structure is preserved
   *    exactly (dup clusters per copy), while copies share ZERO tokens,
@@ -61,7 +68,7 @@ object GenScale {
       copies: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def off(c: Int) = lit(c * CopyOffset)
-    def nameTag(c: Int) = if (c == 0) "" else " " + (c.toString * 8)
+    def nameTag(c: Int) = " " + (c.toString * 8)
     def scaled(df: DataFrame)(tx: Int => DataFrame => DataFrame): DataFrame =
       (0 until copies).map(c => tx(c)(df)).reduce(_ union _)
     def write(df: DataFrame, t: String, parts: Int = 1): Unit =

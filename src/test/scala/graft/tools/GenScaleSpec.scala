@@ -54,6 +54,23 @@ class GenScaleSpec extends SparkSpec {
     assert(shared == 0L)
   }
 
+  test("cross-copy name twins fail BOTH linkage predicates (dist > 3, JW < 0.9)") {
+    // The jw_match leak regression: an untagged copy made every name a
+    // clean prefix of its tagged twins (JW 0.91+). With uniform tags,
+    // identical-base cross-copy pairs must sit outside both the
+    // edit-distance-3 and the JW-0.9 acceptance regions.
+    val twins = t("part").filter(col("p_partkey") === 7L)
+      .select(col("p_name").as("a"))
+      .crossJoin(t("part").filter(col("p_partkey") === 7L + GenScale.CopyOffset)
+        .select(col("p_name").as("b")))
+      .select(
+        levenshtein(col("a"), col("b")).as("dist"),
+        call_function("graft_jaro_winkler", col("a"), col("b")).as("jw"))
+      .collect().head
+    assert(twins.getInt(0) > 3, s"edit distance ${twins.getInt(0)}")
+    assert(twins.getDouble(1) < 0.9, s"jw ${twins.getDouble(1)}")
+  }
+
   test("embedding rotation preserves within-copy dot products") {
     def dots(df: org.apache.spark.sql.DataFrame, a: Long, b: Long): Double = {
       val va = df.filter(col("vec_id") === a).select("embedding")
