@@ -205,6 +205,33 @@ object TextQueries {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** The removal half of [[spanDedup]]: re-emit every document with
+    * its repeated spans CUT — the actual training-corpus transform
+    * (mark → cut). Tokens keep their original order; a doc with no
+    * spans passes through verbatim. The span join is per-doc (spans
+    * are few and co-keyed with the token stream on doc_id), then an
+    * anti range-filter keeps tokens outside every span — no window
+    * over the corpus, one doc_id-partitioned shuffle beyond
+    * [[spanDedup]]'s own. */
+  def spanDedupCut(spark: SparkSession, dir: String): DataFrame = {
+    val spans = spanDedup(spark, dir)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val covered = toks.join(spans, Seq("doc_id"))
+      .filter(col("pos") >= col("span_start") && col("pos") <= col("span_end"))
+      .select(col("doc_id"), col("pos"))
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("cleaned_text"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures, 4 bands of 15 bits for
     * LSH candidates (a near-dup differs in few bits, so at least one
     * band collides), exact Hamming verify <= 2. Never all-pairs. */
@@ -328,6 +355,7 @@ object TextQueries {
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
     "span_dedup"         -> (spanDedup _),
+    "span_dedup_cut"     -> (spanDedupCut _),
     "simhash_dedup"      -> (simhashDedup _),
     "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _),
@@ -345,6 +373,37 @@ object TextQueries {
   /** DuckDB list of word n-grams over token list expression `t`. */
   private def ngramsSql(t: String, n: Int) =
     s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
+
+  /** Shared CTE chain for the span-dedup pair, ending in
+    * `isl(doc_id, pos, island)` — the marked gram positions grouped
+    * into maximal islands (the SQL mirror of [[spanDedup]]'s
+    * gaps-and-islands). */
+  private lazy val spanCtesSql =
+    s"""toks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents
+      |), g0 AS (
+      |  SELECT doc_id, ${ngramsSql("t", SpanK)} AS gs
+      |  FROM toks WHERE len(t) >= $SpanK
+      |), grams AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(gs))) AS pos,
+      |         unnest([${hashSql("x", "span")} for x in gs]) AS gh
+      |  FROM g0
+      |), dup AS (
+      |  SELECT gh FROM grams GROUP BY gh
+      |  HAVING count(DISTINCT doc_id) >= 2
+      |), marked AS (
+      |  SELECT doc_id, pos FROM grams JOIN dup USING (gh)
+      |), brks AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+      |                ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
+      |  FROM marked
+      |), isl AS (
+      |  SELECT doc_id, pos,
+      |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM brks
+      |)""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard_c)` — the full
     * MinHash-LSH replay, shared by the pair oracle and the
@@ -599,37 +658,35 @@ object TextQueries {
         |FROM stats""".stripMargin,
     "doc_fingerprint" -> simhashOracle,
     "span_dedup" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, $toksSql AS t FROM documents
-        |), g0 AS (
-        |  SELECT doc_id, ${ngramsSql("t", SpanK)} AS gs
-        |  FROM toks WHERE len(t) >= $SpanK
-        |), grams AS (
-        |  SELECT doc_id, unnest(generate_series(1, len(gs))) AS pos,
-        |         unnest([${hashSql("x", "span")} for x in gs]) AS gh
-        |  FROM g0
-        |), dup AS (
-        |  SELECT gh FROM grams GROUP BY gh
-        |  HAVING count(DISTINCT doc_id) >= 2
-        |), marked AS (
-        |  SELECT doc_id, pos FROM grams JOIN dup USING (gh)
-        |), brks AS (
-        |  SELECT doc_id, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-        |                ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
-        |  FROM marked
-        |), isl AS (
-        |  SELECT doc_id, pos,
-        |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
-        |           ROWS UNBOUNDED PRECEDING) AS island
-        |  FROM brks
-        |)
+      s"""WITH $spanCtesSql
         |SELECT doc_id,
         |       CAST(min(pos) AS BIGINT) AS span_start,
         |       CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
         |       CAST(max(pos) + ${SpanK - 1} - min(pos) + 1 AS BIGINT)
         |         AS span_tokens
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    "span_dedup_cut" ->
+      s"""WITH $spanCtesSql,
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), tok2 AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |         unnest(generate_series(1, len(t))) AS pos
+        |  FROM (SELECT doc_id, $toksSql AS t FROM documents)
+        |), covered AS (
+        |  SELECT DISTINCT t.doc_id, t.pos
+        |  FROM tok2 t JOIN spans s
+        |    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.s AND s.e
+        |), surv AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM tok2 t LEFT JOIN covered c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL
+        |)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        |FROM surv GROUP BY doc_id""".stripMargin,
     "simhash_dedup" -> simhashDedupOracle,
     "corpus_profile" ->
       s"""SELECT lang,

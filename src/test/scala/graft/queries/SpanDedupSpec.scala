@@ -36,6 +36,26 @@ class SpanDedupSpec extends SparkSpec {
     assert(repeats == 0L, s"$repeats cross-doc k-grams survived span removal")
   }
 
+  test("cut corpus: no cross-doc repeated k-gram remains; span-free docs pass verbatim") {
+    val cut = TextQueries.spanDedupCut(spark, dir).cache()
+    try {
+      // Directly on the cleaned text: zero k-grams shared by >= 2 docs.
+      val grams = cut.select(col("doc_id"),
+          explode(TF.wordNgrams(TF.tokens(col("cleaned_text")), K)).as("g"))
+        .groupBy(col("g"))
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).count()
+      assert(grams == 0L, s"$grams cross-doc k-grams survive in the cut corpus")
+      // Docs with no spans keep their exact text.
+      val spans = TextQueries.spanDedup(spark, dir)
+      val untouched = Tables.documents(spark, dir)
+        .join(spans.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      val drift = untouched.join(cut, Seq("doc_id"))
+        .filter(col("text") =!= col("cleaned_text")).count()
+      assert(drift == 0L, s"$drift span-free docs were altered")
+    } finally { cut.unpersist(); () }
+  }
+
   test("spans are well-formed, at least K tokens, and non-overlapping per doc") {
     val spans = TextQueries.spanDedup(spark, dir).cache()
     try {
