@@ -81,12 +81,22 @@ object SchemaDrift {
       actual.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
         case None => lit(null).cast(f.dataType).as(f.name)
         case Some(a) if a.dataType == f.dataType => col(a.name).as(f.name)
-        case Some(a) =>
+        case Some(a)
+            if org.apache.spark.sql.catalyst.expressions.Cast
+              .canTryCast(a.dataType, f.dataType) =>
           // try_cast, not cast: a retyped-to-varchar source column may
           // carry values that no longer parse; reference semantics turn
           // those into NULL, and ANSI mode must not turn them into a
           // job abort.
           col(a.name).try_cast(f.dataType).as(f.name)
+        case Some(_) =>
+          // Cast-INCOMPATIBLE retype (e.g. date -> boolean): even
+          // try_cast is an analysis-time error for such pairs, so the
+          // values are unrepresentable in the expected type — treat
+          // like a missing column (typed NULLs); the drift report
+          // still says "retyped" with both type names. Found by the
+          // generative schema property test.
+          lit(null).cast(f.dataType).as(f.name)
       }
     }
     df.select(cols.toSeq: _*)

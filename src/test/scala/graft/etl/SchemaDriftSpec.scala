@@ -50,6 +50,59 @@ class SchemaDriftSpec extends SparkSpec {
     assert(u.filter(col("k") === 3L && col("v").isNull).count() == 1)
   }
 
+  test("cast-incompatible retype conforms to typed NULLs instead of throwing") {
+    // date -> boolean has no cast at all (even try_cast is an
+    // analysis error); conform must treat the values as
+    // unrepresentable, not crash the load.
+    val drifted = Seq(("2024-01-01", 1L)).toDF("flag", "k")
+      .withColumn("flag", col("flag").cast("date"))
+    val expected = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", LongType),
+      org.apache.spark.sql.types.StructField("flag",
+        org.apache.spark.sql.types.BooleanType)))
+    val out = SchemaDrift.conform(drifted, expected)
+    val row = out.collect().head
+    assert(row.getLong(0) == 1L && row.isNullAt(1))
+    // The report still calls it a retype with both type names.
+    val d = SchemaDrift.drifts(expected, drifted.schema)
+    assert(d == Seq(SchemaDrift.ColumnDrift("flag", "retyped", "boolean", "date")))
+  }
+
+  test("generative: conform always lands exactly on the expected schema, idempotently") {
+    // Fixed-seed random drift pairs (house style — no scalacheck
+    // bridge offline): expected = random subset/order of a column
+    // pool; actual = independent random subset/order with random
+    // retypes. Invariant: conform's output schema equals expected in
+    // names, order, and types on EVERY pair, and a second conform is
+    // a fixed point.
+    val rnd = new scala.util.Random(42)
+    val pool = Seq("k" -> "bigint", "name" -> "string", "v" -> "bigint",
+      "w" -> "double", "d" -> "date", "f" -> "boolean")
+    val types = Seq("bigint", "string", "double", "date", "boolean")
+    import org.apache.spark.sql.functions._
+    val base = spark.range(3).toDF("id")
+    for (_ <- 1 to 30) {
+      val exp = rnd.shuffle(pool).take(1 + rnd.nextInt(pool.size))
+      val act = rnd.shuffle(pool).take(1 + rnd.nextInt(pool.size))
+        .map { case (n, t) =>
+          n -> (if (rnd.nextBoolean()) t else types(rnd.nextInt(types.size)))
+        }
+      val expected = org.apache.spark.sql.types.StructType(exp.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+      })
+      val actualDf = base.select(act.map { case (n, t) =>
+        lit(null).cast(t).as(n) }: _*)
+      val out = SchemaDrift.conform(actualDf, expected)
+      assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        expected.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"exp=$exp act=$act got=${out.schema.simpleString}")
+      val again = SchemaDrift.conform(out, expected)
+      assert(again.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        out.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    }
+  }
+
   test("conform is a no-op projection on a matching batch (no shuffle)") {
     val plan = SchemaDrift.conform(expected, expected.schema)
       .queryExecution.executedPlan.toString()
