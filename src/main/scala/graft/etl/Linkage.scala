@@ -59,6 +59,46 @@ object Linkage {
         col("dist"))
   }
 
+  /** Length-banded refinement of [[fuzzyPairs]] — the measured scale
+    * lever for blocks that grow too large: a categorical block of
+    * size B evaluates ~B²/2 length-filter probes AFTER the shuffle
+    * materializes the pairs; banding moves that pruning INTO the join
+    * key, so pairs that cannot meet the threshold never form.
+    *
+    * Exact recall: a pair with `|len(a) − len(b)| <= maxDist` has
+    * `floor(len/(maxDist+1))` bands differing by at most 1 (band
+    * width > maxDist), so joining each probe row under its own band
+    * and each build row under {band−1, band, band+1} keeps every
+    * qualifying pair — and each pair meets on exactly ONE key (the
+    * probe's band), so no dedup pass is needed. Cost: the build side
+    * triples, but within-key pair counts shrink by the number of
+    * occupied bands — a net win whenever names spread over more than
+    * ~3 bands (measured at sf1 in SCALE.md). The result set is
+    * IDENTICAL to [[fuzzyPairs]]; the registry shares the oracle
+    * verbatim. */
+  def fuzzyPairsBanded(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val bw = maxDist + 1
+    val band = floor(length(col(nameCol)).cast("double") / bw).cast("long")
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      col(blockCol).as("__blk"), band.as("__band"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+        col(blockCol).as("__blk_b"), band.as("__b0"))
+      .select(col("id_b"), col("name_b"), col("__blk_b"),
+        explode(array(col("__b0") - 1, col("__b0"), col("__b0") + 1))
+          .as("__band_b"))
+    a.join(b, col("__blk") === col("__blk_b") &&
+        col("__band") === col("__band_b") && col("id_a") < col("id_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b")))
+        <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
   /** Graded variant of [[fuzzyPairs]]: within-block pairs scored by
     * native Jaro-Winkler similarity
     * ([[graft.expressions.JaroWinklerExpr]], codegen'd in the join's

