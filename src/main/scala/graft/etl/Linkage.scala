@@ -71,9 +71,11 @@ object Linkage {
     * and each build row under {band−1, band, band+1} keeps every
     * qualifying pair — and each pair meets on exactly ONE key (the
     * probe's band), so no dedup pass is needed. Cost: the build side
-    * triples, but within-key pair counts shrink by the number of
-    * occupied bands — a net win whenever names spread over more than
-    * ~3 bands (measured at sf1 in SCALE.md). The result set is
+    * triples; payoff grows with the number of occupied bands. Measured
+    * at sf1 (SCALE.md): 1.2× on TPC-H p_names, whose lengths occupy
+    * only TWO width-4 bands — there the gain is finer join-key
+    * parallelism; corpora with real length spread (person names,
+    * addresses) get candidate pruning on top. The result set is
     * IDENTICAL to [[fuzzyPairs]]; the registry shares the oracle
     * verbatim. */
   def fuzzyPairsBanded(df: DataFrame, idCol: String, nameCol: String,
@@ -92,6 +94,97 @@ object Linkage {
         col("__band") === col("__band_b") && col("id_a") < col("id_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b")))
         <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist"))
+  }
+
+  /** Segment-blocked refinement of [[fuzzyPairs]] (the PassJoin
+    * scheme, Li/Deng/Feng, VLDB 2011) — the CONTENT-based scale lever
+    * for blocks whose members share a narrow length range (where
+    * [[fuzzyPairsBanded]]'s length bands cannot subdivide): partition
+    * each build-side name into `maxDist+1` disjoint segments; by
+    * pigeonhole, any pair within edit distance `maxDist` must agree
+    * EXACTLY on at least one segment (at a start position shifted by
+    * at most `maxDist`), so "shares a segment occurrence" becomes the
+    * join key and pairs with no exactly-matching segment — the
+    * overwhelming majority of a random block — never form.
+    *
+    * Exact recall: the pigeonhole guarantee needs every segment
+    * non-empty, i.e. build length >= maxDist+1; shorter strings take
+    * a brute-force side branch (their whole within-threshold
+    * neighborhood is itself length-bounded and tiny). Probe rows
+    * enumerate (build length ∈ len±maxDist) × (segment index) ×
+    * (shift ∈ ±maxDist) substrings — a constant ~(2·maxDist+1)²·
+    * (maxDist+1) per-row projection fan-out, no shuffle until the
+    * equi-join on (block, build_len, segment_idx, substring). The
+    * tighter multi-match-aware shift rule from the paper would cut
+    * probe fan-out a further ~2×; the simple ±maxDist bound keeps the
+    * recall argument one line. Result set IDENTICAL to [[fuzzyPairs]];
+    * the registry shares the oracle verbatim. */
+  def fuzzyPairsSegmented(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val nseg = maxDist + 1
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+      col(blockCol).as("blk"), length(col(nameCol)).cast("long").as("l"))
+
+    // Build side: the nseg disjoint segments of every long-enough name.
+    // Segment i of a length-l string covers [i*l/nseg, (i+1)*l/nseg).
+    val build = base.filter(col("l") >= nseg)
+      .select(col("id").as("id_b"), col("nm").as("name_b"),
+        col("blk").as("blk_b"), col("l").as("l_b"),
+        explode(sequence(lit(0), lit(nseg - 1))).as("i"))
+      .withColumn("st", expr(s"i * l_b DIV $nseg"))
+      .withColumn("sl", expr(s"(i + 1) * l_b DIV $nseg") - col("st"))
+      .withColumn("seg",
+        expr("substring(name_b, CAST(st AS INT) + 1, CAST(sl AS INT))"))
+      .select(col("id_b"), col("name_b"), col("blk_b"), col("l_b"),
+        col("i"), col("st"), col("sl"), col("seg"))
+
+    // Probe side: every substring of name_a that could equal some
+    // segment of a within-threshold partner — enumerated per candidate
+    // build length, segment index, and start shift.
+    val probe = base
+      .select(col("id").as("id_a"), col("nm").as("name_a"), col("blk"),
+        col("l").as("l_a"),
+        explode(sequence(col("l") - maxDist, col("l") + maxDist))
+          .as("l_b"))
+      .filter(col("l_b") >= nseg)
+      .select(col("id_a"), col("name_a"), col("blk"), col("l_a"),
+        col("l_b"), explode(sequence(lit(0), lit(nseg - 1))).as("i"))
+      .withColumn("st_b", expr(s"i * l_b DIV $nseg"))
+      .withColumn("sl", expr(s"(i + 1) * l_b DIV $nseg") - col("st_b"))
+      .select(col("id_a"), col("name_a"), col("blk"), col("l_a"),
+        col("l_b"), col("i"), col("st_b"), col("sl"),
+        explode(sequence(lit(-maxDist.toLong), lit(maxDist.toLong)))
+          .as("d"))
+      .withColumn("st_a", col("st_b") + col("d"))
+      .filter(col("st_a") >= 0 && col("st_a") + col("sl") <= col("l_a"))
+      .withColumn("sub",
+        expr("substring(name_a, CAST(st_a AS INT) + 1, CAST(sl AS INT))"))
+
+    val segCand = probe.join(build,
+        col("blk") === col("blk_b") && probe("l_b") === build("l_b") &&
+          probe("i") === build("i") && col("sub") === col("seg") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+
+    // Fallback for build strings too short for non-empty segments:
+    // their within-threshold neighborhood is length <= 2*maxDist, a
+    // vanishing sub-population — brute within the block is exact.
+    val shortB = base.filter(col("l") < nseg)
+      .select(col("id").as("id_b"), col("nm").as("name_b"),
+        col("blk").as("blk_b"))
+    val nearA = base.filter(col("l") <= (nseg - 1) + maxDist)
+      .select(col("id").as("id_a"), col("nm").as("name_a"), col("blk"))
+    val shortCand = nearA.join(shortB,
+        col("blk") === col("blk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+
+    segCand.union(shortCand).distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0)

@@ -507,6 +507,20 @@ object EtlQueries {
       "p_partkey", "p_name", "p_brand", maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
 
+  /** The SAME linkage through PassJoin segment blocking
+    * ([[graft.etl.Linkage.fuzzyPairsSegmented]]): "shares an exact
+    * segment occurrence" becomes the join key, so within-block pairs
+    * with no matching segment — the overwhelming majority — never
+    * form. Result set identical to [[fuzzyMatch]] by the pigeonhole
+    * argument; the registry shares the oracle verbatim, making the
+    * hash a machine proof of exact recall. SCALE.md carries the sf1
+    * timing against the unsegmented and length-banded forms. */
+  def fuzzyMatchPassjoin(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Linkage.fuzzyPairsSegmented(
+      Tables.spread(Tables.part(spark, dir)),
+      "p_partkey", "p_name", "p_brand", maxDist = 3)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
   /** Incremental aggregate maintenance proven equal to recompute:
     * "yesterday's" summary (orderkeys ending 0-7) merged with the
     * delta's summary (the rest) — one union + one |groups| aggregate,
@@ -587,6 +601,7 @@ object EtlQueries {
     "incremental_agg"      -> (incrementalAgg _),
     "fuzzy_match"          -> (fuzzyMatch _),
     "fuzzy_match_banded"   -> (fuzzyMatchBanded _),
+    "fuzzy_match_passjoin" -> (fuzzyMatchPassjoin _),
     "scd2_snapshot"        -> (scd2Snapshot _),
     "dq_profile"           -> (dqProfile _),
     "freq_items_band"      -> (freqItemsBand _),
@@ -702,6 +717,14 @@ object EtlQueries {
     // Shared VERBATIM with fuzzy_match: the banded plan must produce
     // the identical pair set (exact recall), and the hash proves it.
     "fuzzy_match_banded" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    // Shared VERBATIM with fuzzy_match: PassJoin's pigeonhole recall
+    // guarantee is machine-proven by the identical hash.
+    "fuzzy_match_passjoin" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b

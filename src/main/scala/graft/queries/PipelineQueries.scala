@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window => W}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -33,6 +34,13 @@ object PipelineQueries {
     "en" -> 400000L, "de" -> 150000L, "es" -> 150000L,
     "fr" -> 150000L, "zh" -> 150000L)
   private val ContamN = 5
+  /** Token budget for [[tokenBudgetSelect]] — partial selection at
+    * every driver sf (sf0.01's corpus is ~50k tokens). */
+  private val TokenBudget = 20000L
+  /** n_chars range width of the prefix-sum bands — coarse enough that
+    * band count stays a few hundred at any corpus, fine enough that no
+    * band holds a macroscopic corpus fraction. */
+  private val BudgetBandWidth = 64L
   private val ShuffleShards = 16
   private val ShuffleSeed = "epoch0"
   private val SourceCap = 10
@@ -273,6 +281,48 @@ object PipelineQueries {
       .select(col("doc_id"), col("w"), col("priority"))
   }
 
+  /** Quality-ranked corpus selection under a token budget — the "fill
+    * the training run's N-token budget with the best documents" step:
+    * rank docs by (n_chars DESC, doc_id ASC) and keep every doc whose
+    * running token total BEFORE it is under [[TokenBudget]] (so the
+    * boundary doc that crosses the budget is included, and selection
+    * is a deterministic prefix of the global order).
+    *
+    * The interesting part at 100 TB is the global ordered prefix sum:
+    * a naive `sum() OVER (ORDER BY ...)` is a SINGLE-partition window
+    * — one task sorts the corpus. This implements the standard
+    * two-level decomposition instead: (1) coarse range bands of the
+    * order key (n_chars DIV [[BudgetBandWidth]] — band order is
+    * consistent with the global order by construction), (2) per-band
+    * token totals (a few-hundred-row frame) get exclusive band
+    * offsets via a window over that tiny frame only, (3) the offsets
+    * broadcast back and each band computes its LOCAL prefix sum in a
+    * band-partitioned window. No corpus-wide sort, no single-partition
+    * stage; the oracle replays the plain global window and the hash
+    * proves the decomposition exact. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("band",
+        floor(col("n_chars").cast("double") / BudgetBandWidth).cast("long"))
+    val offsets = docs.groupBy(col("band"))
+      .agg(sum(col("n_tok")).as("band_tok"))
+      .withColumn("offset", coalesce(
+        sum(col("band_tok")).over(
+          W.partitionBy(lit(1)).orderBy(col("band").desc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("offset"))
+    val inBand = W.partitionBy(col("band"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .rowsBetween(W.unboundedPreceding, -1)
+    docs.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tok")).over(inBand), lit(0L)))
+      .filter(col("cum_before") < TokenBudget)
+      .select(col("doc_id"), col("n_tok"), col("cum_before"))
+  }
+
   /** Per-source quota cap (the CommonCrawl-style domain cap): keep at
     * most [[SourceCap]] documents per source, preferring longer ones
     * ((n_chars DESC, doc_id ASC) — a deterministic total order).
@@ -506,7 +556,8 @@ object PipelineQueries {
     "vocab_topk"         -> (vocabTopK _),
     "chunk_documents"    -> (chunkDocuments _),
     "domain_mix"         -> (domainMix _),
-    "weighted_sample"    -> (weightedSample _)
+    "weighted_sample"    -> (weightedSample _),
+    "token_budget_select" -> (tokenBudgetSelect _)
   )
 
   private val toksSql = "string_split_regex(text, '\\s+')"
@@ -749,6 +800,22 @@ object PipelineQueries {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE ${TF.portableHashSql("CAST(d.doc_id AS VARCHAR)", "mix")}
         |        % 1000000 < r.rate_ppm""".stripMargin,
+    // The oracle replays the NAIVE single global window — the engine's
+    // two-level band decomposition must hash-equal it exactly.
+    "token_budget_select" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, n_chars, len($toksSql) AS n_tok FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(cum_before AS BIGINT) AS cum_before
+        |FROM c WHERE cum_before < $TokenBudget""".stripMargin,
     "weighted_sample" ->
       s"""WITH h AS (
         |  SELECT doc_id, n_chars AS w,

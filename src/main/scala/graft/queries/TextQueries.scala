@@ -346,7 +346,32 @@ object TextQueries {
       dedupComponents(spark, dir))
       .select(col("doc_id"), col("split"))
 
+  /** Fuzzy decontamination — the near-match complement of the exact
+    * n-gram [[graft.queries.PipelineQueries.decontaminate]]: training
+    * docs that are NEAR-duplicates (Jaccard >= 0.5 on 3-gram
+    * shingles) of any held-out eval doc, found by the asymmetric LSH
+    * match [[graft.text.MinHashLSH.matchesAgainst]] — eval bands and
+    * shingle arrays broadcast, the corpus never shuffles. The eval
+    * slice is `doc_id % 7` (not `decontaminate`'s % 97): chosen so it
+    * SPLITS several of the testdata's planted near-dup clusters and
+    * the query exercises real matches at every sf.
+    * Output: one row per contaminated training doc with its match
+    * count and best Jaccard (ppm). */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    MinHashLSH.matchesAgainst(train, evalSet, "doc_id", "text",
+        ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        max(col("jaccard_c")).as("max_jaccard_c"))
+      .select(col("corpus_id").as("doc_id"), col("n_eval_matches"),
+        col("max_jaccard_c"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate_fuzzy" -> (decontaminateFuzzy _),
     "train_split"        -> (trainSplit _),
     "quality_percentile" -> (qualityPercentile _),
     "exact_dedup"        -> (exactDedup _),
@@ -454,6 +479,60 @@ object TextQueries {
 
   private val minhashOracle: String =
     minhashPairsCtes + "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
+
+  /** DuckDB replay of the asymmetric eval-vs-train LSH match: the
+    * SAME signature/band pipeline as [[minhashPairsCtes]], but
+    * candidates pair a training doc with an eval doc instead of
+    * self-joining — signatures are per-doc, so computing them over
+    * the whole corpus and splitting at the candidate step is
+    * identical to the engine's split-first order. */
+  private val decontamFuzzyOracle: String = {
+    val sigCols = (0 until Perms)
+      .map(p => s"min(${TF.portableHashHexSql("shingle", s"p$p")}) AS sig$p")
+      .mkString(",\n    ")
+    val bandExprs = (0 until Perms / BandRows).map { b =>
+      val slice = (b * BandRows until (b + 1) * BandRows).map(p => s"sig$p")
+      s"md5(concat_ws('_', $b, ${slice.mkString(", ")}))"
+    }.mkString(",\n      ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, $toksSql AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(${ngramsSql("t", 3)})) AS shingle
+      |  FROM toks
+      |), sig AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM sh GROUP BY doc_id
+      |), band AS (
+      |  SELECT doc_id, unnest([
+      |      $bandExprs]) AS band_key
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      |  FROM band t JOIN band e ON t.band_key = e.band_key
+      |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT c.train_id, c.eval_id, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.train_id
+      |  JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT i.train_id, i.eval_id,
+      |         CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |              AS BIGINT) AS jaccard_c
+      |  FROM inter i
+      |  JOIN cnt ca ON i.train_id = ca.doc_id
+      |  JOIN cnt cb ON i.eval_id = cb.doc_id
+      |  WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
+      |             AS BIGINT) >= 500000
+      |)
+      |SELECT train_id AS doc_id, count(*) AS n_eval_matches,
+      |       max(jaccard_c) AS max_jaccard_c
+      |FROM pairs GROUP BY 1""".stripMargin
+  }
 
   /** Transitive closure of the verified pair graph via a recursive
     * CTE — an INDEPENDENT formulation of what the engine computes by
@@ -579,6 +658,7 @@ object TextQueries {
         |       substr(md5(norm), 1, 16) AS fp
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
+    "decontaminate_fuzzy" -> decontamFuzzyOracle,
     "dedup_components" -> componentsOracle,
     "dedup_canonical" -> dedupCanonicalOracle,
     "train_split" -> (componentsCtes +

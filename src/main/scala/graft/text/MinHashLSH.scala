@@ -96,6 +96,45 @@ object MinHashLSH {
           .as("jaccard"))
   }
 
+  /** Asymmetric LSH match of a corpus against a SMALL reference set —
+    * the fuzzy-decontamination / reference-lookup form of
+    * [[nearDuplicates]]: instead of a self-join, corpus band keys
+    * probe the reference's banded signatures, and only the surviving
+    * candidates get exact-Jaccard verification.
+    *
+    * Returns (corpus_id, ref_id, jaccard_c ppm) for verified matches
+    * with Jaccard >= threshold.
+    *
+    * Shape at scale: the reference side (an eval set — thousands of
+    * docs next to a 100 TB corpus) broadcasts at BOTH joins (bands
+    * and shingle arrays), and the candidate frame broadcasts back
+    * onto the corpus arrays — the corpus itself never shuffles. The
+    * signature pass is the same single-projection
+    * [[graft.expressions.MinHashSigsExpr]] as the self-join form. */
+  def matchesAgainst(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, ngram: Int = 3, perms: Int = 16,
+      bandRows: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val cArr = shingleArrays(corpus, idCol, textCol, ngram)
+    val rArr = shingleArrays(reference, idCol, textCol, ngram)
+    val cBand = bands(signatures(cArr, idCol, perms), idCol, perms, bandRows)
+      .select(col("band_key"), col(idCol).as("corpus_id"))
+    val rBand = bands(signatures(rArr, idCol, perms), idCol, perms, bandRows)
+      .select(col("band_key").as("bk2"), col(idCol).as("ref_id"))
+    val cand = cBand.join(broadcast(rBand), col("band_key") === col("bk2"))
+      .select("corpus_id", "ref_id").distinct()
+    val a = cArr.select(col(idCol).as("corpus_id"), col("shingles").as("sh_a"))
+    val b = rArr.select(col(idCol).as("ref_id"), col("shingles").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    broadcast(cand)
+      .join(a, "corpus_id")
+      .join(broadcast(b), "ref_id")
+      .select(col("corpus_id"), col("ref_id"),
+        floor(inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter) * 1e6 + 0.5d)
+          .cast("long").as("jaccard_c"))
+      .filter(col("jaccard_c") >= (threshold * 1e6).toLong)
+  }
+
   /** Full pipeline: verified near-dup pairs with Jaccard >= threshold
     * (scaled to integer millionths for canonical output). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,

@@ -213,6 +213,91 @@ class PlanAuditSpec extends SparkSpec {
       s"single-split probe side must be spread:\n$p")
   }
 
+  test("fuzzy_match_banded: the length band is IN the join key, " +
+      "and the plan keeps the broadcast + thresholded distance") {
+    val p = queryPlan("fuzzy_match_banded")
+    assert(p.contains("BroadcastHashJoin"),
+      s"banded block join must still broadcast the build side:\n$p")
+    assert(p.contains("__band"),
+      s"band column missing from the plan — pruning did not reach " +
+        s"the join key:\n$p")
+    assert(p.contains("Some(3)"),
+      s"thresholded levenshtein (early-exit band) missing:\n$p")
+  }
+
+  test("scd2_snapshot: the as-of filter rides the single-exchange " +
+      "historization (no extra shuffle for the snapshot)") {
+    val p = queryPlan("scd2_snapshot")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"snapshot must not add exchanges beyond SCD2's one:\n$p")
+  }
+
+  test("chunk_documents: pure projection pipeline — zero exchanges") {
+    val p = queryPlan("chunk_documents")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must ride the scan with no shuffle:\n$p")
+  }
+
+  test("domain_mix: the rate frame broadcasts back onto the corpus " +
+      "(the corpus itself never hash-shuffles)") {
+    val df = SparkEntry.queries("domain_mix")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast, not shuffle the corpus:\n$p")
+    // The only hash exchange allowed is the few-row per-lang count agg.
+    assert(countOf(p, "Exchange hashpartitioning") <= 2,
+      s"corpus-side shuffle crept in:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("weighted_sample: global top-k compiles to TakeOrderedAndProject " +
+      "(bounded heaps, never a full sort)") {
+    val p = queryPlan("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"priority sample must not global-sort:\n$p")
+  }
+
+  test("fuzzy_match_passjoin: segment equi-join, no nested loop, " +
+      "thresholded distance on survivors only") {
+    val p = queryPlan("fuzzy_match_passjoin")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"segment blocking degraded to a nested loop:\n$p")
+    assert(p.contains("substring"),
+      s"segment extraction missing from the plan:\n$p")
+    assert(p.contains("Some(3)"),
+      s"thresholded levenshtein (early-exit band) missing:\n$p")
+  }
+
+  test("decontaminate_fuzzy: every join broadcasts (the corpus never " +
+      "sort-merge-shuffles against the eval side)") {
+    val p = queryPlan("decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the eval match:\n$p")
+  }
+
+  test("token_budget_select: the prefix sum is band-decomposed — no " +
+      "single-partition global window over the corpus") {
+    val p = queryPlan("token_budget_select")
+    assert(p.contains("hashpartitioning(band"),
+      s"corpus window must partition by the range band:\n$p")
+    // A SinglePartition exchange is legitimate ONLY over the few-row
+    // band-totals aggregate (the offset frame) — never over the
+    // corpus itself: between the exchange and the scan that feeds it
+    // there must be the band aggregate collapsing the corpus first.
+    val sp = p.indexOf("Exchange SinglePartition")
+    assert(sp >= 0, s"offset frame missing:\n$p")
+    val below = p.substring(sp)
+    val agg = below.indexOf("HashAggregate(keys=[band")
+    val scan = below.indexOf("FileScan")
+    assert(agg >= 0 && agg < scan,
+      s"the single-partition window consumes the raw corpus:\n$p")
+    assert(p.indexOf("Exchange SinglePartition", sp + 1) < 0,
+      s"more than one single-partition stage:\n$p")
+  }
+
   test("incremental_bloom: the membership filter sits on the target side BELOW the anti-join") {
     val p = queryPlan("incremental_bloom")
     // The target (build) subtree prints AFTER the join node and after

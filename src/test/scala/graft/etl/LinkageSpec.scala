@@ -68,6 +68,33 @@ class LinkageSpec extends SparkSpec {
       .contains((2L, 9L)), "expected the cross-band pair to exist")
   }
 
+  test("PassJoin segment blocking returns the IDENTICAL pair set, " +
+      "including short-string pairs routed through the fallback") {
+    // Mixed lengths: normal names, plus strings SHORTER than the
+    // nseg=4 segment count ("jo", "j", "joe") whose pairs can only
+    // come from the brute-force short branch, and a short-vs-longer
+    // pair ("joe" vs "jones", dist 3) crossing the two branches.
+    val mixed = df.union(Seq(
+      (9L, "jon smith jr", "A"),
+      (10L, "jo", "A"),
+      (11L, "j", "A"),
+      (12L, "joe", "A"),
+      (13L, "jones", "A")).toDF("id", "name", "blk"))
+    val plain = Linkage.fuzzyPairs(mixed, "id", "name", "blk", 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val seg = Linkage.fuzzyPairsSegmented(mixed, "id", "name", "blk", 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(seg.sorted == plain.sorted,
+      s"passjoin ${seg.sorted} != plain ${plain.sorted}")
+    // The witnesses the branches exist for really are in the set:
+    val pairs = plain.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((10L, 11L)), "short-short pair missing")
+    assert(pairs.contains((12L, 13L)), "short-vs-longer pair missing")
+    assert(pairs.contains((2L, 9L)), "long segment-matched pair missing")
+  }
+
   test("maxDist 0 degrades to exact in-block duplicate detection") {
     val withDup = df.union(Seq((8L, "mary jones", "A")).toDF("id", "name", "blk"))
     val got = Linkage.fuzzyPairs(withDup, "id", "name", "blk", 0)

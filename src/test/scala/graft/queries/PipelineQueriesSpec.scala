@@ -258,6 +258,32 @@ class PipelineQueriesSpec extends SparkSpec {
     } finally kept.unpersist()
   }
 
+  test("token_budget_select equals the naive global prefix sum: same " +
+      "selection, same running totals, budget respected") {
+    val got = PipelineQueries.tokenBudgetSelect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // Independent replay: global (n_chars DESC, doc_id ASC) order,
+    // running total computed driver-side.
+    val all = docs.select(col("doc_id"), col("n_chars"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    val expect = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    for ((id, _, nt) <- all) {
+      if (cum < 20000L) expect += ((id, nt, cum))
+      cum += nt
+    }
+    assert(got.toSeq == expect.sortBy(_._1).toSeq,
+      s"decomposed prefix sum diverged: got ${got.length}, " +
+        s"expect ${expect.length}")
+    // The boundary doc (the one that crosses the budget) is included:
+    // selected token sum must be >= the budget when the corpus has
+    // enough tokens overall.
+    if (cum >= 20000L) assert(expect.map(_._2).sum >= 20000L)
+  }
+
   test("weighted_sample draws exactly K docs, top-k by the recomputed " +
       "priority with no omitted higher-priority doc") {
     val got = PipelineQueries.weightedSample(spark, dir).collect()

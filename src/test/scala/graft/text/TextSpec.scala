@@ -48,6 +48,23 @@ class TextSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("matchesAgainst finds exactly the planted corpus-vs-reference " +
+      "near-dup, in the right direction, with the exact Jaccard") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val corpus = Seq((10L, nearDup), (11L, unrelated)).toDF("doc_id", "text")
+    val reference = Seq((1L, base)).toDF("doc_id", "text")
+    val got = MinHashLSH.matchesAgainst(corpus, reference, "doc_id", "text",
+        ngram = 3, perms = 16, bandRows = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1)
+    val (cid, rid, jc) = got.head
+    assert(cid == 10L && rid == 1L)
+    // 38 shingles each, 37 shared -> J = 37/39.
+    assert(jc == math.floor(37.0 / 39.0 * 1e6 + 0.5).toLong, jc.toString)
+  }
+
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
