@@ -41,6 +41,8 @@ object PipelineQueries {
     * band count stays a few hundred at any corpus, fine enough that no
     * band holds a macroscopic corpus fraction. */
   private val BudgetBandWidth = 64L
+  /** Vocabulary size of [[oovRate]]'s frequent-trigram list. */
+  private val OovTopK = 500
   private val ShuffleShards = 16
   private val ShuffleSeed = "epoch0"
   private val SourceCap = 10
@@ -279,6 +281,74 @@ object PipelineQueries {
       .orderBy(col("priority").desc, col("doc_id").asc)
       .limit(SampleK)
       .select(col("doc_id"), col("w"), col("priority"))
+  }
+
+  /** Corpus-level PII redaction — the scrubbing pass a training corpus
+    * gets before tokenization (the corpus-side companion of the
+    * reference's warehouse-side PII hashing, `etl/PiiHash`): emails,
+    * dashed phone numbers, and bare 9-digit identifiers replaced with
+    * typed placeholder tokens, with per-doc detection counts kept for
+    * the audit trail. The synthetic corpus contains no PII, so a
+    * deterministic slice (doc_id % 5 = 0) gets PII INJECTED first —
+    * derived identically in the oracle SQL, the same convention as
+    * EtlQueries' derived nullable key — so the redaction paths are
+    * really exercised. Patterns are chosen to parse identically under
+    * Java regex and RE2 (DuckDB).
+    *
+    * Shape at scale: a pure projection — counts and three chained
+    * regexp_replace calls, all codegen'd, no shuffle, rides the scan. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    val idRe = "\\b\\d{9}\\b"
+    val dirty = when(col("doc_id") % 5 === 0, concat(
+      col("text"), lit(" contact user"), col("doc_id"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" id "),
+      lpad(pmod(col("doc_id"), lit(1000000000L)).cast("string"), 9, "0")))
+      .otherwise(col("text"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("dirty"), lit(idRe), lit(0)))
+          .cast("long").as("n_ids"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("dirty"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          idRe, "<ID>").as("redacted"))
+  }
+
+  /** Corpus-statistics quality score (the CCNet-style idea with the
+    * n-gram model reduced to membership): each doc's out-of-vocabulary
+    * rate against the corpus's [[OovTopK]] most frequent word
+    * trigrams — boilerplate and fluent text sit low, gibberish and
+    * junk sit high. Two passes: the top-K list (global aggregate +
+    * bounded top-k, a few hundred rows) broadcasts back, and each
+    * doc's grams probe it — the corpus never shuffles for the probe.
+    * Docs with no trigram (< 3 tokens) are excluded (rate undefined). */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val grams = docs.select(col("doc_id"),
+      explode(TF.wordNgrams(TF.tokens(col("text")), 3)).as("g"))
+    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g").asc).limit(OovTopK)
+      .select(col("g"))
+    val perDoc = grams.join(broadcast(top), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        floor((col("n_grams") - coalesce(col("n_hit"), lit(0L)))
+          .cast("double") * 1e6 / col("n_grams")).cast("long")
+          .as("oov_ppm"))
   }
 
   /** Quality-ranked corpus selection under a token budget — the "fill
@@ -557,7 +627,9 @@ object PipelineQueries {
     "chunk_documents"    -> (chunkDocuments _),
     "domain_mix"         -> (domainMix _),
     "weighted_sample"    -> (weightedSample _),
-    "token_budget_select" -> (tokenBudgetSelect _)
+    "token_budget_select" -> (tokenBudgetSelect _),
+    "pii_redact"         -> (piiRedact _),
+    "oov_rate"           -> (oovRate _)
   )
 
   private val toksSql = "string_split_regex(text, '\\s+')"
@@ -800,6 +872,53 @@ object PipelineQueries {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE ${TF.portableHashSql("CAST(d.doc_id AS VARCHAR)", "mix")}
         |        % 1000000 < r.rate_ppm""".stripMargin,
+    // The dirty-slice derivation is mirrored verbatim; DuckDB's RE2
+    // and Java regex agree on these patterns, and DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all default.
+    "pii_redact" ->
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com or 555-'
+        |        || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |        || ' id '
+        |        || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0')
+        |    ELSE text END AS dirty
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '\\d{3}-\\d{3}-\\d{4}'))
+        |    AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(dirty, '\\b\\d{9}\\b')) AS BIGINT)
+        |    AS n_ids,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+        |    '\\b\\d{9}\\b', '<ID>', 'g') AS redacted
+        |FROM dirty""".stripMargin,
+    "oov_rate" ->
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(${ngramsSql(toksSql, 3)}) AS g
+        |  FROM documents
+        |), top AS (
+        |  SELECT g FROM (
+        |    SELECT g, count(*) AS cnt FROM g
+        |    GROUP BY 1 ORDER BY cnt DESC, g ASC LIMIT $OovTopK)
+        |), n AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1
+        |), h AS (
+        |  SELECT g.doc_id, count(*) AS n_hit
+        |  FROM g JOIN top ON g.g = top.g GROUP BY 1
+        |)
+        |SELECT n.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(floor(CAST(n_grams - coalesce(n_hit, 0) AS DOUBLE) * 1e6
+        |       / n_grams) AS BIGINT) AS oov_ppm
+        |FROM n LEFT JOIN h ON n.doc_id = h.doc_id""".stripMargin,
     // The oracle replays the NAIVE single global window — the engine's
     // two-level band decomposition must hash-equal it exactly.
     "token_budget_select" ->

@@ -298,6 +298,22 @@ class PlanAuditSpec extends SparkSpec {
       s"more than one single-partition stage:\n$p")
   }
 
+  test("pii_redact: pure projection — the regex chain rides the scan " +
+      "with zero hash exchanges") {
+    val p = queryPlan("pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction must not shuffle:\n$p")
+  }
+
+  test("oov_rate: the top-gram list broadcasts back (semi join, no " +
+      "corpus sort-merge against the vocabulary)") {
+    val p = queryPlan("oov_rate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"top-gram probe must be a broadcast semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K vocabulary must be a bounded heap, not a global sort:\n$p")
+  }
+
   test("incremental_bloom: the membership filter sits on the target side BELOW the anti-join") {
     val p = queryPlan("incremental_bloom")
     // The target (build) subtree prints AFTER the join node and after

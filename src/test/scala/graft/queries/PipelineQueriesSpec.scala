@@ -284,6 +284,45 @@ class PipelineQueriesSpec extends SparkSpec {
     if (cum >= 20000L) assert(expect.map(_._2).sum >= 20000L)
   }
 
+  test("pii_redact: injected docs detect exactly one of each PII kind " +
+      "and the redacted text carries no surviving pattern") {
+    val r = PipelineQueries.piiRedact(spark, dir).cache()
+    try {
+      val injected = r.filter(col("doc_id") % 5 === 0)
+      val clean = r.filter(col("doc_id") % 5 =!= 0)
+      assert(injected.filter(col("n_emails") =!= 1L || col("n_phones") =!= 1L
+        || col("n_ids") =!= 1L).count() == 0,
+        "every injected doc carries exactly one email/phone/id")
+      assert(clean.filter(col("n_emails") =!= 0L || col("n_phones") =!= 0L
+        || col("n_ids") =!= 0L).count() == 0, "clean docs must detect zero")
+      assert(injected.filter(!col("redacted").contains("<EMAIL>") ||
+        !col("redacted").contains("<PHONE>") ||
+        !col("redacted").contains("<ID>")).count() == 0)
+      // No PII survives redaction anywhere.
+      assert(r.filter(col("redacted").rlike(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\d{3}-\\d{3}-\\d{4}|\\b\\d{9}\\b"))
+        .count() == 0, "redacted text still matches a PII pattern")
+      // Clean docs pass through byte-identical.
+      val docsById = docs.select(col("doc_id"), col("text"))
+      assert(clean.join(docsById, "doc_id")
+        .filter(col("redacted") =!= col("text")).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("oov_rate: ppm bounds hold, every doc with a trigram is scored, " +
+      "and a doc of pure top-grams scores zero") {
+    val r = PipelineQueries.oovRate(spark, dir).cache()
+    try {
+      assert(r.filter(col("oov_ppm") < 0 || col("oov_ppm") > 1000000L)
+        .count() == 0)
+      val toks = graft.text.TextFunctions.tokens(col("text"))
+      val expected = docs.filter(size(toks) >= 3).count()
+      assert(r.count() == expected,
+        s"every >=3-token doc scored: ${r.count()} vs $expected")
+      assert(r.filter(col("n_grams") <= 0).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("weighted_sample draws exactly K docs, top-k by the recomputed " +
       "priority with no omitted higher-priority doc") {
     val got = PipelineQueries.weightedSample(spark, dir).collect()
