@@ -389,6 +389,141 @@ object AnalyticsQueries {
       .limit(100)
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier): a CORRELATED scalar MIN
+    * subquery against the supply catalog, gating the main star join to
+    * rows that hit each part's regional minimum. The testdata ships no
+    * partsupp table, so the supply catalog is derived from the fact:
+    * min unit-price cents per (part, supplier) — the correlated-subquery
+    * SHAPE (the hard part) is preserved exactly. Written as SQL TEXT so
+    * Catalyst's decorrelation is what's under test: the subquery becomes
+    * ONE aggregate joined back on the correlation key, never a per-row
+    * re-execution (PlanAuditSpec asserts no nested-loop join survives).
+    * Unit price uses IEEE division (exactly rounded, so DuckDB computes
+    * the identical double) before the cents floor. */
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("q2_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q2_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("q2_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("q2_region")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q2_lineitem")
+    spark.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS cost_c
+        |  FROM q2_lineitem GROUP BY l_partkey, l_suppkey
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM q2_supplier JOIN q2_nation ON s_nationkey = n_nationkey
+        |  JOIN q2_region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |)
+        |SELECT CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_c,
+        |       s.s_name, s.n_name, p.p_partkey, p.p_name, ps.cost_c
+        |FROM q2_part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN eu s ON s.s_suppkey = ps.l_suppkey
+        |WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        |  AND ps.cost_c = (
+        |    SELECT min(ps2.cost_c)
+        |    FROM ps ps2 JOIN eu s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    WHERE ps2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H Q11 shape (important stock): GROUP BY with a HAVING gate
+    * against an UNCORRELATED scalar subquery (the global total). The
+    * threshold comparison is integer (`value_c * 2000 > total_c`, i.e.
+    * share > 1/2000) so the boundary is exact in both engines — a
+    * double fraction multiply could straddle an ulp. The scalar
+    * subquery runs ONCE (one extra aggregate over the same filtered
+    * join), then broadcasts as a literal into the HAVING filter. */
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("q11_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("q11_nation")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q11_lineitem")
+    spark.sql(
+      """SELECT l_partkey AS partkey,
+        |       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_c
+        |FROM q11_lineitem
+        |JOIN q11_supplier ON l_suppkey = s_suppkey
+        |JOIN q11_nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 2000 > (
+        |  SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |  FROM q11_lineitem
+        |  JOIN q11_supplier ON l_suppkey = s_suppkey
+        |  JOIN q11_nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')""".stripMargin)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the stacked
+    * EXISTS / NOT EXISTS pair against the SAME fact table — a left-semi
+    * then a left-anti join, both equi on the order key with a non-equi
+    * supplier residual. The testdata has no commit/receipt dates, so
+    * "late" is proxied by `l_returnflag = 'R'`; the multi-supplier
+    * wait semantics (some OTHER supplier on the order; no OTHER
+    * supplier also late) are preserved exactly. Both probes shuffle on
+    * l_orderkey — the same key as the orders join, so AQE can reuse the
+    * exchange; dimensions broadcast. */
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"))
+    val l = Tables.lineitem(spark, dir)
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val l2 = l.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val l3 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    val waited = l1
+      .join(l2, l1("l_orderkey") === col("lo2") && l1("l_suppkey") =!= col("ls2"),
+        "left_semi")
+      .join(l3, l1("l_orderkey") === col("lo3") && l1("l_suppkey") =!= col("ls3"),
+        "left_anti")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    waited
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): substring-derived
+    * country code, a scalar-subquery average as the balance gate, and
+    * an ANTI-join against orders. The testdata has no c_phone and every
+    * customer has orders, so the code comes from the customer-name
+    * digits and the anti-join targets URGENT orders (customers who
+    * never placed one) — same three-clause shape. The average is over
+    * integer cents: integer sums are exact in a double below 2^53, so
+    * the avg boundary is order-independent and engine-identical. */
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q22_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("q22_orders")
+    spark.sql(
+      """WITH cust AS (
+        |  SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM q22_customer
+        |  WHERE substring(c_name, 17, 2)
+        |        IN ('13','31','23','29','30','18','17')
+        |)
+        |SELECT cntrycode, count(*) AS numcust, sum(bal_c) AS totacctbal_c
+        |FROM cust c
+        |WHERE bal_c > (SELECT avg(bal_c) FROM cust WHERE bal_c > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM q22_orders
+        |    WHERE o_custkey = c.c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode""".stripMargin)
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -520,6 +655,10 @@ object AnalyticsQueries {
     "stats_moments"  -> (statsMoments _),
     "tpch_q4"        -> (tpchQ4 _),
     "tpch_q18"       -> (tpchQ18 _),
+    "tpch_q2"        -> (tpchQ2 _),
+    "tpch_q11"       -> (tpchQ11 _),
+    "tpch_q21"       -> (tpchQ21 _),
+    "tpch_q22"       -> (tpchQ22 _),
     "window_frames"  -> (windowFrames _),
     "window_interval_frames" -> (windowIntervalFrames _),
     "regex_funcs"    -> (regexFuncs _),
@@ -575,6 +714,84 @@ object AnalyticsQueries {
         |        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
         |      FROM orders)
         |GROUP BY o_orderstatus""".stripMargin,
+    // Classic Q2 shape: correlated scalar MIN subquery; the supply
+    // catalog is derived from lineitem (no partsupp in the testdata).
+    "tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |)
+        |SELECT CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS s_acctbal_c,
+        |       s.s_name, s.n_name, p.p_partkey, p.p_name, ps.cost_c
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN eu s ON s.s_suppkey = ps.l_suppkey
+        |WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        |  AND ps.cost_c = (
+        |    SELECT min(ps2.cost_c)
+        |    FROM ps ps2 JOIN eu s2 ON s2.s_suppkey = ps2.l_suppkey
+        |    WHERE ps2.l_partkey = p.p_partkey)
+        |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "tpch_q11" ->
+      """SELECT l_partkey AS partkey,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_7'
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) * 2000 > (
+        |  SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')""".stripMargin,
+    "tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "tpch_q22" ->
+      """WITH cust AS (
+        |  SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey,
+        |         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  WHERE substring(c_name, 17, 2)
+        |        IN ('13','31','23','29','30','18','17')
+        |)
+        |SELECT cntrycode, count(*) AS numcust,
+        |       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+        |FROM cust c
+        |WHERE bal_c > (SELECT avg(bal_c) FROM cust WHERE bal_c > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c.c_custkey
+        |      AND o_orderpriority = '1-URGENT')
+        |GROUP BY cntrycode""".stripMargin,
     "tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -327,6 +327,42 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom probe not below the anti-join's target-side exchange:\n$p")
   }
 
+  test("tpch_q2: the correlated MIN subquery decorrelates to one aggregate + join") {
+    // Catalyst's RewriteCorrelatedScalarSubquery must turn the per-part
+    // correlated min into ONE grouped aggregate joined back on the
+    // correlation key. A surviving ScalarSubquery node in the main plan
+    // would mean per-row re-execution — the naive-interpreter shape
+    // that dies at scale.
+    val p = SparkEntry.queries("tpch_q2")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString()
+    assert(!p.contains("ScalarSubquery"),
+      s"correlated subquery not decorrelated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("tpch_q21: stacked EXISTS / NOT EXISTS plan as semi + anti hash joins") {
+    val p = SparkEntry.queries("tpch_q21")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString()
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q22: anti-join present; the scalar-average gate is a one-shot subquery") {
+    val qe = SparkEntry.queries("tpch_q22")(spark, "/root/testdata/sf0.001")
+      .queryExecution
+    val p = qe.sparkPlan.toString()
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // The UNCORRELATED average executes once as a subquery literal —
+    // it must still be a ScalarSubquery node (one extra tiny job), not
+    // a join against the customer frame.
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating
