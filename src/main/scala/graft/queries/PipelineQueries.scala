@@ -577,6 +577,77 @@ object PipelineQueries {
           s => s.getField("pid"))).as("ids_csv"))
   }
 
+  /** The number of merge rounds [[bpeLearn]] runs — fixed and small so
+    * the DuckDB oracle can replay the identical loop fully unrolled. */
+  private[queries] val BpeLearnRounds = 8
+
+  /** LEARN a BPE merge table from the corpus — the step [[bpeTokenize]]
+    * (which APPLIES a pinned table) stops short of. Classic Sennrich
+    * BPE training, expressed distributed:
+    *
+    *  1. collapse the corpus to a word-frequency dictionary (the
+    *     standard trick: all pair statistics are reachable from
+    *     (distinct token, freq), a vocabulary-sized frame, so the
+    *     iterative loop never touches the corpus again);
+    *  2. per round: count adjacent symbol pairs weighted by word
+    *     frequency (one map-side-combining aggregate over the
+    *     dictionary), take the argmax with a DETERMINISTIC tie-break
+    *     (count desc, then left/right symbol ascending), and apply the
+    *     merge as ONE codegen'd literal `replace` on the fenced symbol
+    *     string (same non-overlapping left-to-right semantics as
+    *     [[bpePieces]]);
+    *  3. stop at [[BpeLearnRounds]] (the bounded-round-cap pattern of
+    *     [[graft.text.Components]]) or when no pair remains.
+    *
+    * The per-round argmax is a ONE-ROW collect — the same bounded
+    * driver envelope as [[graft.sim.KMeans]]'s k centers; everything
+    * corpus-sized stays distributed. The dictionary is lineage-cut
+    * per round (localCheckpoint / checkpoint) so the plan does not
+    * grow with the replace chain.
+    *
+    * Output: one row per learned merge (rank, lhs, rhs, cnt). */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var words = pin(Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("tok"), "(.)", "\\|$1\\|").as("sym"),
+        col("freq")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeLearnRounds && !exhausted) {
+      // Adjacent pairs of the current symbolization: 0-based transform
+      // index i pairs element i with i+1 (try_element_at is 1-based);
+      // the trailing null pair is filtered out.
+      val top = words
+        .select(col("freq"), split(trim(col("sym"), "|"), "\\|\\|").as("l"))
+        .select(col("freq"), explode(expr(
+          "filter(transform(l, (x, i) -> " +
+            "struct(x AS a, try_element_at(l, i + 2) AS b)), " +
+            "p -> p.b IS NOT NULL)")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round.toLong, a, b, cnt))
+        words = pin(words.withColumn("sym", call_function("replace",
+          col("sym"), lit(s"|$a||$b|"), lit(s"|$a$b|"))))
+        round += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
   /** TF-IDF document-term weighting, top-3 terms per document — the
     * classic relevance/keyword-extraction step completing the
     * vocabulary family ([[vocabTopK]] publishes the corpus stats;
@@ -614,6 +685,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_tokenize"       -> (bpeTokenize _),
+    "bpe_learn"          -> (bpeLearn _),
     "tf_idf"             -> (tfIdf _),
     "repetition_stats"   -> (repetitionStats _),
     "tokenize_ids"       -> (tokenizeIds _),
@@ -646,10 +718,52 @@ object PipelineQueries {
       case (s, (a, b)) => s"replace($s, '|$a||$b|', '|$a$b|')"
     }
 
+  /** DuckDB replay of [[bpeLearn]]'s training loop, fully unrolled to
+    * [[BpeLearnRounds]] rounds (generated here so round count and
+    * tie-break cannot drift from the Scala side). Each round: adjacent
+    * pairs via two LOCKSTEP unnests of the shifted symbol list, argmax
+    * with the identical (cnt DESC, a, b) tie-break, merge applied with
+    * the same literal `replace`; an exhausted round's scalar subquery
+    * coalesces to a never-matching sentinel so later rounds no-op,
+    * matching the Scala loop's break. */
+  private val bpeLearnOracleSqlGen: String = {
+    val rounds = BpeLearnRounds
+    val w0 =
+      s"""w0 AS (
+         |  SELECT regexp_replace(tok, '(.)', '|\\1|', 'g') AS sym,
+         |         count(*) AS freq
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  WHERE len(tok) > 0 GROUP BY 1
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |               unnest(l[1:len(l)-1]) AS a,
+         |               unnest(l[2:len(l)]) AS b
+         |        FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS l
+         |              FROM w${r - 1}))
+         |  GROUP BY a, b
+         |),
+         |t$r AS (SELECT a, b, cnt FROM p$r
+         |        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$r AS (SELECT replace(sym,
+         |          coalesce((SELECT '|'||a||'||'||b||'|' FROM t$r), chr(1)),
+         |          coalesce((SELECT '|'||a||b||'|' FROM t$r), chr(1))) AS sym,
+         |          freq
+         |        FROM w${r - 1})""".stripMargin
+    }
+    val unions = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, a AS lhs, b AS rhs, cnt FROM t$r"
+    }.mkString("\n", "\nUNION ALL ", "")
+    s"WITH ${(w0 +: roundCtes).mkString(",\n")}$unions"
+  }
+
   private def ngramsSql(t: String, n: Int) =
     s"[array_to_string($t[i:i+${n - 1}], ' ') for i in generate_series(1, len($t)-${n - 1})]"
 
   val oracles: Map[String, String] = Map(
+    "bpe_learn" -> bpeLearnOracleSqlGen,
     "bpe_tokenize" ->
       s"""WITH toks AS (
         |  SELECT doc_id, unnest(t) AS tok,

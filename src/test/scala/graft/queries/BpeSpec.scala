@@ -58,4 +58,29 @@ class BpeSpec extends SparkSpec {
         .count() == 0)
     } finally { df.unpersist(); () }
   }
+
+  test("bpeLearn reproduces the hand-computed merge sequence on a known corpus") {
+    import spark.implicits._
+    // Corpus: low x3, lower x1, lowest x1. Hand-run of Sennrich BPE
+    // with the (cnt desc, lhs asc, rhs asc) tie-break:
+    //   r1 (l,o)=5 ties (o,w)=5 -> lex picks (l,o)
+    //   r2 (lo,w)=5   r3 (low,e)=2
+    //   r4 count-1 three-way tie (lowe,r)/(lowe,s)/(s,t) -> (lowe,r)
+    //   r5 (lowe,s) beats (s,t)   r6 (lowes,t)   then exhausted -> 6
+    //   rows despite the 8-round cap.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpelearn").toString
+    Seq((0L, "low low lower"), (1L, "low lowest"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = PipelineQueries.bpeLearn(spark, dir)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "low", "e", 2L),
+      (4L, "lowe", "r", 1L),
+      (5L, "lowe", "s", 1L),
+      (6L, "lowes", "t", 1L)))
+  }
 }
