@@ -192,6 +192,43 @@ object Linkage {
         col("dist"))
   }
 
+  /** ENGINE-CHOSEN blocking — the knob SCALE.md §1 left to the caller
+    * ("a finer blocking key remains the caller's first knob"), made
+    * automatic: measure every block first, and only where the
+    * quadratic candidate budget is blown compose the finer
+    * (block × length-band) key of [[fuzzyPairsBanded]] — per block,
+    * not globally, so small blocks keep the cheaper plain key (no
+    * build-side tripling) and oversized blocks get subdivided.
+    *
+    * `pairBudget` bounds the candidate pairs ONE block may generate:
+    * a block of n rows forms n·(n−1)/2 within-block candidates; blocks
+    * over budget route to the banded branch. The stats pass is one
+    * count-per-key aggregate (block-cardinality-sized output — tiny
+    * next to the corpus at any scale) broadcast back as the routing
+    * flag, so the corpus itself never shuffles for the decision.
+    *
+    * Exact recall: both rows of any qualifying pair share a block,
+    * hence a routing flag, so every pair is produced by exactly one
+    * branch and the union IS [[fuzzyPairs]]'s result set — the
+    * registry shares the oracle verbatim, making the hash a machine
+    * proof. */
+  def fuzzyPairsAuto(df: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int,
+      pairBudget: Long = 1L << 22): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(pairBudget >= 1, s"pairBudget must be >= 1, got $pairBudget")
+    val oversized = df.groupBy(col(blockCol).as("__stat_blk"))
+      .agg(count(lit(1)).as("__blk_n"))
+      .filter(col("__blk_n") * (col("__blk_n") - 1) / 2 > pairBudget)
+      .select(col("__stat_blk"))
+    val flagged = df.join(broadcast(oversized),
+      col(blockCol) === col("__stat_blk"), "left")
+    val small = flagged.filter(col("__stat_blk").isNull).drop("__stat_blk")
+    val big = flagged.filter(col("__stat_blk").isNotNull).drop("__stat_blk")
+    fuzzyPairs(small, idCol, nameCol, blockCol, maxDist)
+      .unionByName(fuzzyPairsBanded(big, idCol, nameCol, blockCol, maxDist))
+  }
+
   /** Graded variant of [[fuzzyPairs]]: within-block pairs scored by
     * native Jaro-Winkler similarity
     * ([[graft.expressions.JaroWinklerExpr]], codegen'd in the join's

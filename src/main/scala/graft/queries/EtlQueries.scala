@@ -521,6 +521,21 @@ object EtlQueries {
       "p_partkey", "p_name", "p_brand", maxDist = 3)
       .select(col("id_a"), col("id_b"), col("dist"))
 
+  /** The SAME linkage with ENGINE-CHOSEN blocking
+    * ([[graft.etl.Linkage.fuzzyPairsAuto]]): block sizes are measured
+    * first and only over-budget blocks take the finer banded key. The
+    * budget (2500 candidate pairs per block) makes sf0.01's ~80-row
+    * brand blocks split across BOTH branches (blocks over ~71 rows go
+    * banded, the rest stay plain), so the shared-verbatim oracle hash
+    * proves the routing union loses and duplicates nothing; at bench
+    * scale every block is over budget and the query degenerates to
+    * [[fuzzyMatchBanded]] — the engine picked the lever by itself. */
+  def fuzzyMatchAuto(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Linkage.fuzzyPairsAuto(
+      Tables.spread(Tables.part(spark, dir)),
+      "p_partkey", "p_name", "p_brand", maxDist = 3, pairBudget = 2500L)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
   /** Incremental aggregate maintenance proven equal to recompute:
     * "yesterday's" summary (orderkeys ending 0-7) merged with the
     * delta's summary (the rest) — one union + one |groups| aggregate,
@@ -602,6 +617,7 @@ object EtlQueries {
     "fuzzy_match"          -> (fuzzyMatch _),
     "fuzzy_match_banded"   -> (fuzzyMatchBanded _),
     "fuzzy_match_passjoin" -> (fuzzyMatchPassjoin _),
+    "fuzzy_match_auto"     -> (fuzzyMatchAuto _),
     "scd2_snapshot"        -> (scd2Snapshot _),
     "dq_profile"           -> (dqProfile _),
     "freq_items_band"      -> (freqItemsBand _),
@@ -717,6 +733,14 @@ object EtlQueries {
     // Shared VERBATIM with fuzzy_match: the banded plan must produce
     // the identical pair set (exact recall), and the hash proves it.
     "fuzzy_match_banded" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+    // Shared VERBATIM with fuzzy_match: the per-block routing between
+    // the plain and banded branches must lose and duplicate nothing.
+    "fuzzy_match_auto" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
         |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b

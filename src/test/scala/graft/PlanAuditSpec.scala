@@ -225,6 +225,22 @@ class PlanAuditSpec extends SparkSpec {
       s"thresholded levenshtein (early-exit band) missing:\n$p")
   }
 
+  test("fuzzy_match_auto: block stats broadcast back as the routing " +
+      "flag; both branches keep broadcast joins, banded key present") {
+    val p = queryPlan("fuzzy_match_auto")
+    // The oversized-block stats frame must reach the corpus as a
+    // broadcast (the corpus never shuffles for the routing decision),
+    // and the union must contain the banded branch's composed key.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Union"), s"expected plain+banded union:\n$p")
+    assert(p.contains("__band"),
+      s"banded branch missing from the auto plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Some(3)"),
+      s"thresholded levenshtein missing:\n$p")
+  }
+
   test("scd2_snapshot: the as-of filter rides the single-exchange " +
       "historization (no extra shuffle for the snapshot)") {
     val p = queryPlan("scd2_snapshot")

@@ -95,6 +95,28 @@ class LinkageSpec extends SparkSpec {
     assert(pairs.contains((2L, 9L)), "long segment-matched pair missing")
   }
 
+  test("auto blocking routes per block by the pair budget and returns " +
+      "the IDENTICAL pair set") {
+    // Block A has 6 rows (15 candidate pairs), block B has 3 (3 pairs).
+    // pairBudget = 10 routes A through the banded branch and B through
+    // the plain one — both branches live in one run — and the result
+    // must equal plain fuzzyPairs exactly.
+    val mixed = df.union(Seq(
+      (9L, "jon smith jr", "A"),
+      (10L, "jo", "A")).toDF("id", "name", "blk"))
+    val plain = Linkage.fuzzyPairs(mixed, "id", "name", "blk", 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (budget <- Seq(1L, 10L, 1000L)) {
+      val auto = Linkage.fuzzyPairsAuto(mixed, "id", "name", "blk", 3,
+          pairBudget = budget)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(auto.sorted == plain.sorted,
+        s"budget $budget: ${auto.sorted} != ${plain.sorted}")
+    }
+  }
+
   test("maxDist 0 degrades to exact in-block duplicate detection") {
     val withDup = df.union(Seq((8L, "mary jones", "A")).toDF("id", "name", "blk"))
     val got = Linkage.fuzzyPairs(withDup, "id", "name", "blk", 0)
