@@ -180,29 +180,36 @@ object TextQueries {
     * quadratic; the suffix-array original is a single-machine
     * construction this replaces with group-and-window primitives. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        posexplode(TF.wordNgrams(TF.tokens(col("text")), SpanK))
-          .as(Seq("pos0", "g")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        TF.portableHash(col("g"), "span").as("gh"))
-    val dup = grams.groupBy(col("gh"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("gh"))
-    val marked = grams.join(dup, Seq("gh")).select(col("doc_id"), col("pos"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val isl = marked
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) > SpanK, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    isl.groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + (SpanK - 1)).as("span_end"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+    import graft.text.SpanIndex
+    val grams = SpanIndex.grams(
+      Tables.spread(Tables.documents(spark, dir)), SpanK)
+    val dup = SpanIndex.dupGrams(SpanIndex.summarize(grams))
+    SpanIndex.spans(grams, dup, SpanK)
+  }
+
+  /** INCREMENTAL [[spanDedup]] — the merge-equals-recompute proof for
+    * the cross-document gram index ([[graft.text.SpanIndex]]): the
+    * corpus is split into a "history" batch (doc_id % 10 < 8) and a
+    * "delta" batch (the rest, the [[graft.etl.IncrementalAgg]]
+    * convention), each batch is indexed SEPARATELY (per-gram nd/doc0
+    * summaries — the |delta|-sized work of a real load cycle), the
+    * summaries merge by the index algebra (sum/min), and spans are
+    * marked against the MERGED index. The registry shares
+    * `span_dedup`'s oracle verbatim: a green hash is a machine proof
+    * that absorbing a delta by summary-merge loses and invents no
+    * duplicated span. (The companion |delta|-sized re-marking
+    * refinement — delta docs ∪ affectedHistoryDocs — is pinned by
+    * SpanIndexSpec.) */
+  def spanDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.SpanIndex
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val hist = SpanIndex.summarize(
+      SpanIndex.grams(docs.filter(col("doc_id") % 10 < 8), SpanK))
+    val delta = SpanIndex.summarize(
+      SpanIndex.grams(docs.filter(col("doc_id") % 10 >= 8), SpanK))
+    val merged = SpanIndex.merge(Seq(hist, delta))
+    SpanIndex.spans(SpanIndex.grams(docs, SpanK),
+      SpanIndex.dupGrams(merged), SpanK)
   }
 
   /** The removal half of [[spanDedup]]: re-emit every document with
@@ -380,6 +387,7 @@ object TextQueries {
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
     "span_dedup"         -> (spanDedup _),
+    "span_dedup_incr"    -> (spanDedupIncr _),
     "span_dedup_cut"     -> (spanDedupCut _),
     "simhash_dedup"      -> (simhashDedup _),
     "corpus_profile"     -> (corpusProfile _),
@@ -738,6 +746,17 @@ object TextQueries {
         |FROM stats""".stripMargin,
     "doc_fingerprint" -> simhashOracle,
     "span_dedup" ->
+      s"""WITH $spanCtesSql
+        |SELECT doc_id,
+        |       CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + ${SpanK - 1} AS BIGINT) AS span_end,
+        |       CAST(max(pos) + ${SpanK - 1} - min(pos) + 1 AS BIGINT)
+        |         AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // Shared VERBATIM with span_dedup: the per-batch index summaries
+    // merged by sum/min must mark the identical span set — the hash
+    // is the merge-equals-recompute proof.
+    "span_dedup_incr" ->
       s"""WITH $spanCtesSql
         |SELECT doc_id,
         |       CAST(min(pos) AS BIGINT) AS span_start,
