@@ -288,7 +288,19 @@ object Similarity {
     * explicit. The candidate matrix is k·dim floats (8k x 64 = 2 MB);
     * beyond broadcastable corpus sizes, exact kNN is the wrong tool
     * and [[knnGraphTopK]] (trained IVF cells) is the scale path. */
-  def knnGraphExact(corpus: DataFrame, k: Int): DataFrame = {
+  def knnGraphExact(corpus: DataFrame, k: Int,
+      maxCollectRows: Long = 100000L): DataFrame = {
+    // Loud, early, named guard: this is the declared exact-baseline
+    // envelope — it collects the WHOLE corpus to the driver. Pointing
+    // it at a non-broadcastable corpus must fail with the scale-path
+    // pointer, not an opaque driver OOM mid-collect.
+    val n = corpus.count()
+    if (n > maxCollectRows) throw new IllegalArgumentException(
+      s"knnGraphExact collects the whole corpus to the driver " +
+        s"($n rows > guard $maxCollectRows) — it is the exact-baseline " +
+        "envelope for small corpora. Use knnGraphTopK (IVF cells) or " +
+        "srpKnnGraph (SRP banding) at scale, or raise maxCollectRows " +
+        "deliberately.")
     val cand = corpus.select(col("id"), col("vec")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)

@@ -53,6 +53,20 @@ class SimilaritySpec extends SparkSpec {
     assert(q1 == Seq(2L, 3L))
   }
 
+  test("knnGraphExact refuses a corpus over the driver-collect guard, " +
+      "naming the scale paths") {
+    val v = vecs((1L to 50L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphExact(v, 3, maxCollectRows = 10L)
+    }
+    assert(e.getMessage.contains("knnGraphTopK") &&
+      e.getMessage.contains("srpKnnGraph") &&
+      e.getMessage.contains("50 rows"), e.getMessage)
+    // At or under the guard it still runs.
+    assert(Similarity.knnGraphExact(v, 3, maxCollectRows = 50L)
+      .limit(1).count() == 1L)
+  }
+
   test("knn_graph_ivf (the registered √n-cell query) beats random probing >= 3x") {
     // The synthetic embeddings are STRUCTURELESS (same-label mean
     // cosine ~0.004), and on uniform random vectors any IVF's recall
