@@ -218,6 +218,23 @@ object SimQueries {
     Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
       bands = 4, planes = SrpPlanesScaled, k = K)
 
+  /** The banding constant chosen BY THE ENGINE
+    * ([[Similarity.planesFor]]): one count of the corpus sizes the
+    * band tables so occupancy stays pinned as data grows — at sf0.01
+    * the rule picks the floor (4 planes), at sf1 it lands exactly on
+    * the soak-proven 10-plane setting, and at sf10 it keeps scaling
+    * without a human re-deriving the constant. The count is the same
+    * stats lookup a warehouse makes before choosing a plan — one
+    * columnar-count job, not a collect. The oracle replays the
+    * integer rule from count(*) and the construction from the chosen
+    * width, so a green hash proves the engine's choice, not a pinned
+    * constant. */
+  def knnGraphSrpAuto(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val planes = Similarity.planesFor(v.count())
+    Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K)
+  }
+
   /** PCA hash-checked END TO END — fit (distributed mean/Gram, driver
     * Jacobi) plus the shuffle-free [[Pca.project]] against the DuckDB
     * oracle's relational replay of the same arithmetic.
@@ -265,7 +282,8 @@ object SimQueries {
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
     "knn_graph_srp"   -> (knnGraphSrp _),
-    "knn_graph_srp_scaled" -> (knnGraphSrpScaled _)
+    "knn_graph_srp_scaled" -> (knnGraphSrpScaled _),
+    "knn_graph_srp_auto" -> (knnGraphSrpAuto _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -293,6 +311,36 @@ object SimQueries {
     * [[Similarity.srpBuckets]]: hyperplanes regenerated from the same
     * md5 construction, projections as the same ordered left-fold dot.
     * Expects a prior CTE `vn(id, vec, nrm)`. */
+  /** [[srpBucketsSql]] with the plane count chosen by the ENGINE RULE
+    * ([[Similarity.planesFor]]) replayed relationally: smallest p with
+    * (count(*) >> p) <= occupancy, floored at minPlanes — integer
+    * arithmetic only, so the boundary cannot drift between engines. */
+  private def srpBucketsAutoSql(bands: Int, occupancy: Long,
+      minPlanes: Int): String =
+    s"""np AS (
+      |  SELECT greatest($minPlanes, min(p)) AS pl
+      |  FROM generate_series(0, 62) AS gs(p)
+      |  WHERE ((SELECT count(*) FROM v) >> p) <= $occupancy
+      |), planes AS (
+      |  SELECT b, p,
+      |    [CASE WHEN CAST('0x' || substr(md5('srp:' || CAST(b AS VARCHAR) ||
+      |            ':' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |            1, 15) AS BIGINT) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END
+      |     for i in generate_series(0, 63)] AS s
+      |  FROM generate_series(0, ${bands - 1}) AS gb(b),
+      |       generate_series(0, 61) AS gp(p)
+      |  WHERE p < (SELECT pl FROM np)
+      |), proj AS (
+      |  SELECT vn.id, pl.b AS band, pl.p,
+      |         ${dotSql("vn.vec", "pl.s")} AS pr
+      |  FROM vn CROSS JOIN planes pl
+      |), bkt AS (
+      |  SELECT id, band,
+      |         CAST(sum(CASE WHEN pr > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM proj GROUP BY id, band
+      |)""".stripMargin
+
   private def srpBucketsSql(bands: Int, planes: Int): String =
     // NOTE: no continuation line below may start with "||" — this CTE
     // is interpolated into oracle strings that stripMargin AGAIN,
@@ -628,6 +676,24 @@ object SimQueries {
       s"""WITH $augmentedSql,
         |$vnSql,
         |${srpBucketsSql(4, 10)},
+        |cand AS (
+        |  SELECT DISTINCT a.id AS q_id, c.id AS n_id
+        |  FROM bkt a JOIN bkt c
+        |    ON a.band = c.band AND a.bkt = c.bkt AND a.id <> c.id
+        |), scored AS (
+        |  SELECT cand.q_id, cand.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM cand JOIN vn x ON cand.q_id = x.id JOIN vn y ON cand.n_id = y.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    "knn_graph_srp_auto" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${srpBucketsAutoSql(4, 256L, 4)},
         |cand AS (
         |  SELECT DISTINCT a.id AS q_id, c.id AS n_id
         |  FROM bkt a JOIN bkt c

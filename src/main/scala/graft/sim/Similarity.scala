@@ -162,6 +162,28 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1f else -1f
   }
 
+  /** ENGINE-CHOSEN SRP resolution — the sf1 soak's lesson ("the
+    * banding constant was the tunable") codified as a rule: the
+    * bucket-local pair count is quadratic in expected occupancy
+    * n / 2^planes, so the engine grows planes with log2(n) to PIN
+    * occupancy instead of letting it drift with corpus size. The rule
+    * is integer-exact — smallest p with (n >> p) <= targetOccupancy,
+    * floored at `minPlanes`, capped at 62 (bucket bits must fit a
+    * long) — so a SQL oracle replays it bit-identically from count(*)
+    * (no float log2 whose ulp could straddle a boundary). Calibration:
+    * the proven sf1 setting (10 planes for the 200k-vector augmented
+    * corpus) is exactly planesFor(200000) at the default occupancy. */
+  def planesFor(n: Long, targetOccupancy: Long = 256L,
+      minPlanes: Int = 4): Int = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(targetOccupancy >= 1,
+      s"targetOccupancy must be >= 1, got $targetOccupancy")
+    require(minPlanes >= 1 && minPlanes <= 62,
+      s"minPlanes in [1, 62], got $minPlanes")
+    val p = (0 to 62).find(p => (n >> p) <= targetOccupancy).getOrElse(62)
+    math.max(minPlanes, p)
+  }
+
   /** (id, vec, nrm, band, bkt) — one row per vector per band, bucket =
     * the band's `planes` projection sign bits. A pure projection over
     * literal hyperplanes: no training pass, no shuffle. */

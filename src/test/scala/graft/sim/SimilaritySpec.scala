@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSpec {
     assert(q1 == Seq(2L, 3L))
   }
 
+  test("planesFor pins occupancy: monotone in n, floors at minPlanes, " +
+      "reproduces the sf1-proven 10-plane setting") {
+    // The r9 soak hand-derived 10 planes for the ~200k-vector sf1
+    // corpus; the rule must land exactly there.
+    assert(Similarity.planesFor(200000L) == 10)
+    // sf0.1 (~20k augmented) and sf0.01 (~2k, clamped to the floor).
+    assert(Similarity.planesFor(20000L) == 7)
+    assert(Similarity.planesFor(2000L) == 4)
+    // Monotone, never past long bits; occupancy stays pinned.
+    val ps = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(Similarity.planesFor(_))
+    assert(ps == ps.sorted && ps.last <= 62)
+    ps.zip(Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)).foreach {
+      case (p, n) => assert(p == 4 || (n >> p) <= 256L,
+        s"occupancy not pinned at n=$n planes=$p")
+    }
+  }
+
   test("knnGraphExact refuses a corpus over the driver-collect guard, " +
       "naming the scale paths") {
     val v = vecs((1L to 50L).map(i => i -> Seq(i.toFloat, 1f)): _*)
