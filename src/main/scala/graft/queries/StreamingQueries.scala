@@ -61,13 +61,64 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** The DEPLOYED shape of the same operator: episodeOpens fed from
+    * the PARTITIONED FILE SOURCE (`readStream.parquet` over the events
+    * table itself) under Trigger.AvailableNow — source splits read in
+    * parallel on the executors, keyed state shuffles once, no
+    * single-threaded driver feed. This is the row the BENCH measures
+    * (the MemoryStream replay above stays as the at-least-once
+    * correctness torture), so its number is operator cost, not
+    * harness cost. All available files land in ONE AvailableNow batch
+    * (no maxFilesPerTrigger bound is set), and the operator sorts per
+    * key within a batch, so the final table equals the batch truth —
+    * the registry shares the oracle verbatim. */
+  def streamEpisodeOpensFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // File schema, pre-conversion (events.ts is TIMESTAMP(NANOS) read
+    // as BIGINT under the session's nanosAsLong) — the stream source
+    // must declare what is IN the files, and the operator needs no ts.
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file source wants a DIRECTORY: Spark-written tables (the
+    // GenScale sf1/sf10 soaks) are one; the driver's small-sf tables
+    // are a single pyarrow file, streamed via its parent + glob.
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val rec = src
+      .select(col("user_id").as("key"), col("event_id").as("seq"),
+        col("event_type").as("value"))
+      .as[Rec]
+    val name = s"stream_episode_opens_files_${runId.incrementAndGet()}"
+    val q = IncrementalStream.episodeOpens(rec)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_episode_opens" -> (streamEpisodeOpens _))
+    "stream_episode_opens" -> (streamEpisodeOpens _),
+    "stream_episode_opens_files" -> (streamEpisodeOpensFiles _))
 
   val oracles: Map[String, String] = Map(
     // The batch truth the stream must land on: first observation per
     // user plus every value change, keyed by the observing event.
     "stream_episode_opens" ->
+      """WITH t AS (
+        |  SELECT user_id AS key, event_id AS seq, event_type AS value,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT key, seq, value FROM t
+        |WHERE prev IS NULL OR prev <> value""".stripMargin,
+    // Shared VERBATIM with stream_episode_opens: the file-source
+    // deployment shape must land on the same batch truth.
+    "stream_episode_opens_files" ->
       """WITH t AS (
         |  SELECT user_id AS key, event_id AS seq, event_type AS value,
         |         lag(event_type) OVER (PARTITION BY user_id
