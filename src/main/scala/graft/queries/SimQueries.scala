@@ -43,7 +43,7 @@ object SimQueries {
     * at every scale (a fixed k degenerates to linear in-cell scans as
     * the corpus grows). One count job; the centers themselves are still
     * driver-side bytes. */
-  private def sqrtCells(v: DataFrame): Long =
+  private[graft] def sqrtCells(v: DataFrame): Long =
     math.max(8L, math.sqrt(v.count().toDouble).round)
 
   /** Brute-force exact top-k (the correctness baseline; queries are the
@@ -148,7 +148,7 @@ object SimQueries {
     * quadrupling n grows the brute pair count 16× while the IVF side
     * only quadruples, which is exactly the scaling story the pair
     * exists to demonstrate. */
-  private def augmentedVectors(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def augmentedVectors(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("id0"), col("embedding").as("vec"))
     (0 until 4).map { r =>
