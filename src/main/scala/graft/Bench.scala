@@ -85,7 +85,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // Stdout capture has been observed truncated in the driver's
+    // per-round artifact (r8/r9 tails); when SPARK_GRAFT_BENCH_OUT is
+    // set the full line is ALSO persisted to that path, so the
+    // complete per-query minima are always artifact-traceable.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

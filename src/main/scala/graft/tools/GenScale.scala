@@ -106,12 +106,36 @@ object GenScale {
     }), "documents", 4)
 
     write(scaled(read("embeddings"))(c => df => {
+      // Rotation index wraps (copies can exceed the dimension count —
+      // the r10 sf10 run hit slice(_, c+1, 64-c) with c=75); wrapped
+      // rotations alone would REPEAT every 64 copies and fabricate
+      // exact cross-copy twins, so each copy > 0 additionally applies
+      // its own deterministic ±1 sign mask. Both transforms are
+      // orthogonal: within-copy dot products and norms are
+      // bit-preserved (sign flips cancel pairwise, rotation permutes),
+      // cross-copy similarities decorrelate for every copy index.
+      val rot = c % 64
       val rotated: Column =
-        if (c == 0) col("embedding")
+        if (rot == 0) col("embedding")
         else concat(
-          slice(col("embedding"), c + 1, 64 - c),
-          slice(col("embedding"), 1, c))
-      bump("vec_id")(c)(df).withColumn("embedding", rotated)
+          slice(col("embedding"), rot + 1, 64 - rot),
+          slice(col("embedding"), 1, rot))
+      val masked: Column =
+        if (c == 0) rotated
+        else zip_with(rotated,
+          typedlit((0 until 64).map(i => copySign(c, i))),
+          (x, s) => x * s)
+      bump("vec_id")(c)(df).withColumn("embedding", masked)
     }), "embeddings", 4)
+  }
+
+  /** Deterministic ±1f for (copy, dim) — md5-derived like
+    * [[graft.sim.Similarity.srpSign]], so regeneration is exact across
+    * runs and JVMs. */
+  def copySign(c: Int, i: Int): Float = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"genscale:$c:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1f else -1f
   }
 }

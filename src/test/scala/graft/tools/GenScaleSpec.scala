@@ -84,4 +84,36 @@ class GenScaleSpec extends SparkSpec {
       3L + GenScale.CopyOffset, 17L + GenScale.CopyOffset)
     assert(math.abs(orig - rot) < 1e-9, s"$orig vs $rot")
   }
+
+  test("copy indexes past the embedding dimension stay valid and " +
+      "fabricate no cross-copy twins (the sf10 c=75 regression)") {
+    // Generate with a copy index that wraps the 64-dim rotation: the
+    // r10 sf10 run failed outright at c >= 64 (negative slice length),
+    // and a pure modular rotation would make copy 64 an EXACT twin of
+    // copy 0. The per-copy sign mask must keep within-copy geometry
+    // while decorrelating the wrapped copy.
+    val dir = java.nio.file.Files.createTempDirectory("graft-gs65").toString
+    GenScale.generate(spark, src, dir, 66) // includes c = 64 and 65
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n0 = s("embeddings").count()
+    assert(e.count() == 66 * n0, "embeddings must generate for every copy")
+    def vec(id: Long): Seq[Float] =
+      e.filter(col("vec_id") === id).select("embedding")
+        .collect().head.getSeq[Float](0)
+    // c = 64 wraps to rotation 0: without the mask it would equal copy
+    // 0's vector exactly; with it, signs differ on ~half the dims.
+    val base = vec(3L)
+    val wrapped = vec(3L + 64L * GenScale.CopyOffset)
+    assert(base != wrapped, "wrapped copy must not be an exact twin")
+    assert(base.zip(wrapped).forall { case (a, b) =>
+      math.abs(a) == math.abs(b) },
+      "mask must only flip signs (orthogonal, norm-preserving)")
+    // Within-copy dot products still bit-preserved in the wrapped copy.
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val orig = dot(vec(3L), vec(17L))
+    val w = dot(vec(3L + 64L * GenScale.CopyOffset),
+      vec(17L + 64L * GenScale.CopyOffset))
+    assert(math.abs(orig - w) < 1e-9, s"$orig vs $w")
+  }
 }
