@@ -44,7 +44,8 @@ object RunJob {
     // Tiny positional flag parser — each flag consumes a fixed arity.
     val arity = Map("--source-parquet" -> 1, "--source-jdbc" -> 4,
       "--target-parquet" -> 1, "--target-jdbc" -> 4,
-      "--jdbc-driver" -> 1, "--write-partitions" -> 1)
+      "--jdbc-driver" -> 1, "--write-partitions" -> 1,
+      "--create-target" -> 0)
     val opts = scala.collection.mutable.Map.empty[String, Seq[String]]
     var i = 1
     while (i < args.length) {
@@ -87,6 +88,19 @@ object RunJob {
             Job.load(spark, source, p, spec)
           case (None, Some(v)) =>
             val (c, t) = jdbcConn(v)
+            // First-run bootstrap (the reference's hand-maintained DDL
+            // script, derived from the engine's own output schema):
+            // create the target when asked and absent, so run 1 and
+            // run N are the same command.
+            if (opts.contains("--create-target")) {
+              val shape = Job.run(source, spark.createDataFrame(
+                  new java.util.ArrayList[org.apache.spark.sql.Row](),
+                  Job.transform(source, spec).schema), spec)
+              val dialect =
+                if (driver.toLowerCase.contains("derby")) "derby"
+                else "sqlserver"
+              graft.sources.Ddl.ensureTable(c, t, shape.schema, dialect)
+            }
             val fresh = Job.run(source, Jdbc.tableScan(spark, c, t), spec)
               .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
             try {

@@ -87,6 +87,27 @@ class RunJobSpec extends SparkSpec with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("--create-target bootstraps the ODS table from the engine's " +
+      "output schema on a first run (the reference's DDL script, derived)") {
+    assert(spark.sparkContext.isLocal)
+    RunJob.main(Array("CT_Patient",
+      "--source-jdbc", url, "app", "app", "ct_patient_src",
+      "--target-jdbc", url, "app", "app", "ct_patient_fresh",
+      "--jdbc-driver", DerbyDriver,
+      "--create-target", "--write-partitions", "1"))
+    val c = DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT count(*) FROM ct_patient_fresh")
+      rs.next()
+      assert(rs.getInt(1) == 10, "bootstrap run must load all 10 rows")
+      val rs2 = c.createStatement().executeQuery(
+        "SELECT PatientPKHash FROM ct_patient_fresh WHERE PatientPK = 3")
+      rs2.next()
+      assert(rs2.getString(1).matches("[0-9A-F]{64}"))
+    } finally c.close()
+  }
+
   test("an unknown catalog key fails loudly with the known keys") {
     val e = intercept[IllegalArgumentException] {
       RunJob.main(Array("CT_Nope", "--source-parquet", "/tmp/x",
