@@ -524,6 +524,118 @@ object AnalyticsQueries {
         |GROUP BY cntrycode""".stripMargin)
   }
 
+  /** TPC-H Q7 shape (volume shipping): the two-nation flow query —
+    * supplier nation and customer nation resolved through SEPARATE
+    * broadcast copies of the same dimension, the symmetric nation-pair
+    * disjunction riding the join, revenue grouped by both nations and
+    * ship year. */
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1999-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("l_year"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+  }
+
+  /** TPC-H Q12 shape (shipping priority classification): fact join +
+    * CONDITIONAL aggregation — the CASE-inside-SUM idiom compiled to
+    * one hash aggregate. The testdata has no l_shipmode, so the class
+    * column is l_returnflag; the priority split is the classic one. */
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, lit(1L)).otherwise(lit(0L))).as("high_line_count"),
+        sum(when(!high, lit(1L)).otherwise(lit(0L))).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape (customer distribution): LEFT OUTER join with a
+    * join-side filter (customers keep their zero), per-customer count,
+    * then the NESTED aggregation — a histogram of the first aggregate.
+    * Two exchanges: custkey, then c_count (tiny). The testdata has no
+    * o_comment, so the excluded slice is the URGENT orders. */
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q14 shape (promo revenue): conditional share of revenue as
+    * ONE aggregate — numerator and denominator summed in the same
+    * pass, the ratio in integer parts-per-million via BIGINT floor
+    * division (`div`), exact in both engines (a double percent here
+    * would be accumulation-order-dependent). */
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") >= lit("1997-09-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1997-10-01").cast("date"))
+      .select(col("l_partkey"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(lit(0L)))
+          .as("promo_rev_c"),
+        sum(col("rev_c")).as("total_rev_c"))
+      .select(col("promo_rev_c"), col("total_rev_c"),
+        expr("promo_rev_c * 1000000L div total_rev_c").as("promo_ppm"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    * OR-of-ANDs across BOTH join sides — the planner must keep the
+    * per-side halves pushable (brand/size prune the part scan) while
+    * the cross-side conjuncts ride the join as a residual, never a
+    * fallback to cartesian-then-filter. No p_container in the
+    * testdata; brand × size × quantity bands carry the shape. */
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val clause1 = col("p_brand") === "Brand#2" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 20)
+    val clause2 = col("p_brand") === "Brand#7" &&
+      col("p_size").between(1, 20) && col("l_quantity").between(10, 30)
+    val clause3 = col("p_brand") === "Brand#17" &&
+      col("p_size").between(1, 30) && col("l_quantity").between(20, 40)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+        (clause1 || clause2 || clause3))
+      .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_lines"))
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -656,7 +768,12 @@ object AnalyticsQueries {
     "tpch_q4"        -> (tpchQ4 _),
     "tpch_q18"       -> (tpchQ18 _),
     "tpch_q2"        -> (tpchQ2 _),
+    "tpch_q7"        -> (tpchQ7 _),
     "tpch_q11"       -> (tpchQ11 _),
+    "tpch_q12"       -> (tpchQ12 _),
+    "tpch_q13"       -> (tpchQ13 _),
+    "tpch_q14"       -> (tpchQ14 _),
+    "tpch_q19"       -> (tpchQ19 _),
     "tpch_q21"       -> (tpchQ21 _),
     "tpch_q22"       -> (tpchQ22 _),
     "window_frames"  -> (windowFrames _),
@@ -739,6 +856,71 @@ object AnalyticsQueries {
         |    WHERE ps2.l_partkey = p.p_partkey)
         |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+    "tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+        |       CAST(sum(rev_c) AS BIGINT) AS revenue_c
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         CAST(extract(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+        |           AS l_year,
+        |         ${centsSql.format("l_extendedprice * (1 - l_discount)")} AS rev_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1999-01-01'
+        |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |)
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin,
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+    "tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |GROUP BY c_count""".stripMargin,
+    "tpch_q14" ->
+      s"""SELECT CAST(promo_rev_c AS BIGINT) AS promo_rev_c,
+        |       CAST(total_rev_c AS BIGINT) AS total_rev_c,
+        |       CAST(promo_rev_c * 1000000 // total_rev_c AS BIGINT)
+        |         AS promo_ppm
+        |FROM (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO'
+        |               THEN ${centsSql.format("l_extendedprice * (1 - l_discount)")}
+        |               ELSE 0 END) AS promo_rev_c,
+        |         sum(${centsSql.format("l_extendedprice * (1 - l_discount)")})
+        |           AS total_rev_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+        |)""".stripMargin,
+    "tpch_q19" ->
+      s"""SELECT CAST(sum(${centsSql.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
+        |         AS revenue_c,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "tpch_q11" ->
       """SELECT l_partkey AS partkey,
         |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
