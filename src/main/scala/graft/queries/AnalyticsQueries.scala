@@ -636,6 +636,66 @@ object AnalyticsQueries {
       .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): a correlated AVG
+    * subquery against the SAME fact the outer query scans — the
+    * decorrelation stress case beyond Q2's dimension-side min (the
+    * fact is re-aggregated per part, and Catalyst must plan ONE
+    * grouped aggregate joined back, not a per-row rescan; the
+    * PlanAudit asserts no ScalarSubquery survives). Quantities are
+    * small integers, so avg is an exact integer sum / exact count and
+    * the 0.2× boundary is the same IEEE double in both engines. No
+    * p_container in the testdata; p_brand + p_type select the part
+    * slice. */
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("q17_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q17_lineitem")
+    spark.sql(
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS revenue_c,
+        |       count(*) AS n_lines
+        |FROM q17_lineitem, q17_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#4'
+        |  AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity)
+        |    FROM q17_lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q20 shape (excess-stock suppliers): the nested-IN chain —
+    * suppliers IN (supply catalog rows whose part is IN the name
+    * slice AND whose stock exceeds a CORRELATED sum over the fact).
+    * The supply catalog derives from lineitem as in [[tpchQ2]] (no
+    * partsupp table); "availqty" is total shipped quantity and the
+    * correlated half-sum is over the 1998 slice, preserving the
+    * classic's NULL-drops-row semantics when the slice is empty. */
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("q20_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("q20_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("q20_nation")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q20_lineitem")
+    spark.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_c
+        |  FROM q20_lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT s_name, n_name
+        |FROM q20_supplier JOIN q20_nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps
+        |  WHERE ps.l_partkey IN (
+        |      SELECT p_partkey FROM q20_part WHERE p_name LIKE '%bolt%')
+        |    AND ps.qty_c > (
+        |      SELECT 2 * sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+        |      FROM q20_lineitem l
+        |      WHERE l.l_partkey = ps.l_partkey
+        |        AND l.l_suppkey = ps.l_suppkey
+        |        AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'))
+        |ORDER BY s_name""".stripMargin)
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -773,7 +833,9 @@ object AnalyticsQueries {
     "tpch_q12"       -> (tpchQ12 _),
     "tpch_q13"       -> (tpchQ13 _),
     "tpch_q14"       -> (tpchQ14 _),
+    "tpch_q17"       -> (tpchQ17 _),
     "tpch_q19"       -> (tpchQ19 _),
+    "tpch_q20"       -> (tpchQ20 _),
     "tpch_q21"       -> (tpchQ21 _),
     "tpch_q22"       -> (tpchQ22 _),
     "window_frames"  -> (windowFrames _),
@@ -910,6 +972,37 @@ object AnalyticsQueries {
         |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
         |    AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
         |)""".stripMargin,
+    "tpch_q17" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS revenue_c,
+        |       count(*) AS n_lines
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#4'
+        |  AND p_type = 'ECONOMY'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * avg(l_quantity)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "tpch_q20" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_c
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps
+        |  WHERE ps.l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+        |    AND ps.qty_c > (
+        |      SELECT 2 * sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+        |      FROM lineitem l
+        |      WHERE l.l_partkey = ps.l_partkey
+        |        AND l.l_suppkey = ps.l_suppkey
+        |        AND CAST(l.l_shipdate AS DATE) >= DATE '1998-01-01'))
+        |ORDER BY s_name""".stripMargin,
     "tpch_q19" ->
       s"""SELECT CAST(sum(${centsSql.format("l_extendedprice * (1 - l_discount)")}) AS BIGINT)
         |         AS revenue_c,

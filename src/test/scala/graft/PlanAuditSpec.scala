@@ -358,6 +358,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("tpch_q17: the correlated AVG over the same fact decorrelates " +
+      "(one grouped re-aggregate, no per-row rescan)") {
+    val p = SparkEntry.queries("tpch_q17")(spark, "/root/testdata/sf0.001")
+      .queryExecution.sparkPlan.toString()
+    assert(!p.contains("ScalarSubquery"),
+      s"correlated avg not decorrelated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("tpch_q21: stacked EXISTS / NOT EXISTS plan as semi + anti hash joins") {
     val p = SparkEntry.queries("tpch_q21")(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString()
