@@ -100,9 +100,56 @@ object StreamingQueries {
     spark.table(name)
   }
 
+  /** Watermarked tumbling-window counts through the SAME file-source
+    * deployment shape ([[streamEpisodeOpensFiles]]) — the windowed-
+    * aggregation member of the streaming family promoted to the
+    * CORRECTNESS registry. The memory sink runs in COMPLETE mode, so
+    * the final table is the full aggregate regardless of where the
+    * watermark stopped (append mode's finalized-windows-only cutoff
+    * would make the tail watermark-dependent — correct in production,
+    * not hash-stable as a correctness row) and equals the batch
+    * tumbling-window GROUP BY exactly. Window starts are epoch-aligned
+    * in both engines (Spark `window`, DuckDB `time_bucket`); the ns
+    * timestamp is truncated to µs on both sides (the
+    * [[graft.Tables]] events convention). */
+  def streamWindowedCountsFiles(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    // ts arrives as BIGINT nanos (GenScale-written tables under the
+    // legacy conf) or TIMESTAMP_NTZ (Spark 4's native read of the
+    // driver's TIMESTAMP(NANOS) files); watermarks need TIMESTAMP —
+    // under the pinned UTC session the NTZ cast is zone-free and
+    // deterministic.
+    val evs = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
+    val counts = IncrementalStream.windowedCounts(
+      evs, "ts", col("event_type"), "1 hour", "1 hour")
+    val name = s"stream_windowed_counts_${runId.incrementAndGet()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+      .select(
+        date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
+        col("event_type"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_episode_opens" -> (streamEpisodeOpens _),
-    "stream_episode_opens_files" -> (streamEpisodeOpensFiles _))
+    "stream_episode_opens_files" -> (streamEpisodeOpensFiles _),
+    "stream_windowed_counts_files" -> (streamWindowedCountsFiles _))
 
   val oracles: Map[String, String] = Map(
     // The batch truth the stream must land on: first observation per
@@ -126,5 +173,16 @@ object StreamingQueries {
         |  FROM events
         |)
         |SELECT key, seq, value FROM t
-        |WHERE prev IS NULL OR prev <> value""".stripMargin)
+        |WHERE prev IS NULL OR prev <> value""".stripMargin,
+    // Batch truth for the streaming windowed counts: epoch-aligned
+    // 1-hour tumbling windows over the µs-truncated event time.
+    "stream_windowed_counts_files" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS w_start,
+        |       strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+        |                  + INTERVAL '1 hour',
+        |                '%Y-%m-%d %H:%M:%S') AS w_end,
+        |       event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin)
 }
