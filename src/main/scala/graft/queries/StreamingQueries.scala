@@ -146,10 +146,47 @@ object StreamingQueries {
         col("event_type"), col("n"))
   }
 
+  /** Watermarked SESSION windows through the file source — the
+    * gap-merge member of the streaming family as a CORRECTNESS row.
+    * Same session_window expression as the batch `sessionize` query,
+    * complete-mode memory sink (see [[streamWindowedCountsFiles]] for
+    * why complete, not append), so the final table equals the batch
+    * sessionization — the registry shares `sessionize`'s oracle
+    * VERBATIM, machine-tying stream and batch session semantics. */
+  def streamSessionizeFiles(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val evs = fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
+    val sessions = IncrementalStream.sessionCounts(
+      evs, "ts", col("user_id"), "12 hours", "12 hours")
+    val name = s"stream_sessionize_${runId.incrementAndGet()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"),
+        date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n").as("n_events"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_episode_opens" -> (streamEpisodeOpens _),
     "stream_episode_opens_files" -> (streamEpisodeOpensFiles _),
-    "stream_windowed_counts_files" -> (streamWindowedCountsFiles _))
+    "stream_windowed_counts_files" -> (streamWindowedCountsFiles _),
+    "stream_sessionize_files" -> (streamSessionizeFiles _))
 
   val oracles: Map[String, String] = Map(
     // The batch truth the stream must land on: first observation per
@@ -184,5 +221,26 @@ object StreamingQueries {
         |                '%Y-%m-%d %H:%M:%S') AS w_end,
         |       event_type, count(*) AS n
         |FROM events
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Shared VERBATIM with sessionize (PipelineQueries): the streamed
+    // session windows must land on the batch truth.
+    "stream_sessionize_files" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS e,
+        |         lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN pe IS NULL OR e - pe >= 43200000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 43200 SECONDS, '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  count(*) AS n_events
+        |FROM m GROUP BY user_id, sid""".stripMargin)
 }
