@@ -368,6 +368,24 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("tpch_q19: the OR-of-ANDs factors per-side halves into BOTH " +
+      "scans' pushed filters; the cross-side residual rides the join") {
+    val p = SparkEntry.queries("tpch_q19")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    // Each scan must carry its own half of the disjunction (Catalyst's
+    // predicate factoring): quantity bands reach lineitem, brand/size
+    // reach part — the difference between scanning slices and scanning
+    // everything at 100 TB.
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("l_quantity") && l.contains("Or(")),
+      s"quantity disjunction not pushed to the lineitem scan:\n$p")
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("Or(")),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("tpch_q21: stacked EXISTS / NOT EXISTS plan as semi + anti hash joins") {
     val p = SparkEntry.queries("tpch_q21")(spark, "/root/testdata/sf0.001")
       .queryExecution.sparkPlan.toString()
