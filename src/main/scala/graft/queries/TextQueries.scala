@@ -39,6 +39,22 @@ object TextQueries {
     MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
       ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
 
+  /** INCREMENTAL [[minhashDedup]] — merge-equals-recompute for the
+    * MinHash band index ([[MinHashLSH.incrementalNearDuplicates]]):
+    * history (doc_id % 10 < 8) keeps its stored pairs and band tuples;
+    * the delta is shingled/banded alone and only delta-involving
+    * candidates are verified. Shares `minhash_dedup`'s oracle
+    * VERBATIM — the hash proves absorbing the delta loses and invents
+    * no pair. */
+  def minhashDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    MinHashLSH.incrementalNearDuplicates(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8),
+      "doc_id", "text", ngram = 3, perms = Perms, bandRows = BandRows,
+      threshold = 0.5)
+  }
+
   /** Near-dup components: the MinHash pair graph closed transitively
     * ([[graft.text.Components]]) — (doc_id, comp) where comp = min
     * doc_id of the cluster, i.e. the canonical document to KEEP. */
@@ -383,6 +399,7 @@ object TextQueries {
     "quality_percentile" -> (qualityPercentile _),
     "exact_dedup"        -> (exactDedup _),
     "minhash_dedup"      -> (minhashDedup _),
+    "minhash_dedup_incr" -> (minhashDedupIncr _),
     "ngram_jaccard"      -> (ngramJaccard _),
     "text_stats"         -> (textStats _),
     "doc_fingerprint"    -> (docFingerprint _),
@@ -666,6 +683,9 @@ object TextQueries {
         |       substr(md5(norm), 1, 16) AS fp
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
+    // Shared VERBATIM with minhash_dedup: the incremental band-index
+    // cycle must produce the identical pair set.
+    "minhash_dedup_incr" -> minhashOracle,
     "decontaminate_fuzzy" -> decontamFuzzyOracle,
     "dedup_components" -> componentsOracle,
     "dedup_canonical" -> dedupCanonicalOracle,

@@ -143,9 +143,56 @@ object MinHashLSH {
     val arrs = shingleArrays(docs, idCol, textCol, ngram)
     val cand = candidates(
       bands(signatures(arrs, idCol, perms), idCol, perms, bandRows), idCol)
-    verifyJaccard(cand, arrs, idCol)
+    thresholded(verifyJaccard(cand, arrs, idCol), threshold)
+  }
+
+  private def thresholded(verified: DataFrame, threshold: Double): DataFrame =
+    verified
       .withColumn("jaccard_c", floor(col("jaccard") * 1e6 + 0.5d))
       .filter(col("jaccard_c") >= (threshold * 1e6).toLong)
       .select("doc_a", "doc_b", "jaccard_c")
+
+  /** INCREMENTAL near-dup maintenance across doc-atomic load cycles —
+    * the [[graft.text.SpanIndex]] pattern for the MinHash family. The
+    * stored state of a cycle is its band-tuple index (id, band_key)
+    * plus its verified pair set; absorbing a delta costs:
+    *
+    *  1. shingle/sign/band the DELTA only — |delta| work;
+    *  2. join the delta's band tuples against stored ∪ delta tuples —
+    *    exactly the candidate pairs involving a delta doc (band keys
+    *    are per-document, so they are identical to what a full
+    *    recompute would produce);
+    *  3. exact-verify those candidates and union the PRIOR cycle's
+    *    pairs, which cannot change (a within-history pair shares no
+    *    doc with the delta).
+    *
+    * History is never re-shingled and never re-self-joined. The
+    * merge-equals-recompute guarantee is machine-checked by the
+    * `minhash_dedup_incr` registry row (oracle shared verbatim with
+    * `minhash_dedup`). Here the prior pairs/bands are recomputed from
+    * `histDocs` for the proof; a deployment reads both back from the
+    * stored cycle tables. */
+  def incrementalNearDuplicates(histDocs: DataFrame, deltaDocs: DataFrame,
+      idCol: String, textCol: String, ngram: Int = 3, perms: Int = 16,
+      bandRows: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val histArrs = shingleArrays(histDocs, idCol, textCol, ngram)
+    val deltaArrs = shingleArrays(deltaDocs, idCol, textCol, ngram)
+    val histBands =
+      bands(signatures(histArrs, idCol, perms), idCol, perms, bandRows)
+    val deltaBands =
+      bands(signatures(deltaArrs, idCol, perms), idCol, perms, bandRows)
+    val prior = nearDuplicates(histDocs, idCol, textCol, ngram, perms,
+      bandRows, threshold)
+    val allBands = histBands.unionByName(deltaBands)
+    val fresh = deltaBands
+      .select(col("band_key").as("bkd"), col(idCol).as("did"))
+      .join(allBands, col("bkd") === col("band_key") &&
+        col("did") =!= col(idCol))
+      .select(least(col("did"), col(idCol)).as("doc_a"),
+        greatest(col("did"), col(idCol)).as("doc_b"))
+      .distinct()
+    val verified = thresholded(
+      verifyJaccard(fresh, histArrs.unionByName(deltaArrs), idCol), threshold)
+    prior.unionByName(verified).distinct()
   }
 }
