@@ -696,6 +696,163 @@ object AnalyticsQueries {
         |ORDER BY s_name""".stripMargin)
   }
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure
+    * scan-filter-aggregate — no join at all; its entire 100 TB cost is
+    * whether the three range predicates reach the parquet scan (they
+    * do — `PushedFilters` carries all of them). */
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1998-01-01").cast("date") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice") * col("l_discount")))
+        .as("revenue_c"), count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape (national market share): the share-of-group
+    * CASE-sum ratio per year — conditional numerator and total
+    * denominator in ONE aggregate, ratio as integer ppm (BIGINT floor
+    * division, engine-exact; a double ratio would be accumulation-
+    * order-dependent). Supplier nation drives the CASE; region prunes
+    * the customer side. */
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val euNations = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE").select(col("n_nationkey"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(euNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate").cast("date")).cast("long").as("o_year"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("vol_c"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("vol_c"))
+          .otherwise(lit(0L))).as("nation_vol_c"),
+        sum(col("vol_c")).as("total_vol_c"))
+      .select(col("o_year"), col("nation_vol_c"), col("total_vol_c"),
+        expr("nation_vol_c * 1000000L div total_vol_c").as("share_ppm"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit = revenue minus
+    * quantity × the supplier's unit cost, the cost coming from the
+    * lineitem-derived supply catalog of [[tpchQ2]] (no partsupp
+    * table); grouped by supplier nation and year. The catalog joins
+    * back on its OWN key (partkey, suppkey) — the decorrelated
+    * min-unit-price is each pair's cost, exact integer cents on both
+    * sides. */
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val l0 = Tables.lineitem(spark, dir)
+    val ps = l0.groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(cents(col("l_extendedprice") / col("l_quantity")))
+        .as("cost_c"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val l = l0.select(col("l_partkey"), col("l_suppkey"),
+      year(col("l_shipdate").cast("date")).cast("long").as("o_year"),
+      cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"),
+      cents(col("l_quantity")).as("qty_c"))
+    l.join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+        col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      // cost_c is cents-per-unit and qty_c is unit-hundredths: the
+      // product is cents when divided back by 100 — keep it integral.
+      .withColumn("amount_c",
+        col("rev_c") - expr("cost_c * qty_c div 100"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount_c")).as("profit_c"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): the four-table star
+    * with a returnflag slice, per-customer revenue, bounded top-20 by
+    * revenue — TakeOrderedAndProject, never a global sort. */
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        cents(col("c_acctbal")).as("c_acctbal_c"), col("n_name"),
+        col("c_mktsegment"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").cast("date") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate").cast("date") < lit("1997-04-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))).as("rev_c"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal_c"),
+        col("n_name"), col("c_mktsegment"))
+      .agg(sum(col("rev_c")).as("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a derived revenue "view" whose
+    * MAX gates the join back — the uncorrelated scalar-subquery
+    * equality filter. The view aggregates once; the max is one more
+    * tiny aggregate; no per-row re-evaluation. */
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("q15_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q15_lineitem")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |             AS BIGINT)) AS total_revenue_c
+        |  FROM q15_lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue_c
+        |FROM q15_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H Q16 shape (supplier relationship count): DISTINCT-count of
+    * suppliers per part attribute triple, the supply relationships
+    * coming from the lineitem-derived catalog ([[tpchQ2]]; no partsupp
+    * table), with the classic NOT IN complaint-supplier exclusion as a
+    * LEFT ANTI join (s_suppkey is non-null, so NOT IN and anti-join
+    * agree). */
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#2" &&
+        !col("p_type").startsWith("PROMO") &&
+        col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 28))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    ps.join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** GROUPING SETS — the third member of the subtotal-lattice family
     * (ROLLUP and CUBE are its fixed shapes): an explicit, sparse set
     * of grouping combinations, one Expand + one hash aggregate, never
@@ -828,7 +985,13 @@ object AnalyticsQueries {
     "tpch_q4"        -> (tpchQ4 _),
     "tpch_q18"       -> (tpchQ18 _),
     "tpch_q2"        -> (tpchQ2 _),
+    "tpch_q6"        -> (tpchQ6 _),
     "tpch_q7"        -> (tpchQ7 _),
+    "tpch_q8"        -> (tpchQ8 _),
+    "tpch_q9"        -> (tpchQ9 _),
+    "tpch_q10"       -> (tpchQ10 _),
+    "tpch_q15"       -> (tpchQ15 _),
+    "tpch_q16"       -> (tpchQ16 _),
     "tpch_q11"       -> (tpchQ11 _),
     "tpch_q12"       -> (tpchQ12 _),
     "tpch_q13"       -> (tpchQ13 _),
@@ -918,6 +1081,101 @@ object AnalyticsQueries {
         |    WHERE ps2.l_partkey = p.p_partkey)
         |ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+    "tpch_q6" ->
+      s"""SELECT CAST(sum(${centsSql.format("l_extendedprice * l_discount")}) AS BIGINT)
+        |         AS revenue_c,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q8" ->
+      s"""SELECT o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_c
+        |                     ELSE 0 END) AS BIGINT) AS nation_vol_c,
+        |       CAST(sum(vol_c) AS BIGINT) AS total_vol_c,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_c
+        |                     ELSE 0 END) * 1000000
+        |            // sum(vol_c) AS BIGINT) AS share_ppm
+        |FROM (
+        |  SELECT CAST(extract(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+        |           AS o_year,
+        |         n2.n_name AS supp_nation,
+        |         ${centsSql.format("l_extendedprice * (1 - l_discount)")} AS vol_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'EUROPE'
+        |)
+        |GROUP BY o_year""".stripMargin,
+    "tpch_q9" ->
+      s"""WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5)
+        |             AS BIGINT)) AS cost_c
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT n_name AS nation, o_year, CAST(sum(amount_c) AS BIGINT) AS profit_c
+        |FROM (
+        |  SELECT n_name,
+        |         CAST(extract(year FROM CAST(l_shipdate AS DATE)) AS BIGINT)
+        |           AS o_year,
+        |         ${centsSql.format("l_extendedprice * (1 - l_discount)")}
+        |           - cost_c * ${centsSql.format("l_quantity")} // 100 AS amount_c
+        |  FROM lineitem
+        |  JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%widget%'
+        |)
+        |GROUP BY nation, o_year""".stripMargin,
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name,
+        |       ${centsSql.format("c_acctbal")} AS c_acctbal_c,
+        |       n_name, c_mktsegment,
+        |       CAST(sum(${centsSql.format("l_extendedprice * (1 - l_discount)")})
+        |            AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        |GROUP BY c_custkey, c_name, 3, n_name, c_mktsegment
+        |ORDER BY revenue_c DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |             AS BIGINT)) AS BIGINT) AS total_revenue_c
+        |  FROM lineitem
+        |  WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        |    AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue_c
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#2'
+        |  AND p_type NOT LIKE 'PROMO%'
+        |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 28)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size""".stripMargin,
     "tpch_q7" ->
       s"""SELECT supp_nation, cust_nation, l_year,
         |       CAST(sum(rev_c) AS BIGINT) AS revenue_c
