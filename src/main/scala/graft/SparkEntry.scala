@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, CleaningQueries, CohortQueries, EtlQueries, PipelineQueries, SimQueries, StreamingQueries, TextQueries}
+import graft.queries.{AnalyticsQueries, CleaningQueries, CohortQueries, CurationQueries, EtlQueries, PipelineQueries, SimQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + TESTDATA.md.
   *
@@ -29,10 +29,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EtlQueries.queries ++ CleaningQueries.queries ++ CohortQueries.queries ++
       TextQueries.queries ++ SimQueries.queries ++ PipelineQueries.queries ++
-      AnalyticsQueries.queries ++ StreamingQueries.queries
+      AnalyticsQueries.queries ++ StreamingQueries.queries ++ CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     EtlQueries.oracles ++ CleaningQueries.oracles ++ CohortQueries.oracles ++
       TextQueries.oracles ++ SimQueries.oracles ++ PipelineQueries.oracles ++
-      AnalyticsQueries.oracles ++ StreamingQueries.oracles
+      AnalyticsQueries.oracles ++ StreamingQueries.oracles ++ CurationQueries.oracles
 }

@@ -182,13 +182,67 @@ object StreamingQueries {
         col("n").as("n_events"))
   }
 
+  /** Stream-STREAM interval join through the file-source deployment
+    * shape — the two-stateful-inputs member of the streaming family
+    * as a CORRECTNESS row: views and clicks read as two independent
+    * file-source streams over the same events table, joined per user
+    * within a ±1 hour event-time band
+    * ([[IncrementalStream.intervalJoin]]). Inner stream-stream join
+    * rows emit as they match (append mode), so under AvailableNow the
+    * final table is exactly the batch inequality join, which the
+    * DuckDB oracle runs independently; the watermark + band bound
+    * both sides' buffered state in a real topology. */
+  def streamIntervalJoinFiles(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    def side(tpe: String, pfx: String): DataFrame = {
+      val reader = spark.readStream.schema(fileSchema)
+      val src =
+        if (new java.io.File(s"$dir/events.parquet").isDirectory)
+          reader.parquet(s"$dir/events.parquet")
+        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+      val evs = fileSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          src.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => src
+      }
+      evs.filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+          col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
+    }
+    val joined = IncrementalStream.intervalJoin(
+      side("view", "v"), side("click", "c"),
+      "v_user", "c_user", "v_ts", "c_ts", delay = "1 hour", within = "1 hour")
+    val name = s"stream_interval_join_${runId.incrementAndGet()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+      .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
+        col("c_id").as("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
     "stream_episode_opens_files" -> (streamEpisodeOpensFiles _),
     "stream_windowed_counts_files" -> (streamWindowedCountsFiles _),
     "stream_sessionize_files" -> (streamSessionizeFiles _))
 
   val oracles: Map[String, String] = Map(
+    // Batch truth for the stream-stream interval join: the same
+    // inequality join DuckDB plans itself (µs-truncated timestamps —
+    // the events ts convention).
+    "stream_interval_join_files" ->
+      """SELECT a.user_id AS user_id, a.event_id AS view_id, b.event_id AS click_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin,
     // The batch truth the stream must land on: first observation per
     // user plus every value change, keyed by the observing event.
     "stream_episode_opens" ->

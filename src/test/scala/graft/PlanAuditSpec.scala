@@ -407,6 +407,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p)
   }
 
+  test("c4_line_filter: one doc-keyed exchange, no joins at all") {
+    val p = queryPlan("c4_line_filter")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"line filter must shuffle once (the per-doc reassembly):\n$p")
+    assert(!p.contains("Join"), s"line filter needs no join:\n$p")
+  }
+
+  test("line_dedup: linear hash-keyed shuffles, no nested loop") {
+    val p = queryPlan("line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup degraded to a nested loop:\n$p")
+  }
+
+  test("pagerank: every round joins the pinned edge set — no corpus " +
+      "broadcast, no nested loop") {
+    val p = queryPlan("pagerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.graph.PageRank
+
+/** Invariants, known answers, and plan audits for the corpus-curation
+  * wave (C4 line filter, corpus-wide line dedup, bigram-LM perplexity
+  * filter, PageRank). Value parity vs DuckDB is the driver's
+  * CORRECTNESS gate; these pin semantics the hash alone can't name. */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("c4_line_filter: count consistency and verdict rule") {
+    val r = CurationQueries.c4LineFilter(spark, dir).cache()
+    try {
+      assert(r.count() == graft.Tables.documents(spark, dir).count())
+      assert(r.filter(col("n_kept") > col("n_lines")).count() == 0)
+      assert(r.filter((col("n_kept") >= 3) =!= (col("keep_doc") === 1L)).count() == 0)
+      // Line arithmetic: n_lines = ceil(tokens/8) per document.
+      val expected = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr("(size(split(text, '\\\\s+')) + 7) div 8").as("want"))
+      assert(r.join(expected, "doc_id")
+        .filter(col("n_lines") =!= col("want")).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("line_dedup: every distinct line survives exactly once corpus-wide") {
+    val r = CurationQueries.lineDedup(spark, dir).cache()
+    try {
+      val totalKept = r.agg(sum(col("n_kept"))).head().getLong(0)
+      // Independent recount of distinct lines via the same decomposition.
+      val distinctLines = graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("pos", explode(expr("sequence(1, (size(toks) + 7) div 8)")))
+        .select(expr("array_join(slice(toks, (pos - 1) * 8 + 1, 8), ' ')").as("line"))
+        .distinct().count()
+      assert(totalKept == distinctLines,
+        s"kept $totalKept vs $distinctLines distinct lines")
+      assert(r.filter(col("n_kept") > col("n_lines")).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("ngram_lm_score: coverage, verdict rule, and both branches real") {
+    val r = CurationQueries.ngramLmScore(spark, dir).cache()
+    try {
+      val withBigrams = graft.Tables.documents(spark, dir)
+        .filter(size(split(col("text"), "\\s+")) >= 2).count()
+      assert(r.count() == withBigrams)
+      assert(r.filter(col("avg_nll_ppm") <= 0).count() == 0)
+      assert(r.filter((col("avg_nll_ppm") <= 3400000L) =!= (col("keep") === 1L))
+        .count() == 0)
+      assert(r.filter(col("keep") === 1L).count() > 0)
+      assert(r.filter(col("keep") === 0L).count() > 0)
+    } finally r.unpersist()
+  }
+
+  test("ngram_lm_score: model joins broadcast, no nested loop") {
+    val p = CurationQueries.ngramLmScore(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("PageRank: hand-computed two-round path graph") {
+    import spark.implicits._
+    // 1-2-3 path, symmetric. Round 1: r=(575000, 1850000, 575000);
+    // round 2: in(1)=1850000 div 2, r2(1)=150000+85*925000 div 100.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = PageRank.ranksPpm(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (936250L, 1L), 2L -> (1127500L, 2L), 3L -> (936250L, 1L)))
+  }
+
+  test("PageRank: dangling node evaporates mass, reports outdeg 0") {
+    import spark.implicits._
+    val got = PageRank.ranksPpm(Seq((1L, 2L)).toDF("src", "dst"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (150000L, 1L), 2L -> (1000000L, 0L)))
+  }
+
+  test("PageRank: partitioning-invariant (integer arithmetic, no double sums)") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val a = PageRank.ranksPpm(base.repartition(1), 3).collect().toSet
+    val b = PageRank.ranksPpm(base.repartition(7), 3).collect().toSet
+    assert(a == b)
+  }
+
+  test("pagerank query: symmetric graph conserves mass up to truncation loss") {
+    val r = CurationQueries.pagerank(spark, dir).cache()
+    try {
+      val n = r.count()
+      val total = r.agg(sum(col("rank_ppm"))).head().getLong(0)
+      // Each node loses < outdeg ppm to per-edge division truncation and
+      // < 1 ppm to the damping division, per round; bound loosely.
+      val maxLoss = 3L * (r.agg(sum(col("outdeg"))).head().getLong(0) + n)
+      assert(total <= n * 1000000L, s"total $total above start mass")
+      assert(total >= n * 1000000L - maxLoss, s"total $total lost > $maxLoss")
+    } finally r.unpersist()
+  }
+}
