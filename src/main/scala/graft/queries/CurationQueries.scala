@@ -186,11 +186,192 @@ object CurationQueries {
     PageRank.ranksPpm(es, rounds = 3)
   }
 
+  /** The pinned retrieval query for [[bm25Rank]] — every term occurs
+    * in the corpus vocabulary, so tf/df branches are all real. */
+  private val Bm25Terms = Seq("spark", "table", "query")
+
+  /** BM25 document scoring against a pinned term set — the retrieval
+    * scorer curation pipelines use to mine topic-relevant training
+    * data from a crawl. Okapi BM25 with k1=1.2, b=0.75 and the
+    * Robertson idf in its ln(1+x) positive form.
+    *
+    * Determinism: idf and the length-normalized tf part are one
+    * double expression written identically on both sides, floored to
+    * BIGINT ppm PER (doc, term); the per-doc score is an integer sum
+    * of at most |Q| such terms — order-free. avgdl is a driver-side
+    * scalar (the tf_idf count-action convention), exact-double on
+    * both engines.
+    *
+    * Scale shape: the term filter hits the token explode before any
+    * shuffle (|Q| terms, so the filtered stream is corpus-sparse),
+    * df is |Q|-row broadcast, and the doc-length join is one linear
+    * equi-shuffle. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+    val stats = toks.agg(count(lit(1)), sum(size(col("t")))).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        floor(log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl)))
+          * lit(1e6)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib")).as("bm25_ppm"))
+  }
+
+  /** Hashed-feature buckets for [[dsirWeights]]. */
+  private val DsirBuckets = 1024
+
+  /** DSIR importance weights (Xie et al. 2023): score every document
+    * by how much more likely its hashed-bigram features are under the
+    * TARGET distribution (here the `lang = 'en'` slice) than under
+    * the whole corpus — the importance-resampling signal for steering
+    * a 100 TB crawl toward a target domain. Features are bigrams
+    * hashed into [[DsirBuckets]] buckets (the paper's hashed n-gram
+    * model); both bucket models use add-one smoothing.
+    *
+    * Determinism: the log-ratio is floored to BIGINT ppm PER BUCKET
+    * (a [[DsirBuckets]]-row broadcast frame); doc weights are integer
+    * sums of (bucket count x delta) — order-free. Bucket totals are
+    * one driver-side two-scalar aggregate.
+    *
+    * Sanity (sf0.01): `en` docs average the highest per-bigram
+    * weight (-2.9k ppm vs -54k..-57k for the other languages). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bg = toks.select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (TF.portableHash(col("g"), "dsir") % DsirBuckets).as("b"))
+    val totals = bg.agg(count(lit(1)),
+      sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
+    val cTot = totals.getLong(0)
+    val tTot = totals.getLong(1)
+    val ct = bg.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cc = bg.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+    val delta = cc.join(ct, Seq("b"), "left")
+      .select(col("b"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            lit(tTot + DsirBuckets))
+          - log((col("cc") + 1L).cast("double") / lit(cTot + DsirBuckets)))
+          * lit(1e6)).cast("long").as("d_ppm"))
+    bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(delta), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("d_ppm")).as("weight_ppm"))
+  }
+
+  /** Per-source quality cutoffs for [[sourceQualityFilter]], pinned
+    * mid-distribution at sf0.01 (source mean length spans
+    * 251M..343M ppm; short-doc fraction 120k..520k ppm) so both
+    * verdict branches are real. */
+  private val SrcMeanLenCut = 285000000L
+  private val SrcShortCut   = 400000L
+
+  /** FineWeb-style source-level quality gating: aggregate per-source
+    * statistics (mean document length, fraction of short documents —
+    * both exact integer ppm via BIGINT floor division), decide
+    * keep/drop PER SOURCE, and broadcast the verdict back onto every
+    * document. The per-source frame is |sources|-sized (tiny next to
+    * the corpus), so the corpus never shuffles — one aggregation
+    * exchange keyed on source, one broadcast join back. */
+  def sourceQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val srcStats = docs.groupBy(col("source"))
+      .agg(
+        expr("(sum(n_chars) * 1000000) div count(1)").as("mean_len_ppm"),
+        expr("(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000) div count(1)")
+          .as("short_ppm"))
+      .withColumn("src_keep",
+        when(col("mean_len_ppm") >= SrcMeanLenCut &&
+          col("short_ppm") <= SrcShortCut, 1L).otherwise(0L))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(srcStats), "source")
+      .select(col("doc_id"), col("source"), col("mean_len_ppm"),
+        col("short_ppm"), col("src_keep"))
+  }
+
+  /** Nearest-centroid embedding classifier (the fastText-style
+    * model-based quality/domain scorer of a curation pipeline, reduced
+    * to its relational core): per-label centroids trained on the
+    * vec_id % 10 < 8 slice, every vector scored against all centroids
+    * by squared L2, argmin with smaller-label tie-break.
+    *
+    * EXACT integer arithmetic throughout: components quantize to
+    * thousandths (floor(x*1000+0.5) — the repo's round-half-up
+    * convention; float->double widening is value-preserving on both
+    * engines), centroids are BIGINT floor-division means, distances
+    * BIGINT sums of squares — no double ever crosses an aggregation.
+    *
+    * Scale shape: the centroid frame is |labels| x dim rows —
+    * broadcast; the per-vector scoring is one keyed aggregation
+    * (corpus x |labels| intermediate, linear); the argmin is the
+    * rank=1 window the engine's RankOneToAggregate rule compiles to a
+    * min_by partial aggregate. */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = Tables.spread(emb)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "e")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("e").cast("double") * lit(1000d) + lit(0.5d)).cast("long").as("vq"))
+    val cent = q.filter(col("vec_id") % 10 < 8)
+      .groupBy(col("label"), col("pos"))
+      .agg(expr("sum(vq) div count(1)").as("cq"))
+      .select(col("label").as("clabel"), col("pos"), col("cq"))
+    val d = q.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("clabel"))
+      .agg(max(col("label")).as("tl"),
+        sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("dist"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("clabel"))
+    d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("tl").cast("long").as("true_label"),
+        col("clabel").cast("long").as("pred_label"), col("dist").as("d_best"),
+        when(col("tl") === col("clabel"), 1L).otherwise(0L).as("correct"))
+  }
+
+  /** Suppression threshold for [[kAnonymity]] — at sf0.01 the
+    * (nation, segment) quasi-groups span 5..21 members, so k=8
+    * suppresses 11 of 125 groups: both branches real. */
+  private val KAnon = 8
+
+  /** k-anonymity suppression over the customer dimension
+    * ([[graft.etl.Privacy.kAnonymize]]): rows whose
+    * (nation, market-segment) combination has fewer than [[KAnon]]
+    * members get both quasi-identifiers masked before export. */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Privacy.kAnonymize(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+      Seq("c_nationkey", "c_mktsegment"), KAnon)
+      .select(col("c_custkey"), col("c_nationkey").as("nation_q"),
+        col("c_mktsegment").as("segment_q"), col("suppressed"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "centroid_classify" -> (centroidClassify _),
+    "k_anonymity"    -> (kAnonymity _),
     "c4_line_filter" -> (c4LineFilter _),
     "line_dedup"     -> (lineDedup _),
     "ngram_lm_score" -> (ngramLmScore _),
-    "pagerank"       -> (pagerank _))
+    "pagerank"       -> (pagerank _),
+    "bm25_rank"      -> (bm25Rank _),
+    "dsir_weights"   -> (dsirWeights _),
+    "source_quality_filter" -> (sourceQualityFilter _))
 
   // ---------------------------------------------------------------- oracles
 
@@ -267,6 +448,103 @@ object CurationQueries {
         |       CAST(CASE WHEN (-sum(cnt * lp_ppm)) // sum(cnt) <= $LmThreshold
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM lp GROUP BY doc_id""".stripMargin,
+    "centroid_classify" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS vq
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |), cent AS (
+        |  SELECT label AS clabel, pos, sum(vq) // count(*) AS cq
+        |  FROM q WHERE vec_id % 10 < 8 GROUP BY label, pos
+        |), d AS (
+        |  SELECT q.vec_id, max(q.label) AS tl, c.clabel,
+        |         sum((q.vq - c.cq) * (q.vq - c.cq)) AS dist
+        |  FROM q JOIN cent c ON q.pos = c.pos
+        |  GROUP BY q.vec_id, c.clabel
+        |), r AS (
+        |  SELECT vec_id, tl, clabel, dist,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dist, clabel) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id, CAST(tl AS BIGINT) AS true_label,
+        |       CAST(clabel AS BIGINT) AS pred_label,
+        |       CAST(dist AS BIGINT) AS d_best,
+        |       CAST(CASE WHEN tl = clabel THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM r WHERE rn = 1""".stripMargin,
+    "k_anonymity" ->
+      s"""WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT c.c_custkey,
+        |       CASE WHEN g.n < $KAnon THEN '*'
+        |            ELSE CAST(c.c_nationkey AS VARCHAR) END AS nation_q,
+        |       CASE WHEN g.n < $KAnon THEN '*'
+        |            ELSE c.c_mktsegment END AS segment_q,
+        |       CAST(CASE WHEN g.n < $KAnon THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+    "bm25_rank" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks
+        |), tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY doc_id, tok
+        |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |  CAST(sum(CAST(floor(
+        |    ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+        |      * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_ppm
+        |FROM tf t JOIN df d ON t.term = d.term
+        |          JOIN dl l ON t.doc_id = l.doc_id, stats s
+        |GROUP BY t.doc_id""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, lang,
+        |         ${TF.portableHashSql("t[i] || ' ' || t[i+1]", "dsir")} % $DsirBuckets AS b
+        |  FROM toks, LATERAL unnest(generate_series(1, len(t)-1)) AS u(i)
+        |  WHERE len(t) >= 2
+        |), ct AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+        |cc AS (SELECT b, count(*) AS cc FROM bg GROUP BY b),
+        |tt AS (SELECT count(*) AS t FROM bg WHERE lang = 'en'),
+        |tc AS (SELECT count(*) AS c FROM bg),
+        |delta AS (
+        |  SELECT cc.b,
+        |    CAST(floor((ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (tt.t + $DsirBuckets))
+        |              - ln(CAST(cc.cc + 1 AS DOUBLE) / (tc.c + $DsirBuckets)))
+        |         * 1000000.0) AS BIGINT) AS d_ppm
+        |  FROM cc LEFT JOIN ct ON cc.b = ct.b, tt, tc
+        |), per AS (SELECT doc_id, b, count(*) AS cnt FROM bg GROUP BY doc_id, b)
+        |SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(p.cnt * d.d_ppm) AS BIGINT) AS weight_ppm
+        |FROM per p JOIN delta d ON p.b = d.b
+        |GROUP BY p.doc_id""".stripMargin,
+    "source_quality_filter" ->
+      s"""WITH s AS (
+        |  SELECT source,
+        |         (sum(n_chars) * 1000000) // count(*) AS mean_len_ppm,
+        |         (sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000)
+        |           // count(*) AS short_ppm
+        |  FROM documents GROUP BY source
+        |)
+        |SELECT d.doc_id, d.source,
+        |       CAST(s.mean_len_ppm AS BIGINT) AS mean_len_ppm,
+        |       CAST(s.short_ppm AS BIGINT) AS short_ppm,
+        |       CAST(CASE WHEN s.mean_len_ppm >= $SrcMeanLenCut
+        |                  AND s.short_ppm <= $SrcShortCut
+        |            THEN 1 ELSE 0 END AS BIGINT) AS src_keep
+        |FROM documents d JOIN s USING (source)""".stripMargin,
     "pagerank" ->
       s"""WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

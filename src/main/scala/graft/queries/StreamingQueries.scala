@@ -74,19 +74,7 @@ object StreamingQueries {
     * the registry shares the oracle verbatim. */
   def streamEpisodeOpensFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // File schema, pre-conversion (events.ts is TIMESTAMP(NANOS) read
-    // as BIGINT under the session's nanosAsLong) — the stream source
-    // must declare what is IN the files, and the operator needs no ts.
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // The file source wants a DIRECTORY: Spark-written tables (the
-    // GenScale sf1/sf10 soaks) are one; the driver's small-sf tables
-    // are a single pyarrow file, streamed via its parent + glob.
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        reader.parquet(s"$dir/events.parquet")
-      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val rec = src
+    val rec = eventsFileStream(spark, dir)
       .select(col("user_id").as("key"), col("event_id").as("seq"),
         col("event_type").as("value"))
       .as[Rec]
@@ -98,6 +86,29 @@ object StreamingQueries {
       .start()
     try q.awaitTermination() finally q.stop()
     spark.table(name)
+  }
+
+  /** Shared file-source reader for the deployment-shape rows: the
+    * events table as a streaming source (directory for Spark-written
+    * soak tables, parent + glob for the driver's single pyarrow file)
+    * with ts normalized to µs TIMESTAMP across the two physical
+    * encodings (BIGINT nanos under the legacy conf; TIMESTAMP_NTZ on
+    * Spark 4's native nanos read — zone-free under the pinned UTC
+    * session). */
+  private def eventsFileStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        reader.parquet(s"$dir/events.parquet")
+      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
+    fileSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        src.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => src
+    }
   }
 
   /** Watermarked tumbling-window counts through the SAME file-source
@@ -113,24 +124,7 @@ object StreamingQueries {
     * timestamp is truncated to µs on both sides (the
     * [[graft.Tables]] events convention). */
   def streamWindowedCountsFiles(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        reader.parquet(s"$dir/events.parquet")
-      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    // ts arrives as BIGINT nanos (GenScale-written tables under the
-    // legacy conf) or TIMESTAMP_NTZ (Spark 4's native read of the
-    // driver's TIMESTAMP(NANOS) files); watermarks need TIMESTAMP —
-    // under the pinned UTC session the NTZ cast is zone-free and
-    // deterministic.
-    val evs = fileSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        src.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => src
-    }
+    val evs = eventsFileStream(spark, dir)
     val counts = IncrementalStream.windowedCounts(
       evs, "ts", col("event_type"), "1 hour", "1 hour")
     val name = s"stream_windowed_counts_${runId.incrementAndGet()}"
@@ -154,19 +148,7 @@ object StreamingQueries {
     * sessionization — the registry shares `sessionize`'s oracle
     * VERBATIM, machine-tying stream and batch session semantics. */
   def streamSessionizeFiles(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        reader.parquet(s"$dir/events.parquet")
-      else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-    val evs = fileSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        src.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => src
-    }
+    val evs = eventsFileStream(spark, dir)
     val sessions = IncrementalStream.sessionCounts(
       evs, "ts", col("user_id"), "12 hours", "12 hours")
     val name = s"stream_sessionize_${runId.incrementAndGet()}"
@@ -193,24 +175,11 @@ object StreamingQueries {
     * DuckDB oracle runs independently; the watermark + band bound
     * both sides' buffered state in a real topology. */
   def streamIntervalJoinFiles(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    def side(tpe: String, pfx: String): DataFrame = {
-      val reader = spark.readStream.schema(fileSchema)
-      val src =
-        if (new java.io.File(s"$dir/events.parquet").isDirectory)
-          reader.parquet(s"$dir/events.parquet")
-        else reader.option("pathGlobFilter", "events.parquet").parquet(dir)
-      val evs = fileSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          src.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => src
-      }
-      evs.filter(col("event_type") === tpe)
+    def side(tpe: String, pfx: String): DataFrame =
+      eventsFileStream(spark, dir)
+        .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"),
           col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
-    }
     val joined = IncrementalStream.intervalJoin(
       side("view", "v"), side("click", "c"),
       "v_user", "c_user", "v_ts", "c_ts", delay = "1 hour", within = "1 hour")
@@ -225,7 +194,61 @@ object StreamingQueries {
         col("c_id").as("click_id"))
   }
 
+  /** Stream-STATIC broadcast lookup remap through the file source —
+    * the deployment shape of [[IncrementalStream.remapStream]] (the
+    * streaming analog of the batch J1 vocabulary remap) as a
+    * CORRECTNESS row: event types flow through a broadcast lookup
+    * (hit rewrites, miss passes through — the left-join + coalesce
+    * contract) and a complete-mode count per remapped type equals the
+    * batch CASE-mapped aggregate, which the oracle runs
+    * independently. The stream side never shuffles for the lookup. */
+  def streamRemapFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lookup = Seq(
+      ("click", "engagement"), ("purchase", "conversion"), ("error", "fault"))
+      .toDF("source_name", "target_name")
+    val remapped = IncrementalStream.remapStream(
+      eventsFileStream(spark, dir).select(col("event_id"), col("event_type")),
+      lookup, "event_type")
+    val counts = remapped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = s"stream_remap_${runId.incrementAndGet()}"
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Watermarked streaming dedup through the file source — the
+    * streaming J3 as a CORRECTNESS row with the duplicate branch REAL:
+    * the events table is read as TWO independent file-source streams
+    * and unioned, so every event arrives exactly twice;
+    * [[IncrementalStream.dedupStream]] must emit each once. The
+    * deduped append stream lands in the memory sink and a BATCH
+    * aggregate over the final table (count per type) equals the plain
+    * batch GROUP BY — any leaked duplicate doubles a count and
+    * reddens the hash. */
+  def streamDedupFiles(spark: SparkSession, dir: String): DataFrame = {
+    def evs() = eventsFileStream(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"))
+    val doubled = evs().union(evs())
+    val deduped = IncrementalStream.dedupStream(
+      doubled, Seq("event_id"), "ts", "1 hour")
+    val name = s"stream_dedup_${runId.incrementAndGet()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_files" -> (streamDedupFiles _),
+    "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
     "stream_episode_opens_files" -> (streamEpisodeOpensFiles _),
@@ -233,6 +256,21 @@ object StreamingQueries {
     "stream_sessionize_files" -> (streamSessionizeFiles _))
 
   val oracles: Map[String, String] = Map(
+    // Batch truth for the streamed dedup of the doubled stream: each
+    // event exactly once -> the plain per-type counts.
+    "stream_dedup_files" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+    // Batch truth for the streamed lookup remap: the CASE-mapped
+    // count per type (miss keeps the original value).
+    "stream_remap_files" ->
+      """SELECT CASE event_type
+        |         WHEN 'click' THEN 'engagement'
+        |         WHEN 'purchase' THEN 'conversion'
+        |         WHEN 'error' THEN 'fault'
+        |         ELSE event_type END AS event_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     // Batch truth for the stream-stream interval join: the same
     // inequality join DuckDB plans itself (µs-truncated timestamps —
     // the events ts convention).

@@ -428,6 +428,28 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dsir_weights: the per-bucket delta frame broadcasts back onto " +
+      "the corpus, no nested loop") {
+    val p = queryPlan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"delta must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("source_quality_filter: the source-stats frame broadcasts (the " +
+      "corpus never shuffles for the verdict join)") {
+    val p = queryPlan("source_quality_filter")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for verdict:\n$p")
+  }
+
+  test("bm25_rank: the df frame broadcasts, no nested loop") {
+    val p = queryPlan("bm25_rank")
+    assert(p.contains("BroadcastHashJoin"), s"df must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating

@@ -92,6 +92,72 @@ class CurationQueriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bm25_rank: exactly the docs containing a query term, n_hit bounded") {
+    val r = CurationQueries.bm25Rank(spark, dir).cache()
+    try {
+      val expected = graft.Tables.documents(spark, dir)
+        .filter(col("text").rlike("(^| )(spark|table|query)( |$)")).count()
+      assert(r.count() == expected)
+      assert(r.filter(col("n_hit") < 1 || col("n_hit") > 3).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("dsir_weights: the en target slice scores highest per-bigram") {
+    val r = CurationQueries.dsirWeights(spark, dir)
+    val byLang = r.join(graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg((sum(col("weight_ppm")) / sum(col("n_bigrams"))).as("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val en = byLang("en")
+    assert(byLang.filter(_._1 != "en").values.forall(_ < en),
+      s"en must dominate its own target model: $byLang")
+  }
+
+  test("source_quality_filter: verdict is a pure function of the source") {
+    val r = CurationQueries.sourceQualityFilter(spark, dir).cache()
+    try {
+      assert(r.count() == graft.Tables.documents(spark, dir).count())
+      assert(r.groupBy(col("source"))
+        .agg(countDistinct(col("src_keep")).as("nv"))
+        .filter(col("nv") =!= 1).count() == 0)
+      assert(r.filter(
+        ((col("mean_len_ppm") >= 285000000L) && (col("short_ppm") <= 400000L))
+          =!= (col("src_keep") === 1L)).count() == 0)
+    } finally r.unpersist()
+  }
+
+  test("centroid_classify: full coverage, in-sample accuracy well above chance") {
+    val r = CurationQueries.centroidClassify(spark, dir).cache()
+    try {
+      assert(r.count() ==
+        graft.Tables.embeddings(spark, dir).count())
+      assert(r.filter(col("d_best") < 0).count() == 0)
+      // 10 labels -> 10% chance; the train slice must beat 2x chance
+      // (labels are learnable in-sample even on synthetic data).
+      val train = r.filter(col("vec_id") % 10 < 8)
+      val acc = train.agg(sum(col("correct"))).head().getLong(0).toDouble /
+        train.count()
+      assert(acc > 0.2, s"in-sample accuracy $acc at chance level")
+    } finally r.unpersist()
+  }
+
+  test("k_anonymity: suppressed groups are exactly those below k") {
+    val r = CurationQueries.kAnonymity(spark, dir).cache()
+    try {
+      assert(r.count() == graft.Tables.customer(spark, dir).count())
+      // Every surviving (nation_q, segment_q) pair except the mask
+      // must have >= 8 members; masked rows exist at this sf.
+      val kept = r.filter(col("suppressed") === 0L)
+        .groupBy(col("nation_q"), col("segment_q")).count()
+      assert(kept.filter(col("count") < 8).count() == 0)
+      assert(r.filter(col("suppressed") === 1L).count() > 0)
+      assert(r.filter(col("suppressed") === 1L)
+        .filter(col("nation_q") =!= "*" || col("segment_q") =!= "*")
+        .count() == 0)
+    } finally r.unpersist()
+  }
+
   test("pagerank query: symmetric graph conserves mass up to truncation loss") {
     val r = CurationQueries.pagerank(spark, dir).cache()
     try {
