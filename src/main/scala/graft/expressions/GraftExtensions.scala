@@ -99,6 +99,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))))
+    // Count-Min sketch aggregate — the fixed-size mergeable answer to
+    // token-frequency estimation at corpus scale:
+    // graft_cms_sketch(token, depth, width) -> array<bigint> (row-major).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms_sketch"),
+      (children: Seq[Expression]) =>
+        CmsSketchAgg(children.head, intLit(children(1), "depth"),
+          intLit(children(2), "width"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_knn_topk"),
       new ExpressionInfo(classOf[KnnTopKExpr].getName, "graft_knn_topk"),

@@ -362,6 +362,107 @@ object CurationQueries {
       .select(col("c_custkey"), col("c_nationkey").as("nation_q"),
         col("c_mktsegment").as("segment_q"), col("suppressed"))
 
+  /** Count-Min sketch geometry: depth 4, width 64 — small enough that
+    * collisions are REAL at sf0.01 (the corpus has far more than 64
+    * distinct tokens, so overcounts are exercised), large enough that
+    * the min-over-rows estimate still tracks the heavy hitters. */
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Probe terms for [[cmsFreq]]: corpus heavy-hitters plus one token
+    * guaranteed absent, so the `exact = 0, est = collision noise`
+    * branch is real. */
+  private val CmsProbes = Seq("spark", "data", "the", "query", "table",
+    "zzznosuchtoken")
+
+  /** Count-Min sketch token-frequency estimation
+    * ([[graft.expressions.CmsSketchAgg]], registered as
+    * `graft_cms_sketch`): the whole corpus reduces to ONE
+    * depth x width BIGINT counter array, and point estimates for the
+    * probe terms are `min over rows of the term's counter` — read
+    * relationally out of the sketch with `element_at`, alongside the
+    * exact counts so the one-sided guarantee (`est >= exact`, always)
+    * is visible in the output.
+    *
+    * Scale shape: this is the fixed-size alternative to a full
+    * `groupBy(token)` vocabulary count at 100 TB — partial aggregation
+    * reduces each map task's token stream to a 2 KB counter buffer,
+    * the shuffle carries one buffer per task (NOT the vocabulary), and
+    * merge is elementwise addition. The exact-count branch here only
+    * scans for the 6 probe terms (filter before the shuffle), so the
+    * comparison frame stays probe-sized. Hashing is the portable
+    * salted-md5 prefix, which is what lets the DuckDB oracle replay
+    * the sketch cell-for-cell. */
+  def cmsFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+    val sketch = toks.agg(
+      call_function("graft_cms_sketch", col("tok"),
+        lit(CmsDepth), lit(CmsWidth)).as("sk"))
+    val probes = CmsProbes.toDF("term")
+    val perRow = (0 until CmsDepth).map { r =>
+      element_at(col("sk"),
+        (lit(r * CmsWidth + 1) +
+          TF.portableHash(col("term"), s"cms$r") % CmsWidth).cast("int"))
+    }
+    val est = probes.crossJoin(broadcast(sketch))
+      .select(col("term"), array_min(array(perRow: _*)).as("est"))
+    val exact = toks.filter(col("tok").isin(CmsProbes: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, col("term") === col("tok"), "left")
+      .select(col("term"), col("est"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        (col("est") - coalesce(col("exact_cnt"), lit(0L))).as("overcount"))
+  }
+
+  /** RRF constant (Cormack et al. 2009's k = 60) and per-ranker
+    * candidate-list size for [[rrfFusion]]. */
+  private val RrfK = 60
+  private val RrfTopN = 100
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion: the lexical ranking
+    * ([[bm25Rank]]) and a semantic ranking (BIGINT dot product against
+    * the label-0 centroid in the [[centroidClassify]] thousandths
+    * quantization) each nominate their top-[[RrfTopN]] candidates, and
+    * the fused score is `sum over rankers of 1e6 div (k + rank)` —
+    * exact integer arithmetic, so the hash is portable.
+    *
+    * Scale shape: each ranker's candidate cut is an `ORDER BY/LIMIT`
+    * that compiles to `TakeOrderedAndProject` (per-partition bounded
+    * heaps, never a global sort), and the only windows are
+    * `row_number` over the two K-row candidate frames (bounded, the
+    * audited `bpe_tokenize` vocabulary pattern). The fusion join is
+    * K x K — driver-independent and broadcastable at any corpus
+    * size, because K is the retrieval depth, not the corpus. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Rank(spark, dir)
+      .orderBy(col("bm25_ppm").desc, col("doc_id")).limit(RrfTopN)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25_ppm").desc, col("doc_id"))).cast("long").as("lex_rank"))
+    val q = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "e")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        floor(col("e").cast("double") * lit(1000d) + lit(0.5d)).cast("long").as("vq"))
+    val qvec = q.filter(col("label") === 0)
+      .groupBy(col("pos")).agg(expr("sum(vq) div count(1)").as("cq"))
+    val sem = q.join(broadcast(qvec), "pos")
+      .groupBy(col("vec_id")).agg(sum(col("vq") * col("cq")).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id")).limit(RrfTopN)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("dot").desc, col("vec_id"))).cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0L)).as("sem_rank"),
+        (when(col("lex_rank").isNotNull,
+            expr(s"1000000 div ($RrfK + lex_rank)")).otherwise(0L) +
+         when(col("sem_rank").isNotNull,
+            expr(s"1000000 div ($RrfK + sem_rank)")).otherwise(0L)).as("rrf_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "centroid_classify" -> (centroidClassify _),
     "k_anonymity"    -> (kAnonymity _),
@@ -371,6 +472,8 @@ object CurationQueries {
     "pagerank"       -> (pagerank _),
     "bm25_rank"      -> (bm25Rank _),
     "dsir_weights"   -> (dsirWeights _),
+    "cms_freq"       -> (cmsFreq _),
+    "rrf_fusion"     -> (rrfFusion _),
     "source_quality_filter" -> (sourceQualityFilter _))
 
   // ---------------------------------------------------------------- oracles
@@ -390,6 +493,80 @@ object CurationQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cms_freq" ->
+      s"""WITH toks AS (
+        |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents
+        |), cells AS (
+        |  SELECT t.r,
+        |         CAST('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || ':' || tok),
+        |              1, 15) AS BIGINT) % $CmsWidth AS b,
+        |         count(*) AS c
+        |  FROM toks CROSS JOIN range($CmsDepth) AS t(r)
+        |  GROUP BY 1, 2
+        |), probes(term) AS (
+        |  VALUES ${CmsProbes.map(t => s"('$t')").mkString(", ")}
+        |), est AS (
+        |  SELECT p.term, min(coalesce(c.c, 0)) AS est
+        |  FROM probes p CROSS JOIN range($CmsDepth) AS t(r)
+        |  LEFT JOIN cells c ON c.r = t.r AND c.b =
+        |    CAST('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || ':' || p.term),
+        |         1, 15) AS BIGINT) % $CmsWidth
+        |  GROUP BY p.term
+        |), ex AS (
+        |  SELECT tok AS term, count(*) AS exact_cnt FROM toks
+        |  WHERE tok IN (${CmsProbes.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY tok
+        |)
+        |SELECT e.term, CAST(e.est AS BIGINT) AS est,
+        |       CAST(coalesce(x.exact_cnt, 0) AS BIGINT) AS exact_cnt,
+        |       CAST(e.est - coalesce(x.exact_cnt, 0) AS BIGINT) AS overcount
+        |FROM est e LEFT JOIN ex x USING (term)""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks
+        |), tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        |  WHERE tok IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+        |  GROUP BY doc_id, tok
+        |), df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |bm AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(CAST(floor(
+        |      ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+        |        * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+        |        * 1000000.0) AS BIGINT)) AS BIGINT) AS bm25_ppm
+        |  FROM tf t JOIN df d ON t.term = d.term
+        |            JOIN dl l ON t.doc_id = l.doc_id, stats s
+        |  GROUP BY t.doc_id
+        |), lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25_ppm DESC, doc_id) AS lex_rank
+        |  FROM bm ORDER BY bm25_ppm DESC, doc_id LIMIT $RrfTopN
+        |), qv AS (
+        |  SELECT vec_id, label, i AS pos,
+        |         CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS vq
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS e,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings)
+        |), cq AS (
+        |  SELECT pos, sum(vq) // count(*) AS cq FROM qv WHERE label = 0 GROUP BY pos
+        |), dots AS (
+        |  SELECT q.vec_id, sum(q.vq * c.cq) AS dot
+        |  FROM qv q JOIN cq c USING (pos) GROUP BY q.vec_id
+        |), sem AS (
+        |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY dot DESC, vec_id) AS sem_rank
+        |  FROM dots ORDER BY dot DESC, vec_id LIMIT $RrfTopN
+        |)
+        |SELECT doc_id,
+        |       CAST(coalesce(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+        |       CAST(coalesce(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+        |       CAST(coalesce(1000000 // ($RrfK + l.lex_rank), 0)
+        |          + coalesce(1000000 // ($RrfK + s.sem_rank), 0) AS BIGINT) AS rrf_ppm
+        |FROM lex l FULL OUTER JOIN sem s USING (doc_id)""".stripMargin,
     "c4_line_filter" ->
       s"""WITH $linesCtes, d AS (
         |  SELECT doc_id, pos, line_raw, n_words,
