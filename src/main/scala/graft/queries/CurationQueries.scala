@@ -186,6 +186,37 @@ object CurationQueries {
     PageRank.ranksPpm(es, rounds = 3)
   }
 
+  /** Seed stride for [[labelProp]]: only every 4th supplier carries a
+    * trusted label, so propagation genuinely needs multiple rounds —
+    * round 1 labels customers adjacent to seeded suppliers, round 2
+    * back-fills unseeded suppliers from customer majorities, round 3
+    * re-votes customers against the now-denser label frame. Nodes
+    * never reached stay NULL (the branch is real at sf0.01). */
+  private val LpSeedStride = 4
+
+  /** Semi-supervised label propagation over the trade graph
+    * ([[graft.graph.LabelProp]]): sparse trusted labels (the seeded
+    * suppliers' nation keys) spread to the unlabeled majority by
+    * clamped synchronous majority vote — the curation pattern for
+    * extending a small trusted domain-label set across a crawl's link
+    * graph. Deterministic argmax (votes desc, smallest label), exact
+    * integer counts; the oracle unrolls the three rounds
+    * relationally and matches bit-for-bit. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val e = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2L).as("src"), (col("l_suppkey") * 2L + 1L).as("dst"))
+      .distinct()
+    val es = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % LpSeedStride === 0)
+      .select((col("s_suppkey") * 2L + 1L).as("nid"), col("s_nationkey").as("label"))
+    graft.graph.LabelProp.propagate(es, seeds, rounds = 3)
+      .select(col("nid"), col("label"),
+        when(col("seeded"), 1L).otherwise(0L).as("seeded"))
+  }
+
   /** The pinned retrieval query for [[bm25Rank]] — every term occurs
     * in the corpus vocabulary, so tf/df branches are all real. */
   private val Bm25Terms = Seq("spark", "table", "query")
@@ -470,6 +501,7 @@ object CurationQueries {
     "line_dedup"     -> (lineDedup _),
     "ngram_lm_score" -> (ngramLmScore _),
     "pagerank"       -> (pagerank _),
+    "label_prop"     -> (labelProp _),
     "bm25_rank"      -> (bm25Rank _),
     "dsir_weights"   -> (dsirWeights _),
     "cms_freq"       -> (cmsFreq _),
@@ -482,6 +514,28 @@ object CurationQueries {
     TF.portableHashSql("doc_id || ':' || pos || ':' || line_raw", "c4dot")
 
   /** One damped PageRank round in SQL: `prev` -> a new rank CTE pair. */
+  /** One unrolled [[labelProp]] round, ending in `l$i(nid, label,
+    * seeded)` — majority vote with (count desc, label asc) argmax,
+    * seeds clamped, unreached nodes keeping their current label. */
+  private def lpRoundSql(i: Int, prev: String): String =
+    s"""v$i AS (
+      |  SELECT es.dst AS nid, l.label, count(*) AS c
+      |  FROM es JOIN $prev l ON es.src = l.nid
+      |  WHERE l.label IS NOT NULL GROUP BY es.dst, l.label
+      |), t$i AS (
+      |  SELECT nid, label AS vlabel FROM (
+      |    SELECT nid, label,
+      |           row_number() OVER (PARTITION BY nid ORDER BY c DESC, label) AS rn
+      |    FROM v$i)
+      |  WHERE rn = 1
+      |), l$i AS (
+      |  SELECT p.nid,
+      |         CASE WHEN p.seeded THEN p.label
+      |              ELSE coalesce(t.vlabel, p.label) END AS label,
+      |         p.seeded
+      |  FROM $prev p LEFT JOIN t$i t ON p.nid = t.nid
+      |)""".stripMargin
+
   private def prRoundSql(i: Int, prev: String): String =
     s"""i$i AS (
       |  SELECT es.dst AS nid, sum(r.rank_ppm // d.outdeg) AS in_ppm
@@ -722,6 +776,26 @@ object CurationQueries {
         |                  AND s.short_ppm <= $SrcShortCut
         |            THEN 1 ELSE 0 END AS BIGINT) AS src_keep
         |FROM documents d JOIN s USING (source)""".stripMargin,
+    "label_prop" ->
+      s"""WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |), es AS (
+        |  SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+        |), n AS (SELECT DISTINCT src AS nid FROM es),
+        |sd AS (
+        |  SELECT s_suppkey * 2 + 1 AS nid, s_nationkey AS label
+        |  FROM supplier WHERE s_suppkey % $LpSeedStride = 0
+        |), l0 AS (
+        |  SELECT n.nid, sd.label, sd.label IS NOT NULL AS seeded
+        |  FROM n LEFT JOIN sd ON n.nid = sd.nid
+        |),
+        |${lpRoundSql(1, "l0")},
+        |${lpRoundSql(2, "l1")},
+        |${lpRoundSql(3, "l2")}
+        |SELECT nid, CAST(label AS BIGINT) AS label,
+        |       CAST(CASE WHEN seeded THEN 1 ELSE 0 END AS BIGINT) AS seeded
+        |FROM l3""".stripMargin,
     "pagerank" ->
       s"""WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

@@ -170,4 +170,41 @@ class CurationQueriesSpec extends SparkSpec {
       assert(total >= n * 1000000L - maxLoss, s"total $total lost > $maxLoss")
     } finally r.unpersist()
   }
+
+  test("LabelProp: hand-computed path graph — clamped seeds, tie to smaller label") {
+    import spark.implicits._
+    // Path 1-2-3-4-5 (symmetrized), seeds: 1 -> 10, 5 -> 20.
+    // Round 1: 2 <- 10, 4 <- 20, 3 unreachable (both neighbors NULL).
+    // Round 2: 3 sees {10, 20} — tie breaks to 10; 2 and 4 unchanged.
+    // Round 3: 4 sees {10 (from 3), 20 (from 5)} — tie flips 4 to 10;
+    //          seeds 1 and 5 stay clamped throughout.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val edges = e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq((1L, 10L), (5L, 20L), (99L, 30L)).toDF("nid", "label")
+    val r = graft.graph.LabelProp.propagate(edges, seeds, rounds = 3)
+      .collect().map(x => x.getLong(0) -> (x.get(1), x.getBoolean(2))).toMap
+    assert(r == Map(
+      1L -> (10L, true), 2L -> (10L, false), 3L -> (10L, false),
+      4L -> (10L, false), 5L -> (20L, true)),
+      s"got $r")
+    // Seed for node 99 (outside the graph) is ignored, not emitted.
+    assert(!r.contains(99L))
+  }
+
+  test("label_prop query: seeds keep their nation label; both branches real") {
+    val r = CurationQueries.labelProp(spark, dir).cache()
+    try {
+      val seeded = r.filter(col("seeded") === 1L)
+      assert(seeded.count() > 0)
+      // Every seeded node reports exactly its supplier nation key.
+      val supp = graft.Tables.supplier(spark, dir)
+        .filter(col("s_suppkey") % 4 === 0)
+        .select((col("s_suppkey") * 2L + 1L).as("nid"),
+          col("s_nationkey").cast("long").as("want"))
+      assert(seeded.join(supp, "nid").filter(col("label") =!= col("want"))
+        .count() == 0)
+      // Propagation reached unlabeled nodes.
+      assert(r.filter(col("seeded") === 0L && col("label").isNotNull).count() > 0)
+    } finally r.unpersist()
+  }
 }
