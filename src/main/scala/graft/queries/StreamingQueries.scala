@@ -246,7 +246,51 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** CMS geometry + probes for [[streamCmsFiles]] — the five live
+    * event types plus one guaranteed-absent probe (collision-noise
+    * branch). Width 64 with 5 distinct values means rows are
+    * near-exact here; the STREAMING claim under test is the state
+    * contract, not collision behavior (CmsSketchSpec covers that). */
+  private val StreamCmsDepth = 4
+  private val StreamCmsWidth = 64
+  private val StreamCmsProbes = Seq(
+    "click", "error", "purchase", "signup", "view", "zzznostream")
+
+  /** Streaming Count-Min sketch maintenance through the file source —
+    * the sketch family's deployment shape: `graft_cms_sketch`
+    * ([[graft.expressions.CmsSketchAgg]]) runs INSIDE a complete-mode
+    * streaming aggregation, so each micro-batch reduces to partial
+    * counter arrays and the state store holds ONE depth x width
+    * buffer — fixed-size state regardless of stream length, the
+    * sketch's 100 TB story carried unchanged to unbounded streams.
+    * The final sketch is probed for the event types (plus one absent
+    * term), and the estimates equal the batch replay cell-for-cell —
+    * which is what the DuckDB oracle computes. */
+  def streamCmsFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sk = eventsFileStream(spark, dir)
+      .select(col("event_type"))
+      .agg(call_function("graft_cms_sketch", col("event_type"),
+        lit(StreamCmsDepth), lit(StreamCmsWidth)).as("sk"))
+    val name = s"stream_cms_${runId.incrementAndGet()}"
+    val q = sk.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val probes = StreamCmsProbes.toDF("term")
+    val perRow = (0 until StreamCmsDepth).map { r =>
+      element_at(col("sk"),
+        (lit(r * StreamCmsWidth + 1) +
+          graft.text.TextFunctions.portableHash(col("term"), s"cms$r")
+            % StreamCmsWidth).cast("int"))
+    }
+    probes.crossJoin(broadcast(spark.table(name)))
+      .select(col("term"), array_min(array(perRow: _*)).as("est"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cms_files" -> (streamCmsFiles _),
     "stream_dedup_files" -> (streamDedupFiles _),
     "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
@@ -256,6 +300,27 @@ object StreamingQueries {
     "stream_sessionize_files" -> (streamSessionizeFiles _))
 
   val oracles: Map[String, String] = Map(
+    // Batch truth for the streamed CMS sketch: replay the counter
+    // cells relationally (portable salted-md5 bucket hash) and take
+    // the min over rows per probe term — cell-for-cell the estimate
+    // the streaming sketch serves.
+    "stream_cms_files" ->
+      s"""WITH cells AS (
+        |  SELECT t.r,
+        |         CAST('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || ':'
+        |              || event_type), 1, 15) AS BIGINT) % $StreamCmsWidth AS b,
+        |         count(*) AS c
+        |  FROM events CROSS JOIN range($StreamCmsDepth) AS t(r)
+        |  GROUP BY 1, 2
+        |), probes(term) AS (
+        |  VALUES ${StreamCmsProbes.map(t => s"('$t')").mkString(", ")}
+        |)
+        |SELECT p.term, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+        |FROM probes p CROSS JOIN range($StreamCmsDepth) AS t(r)
+        |LEFT JOIN cells c ON c.r = t.r AND c.b =
+        |  CAST('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || ':'
+        |       || p.term), 1, 15) AS BIGINT) % $StreamCmsWidth
+        |GROUP BY p.term""".stripMargin,
     // Batch truth for the streamed dedup of the doubled stream: each
     // event exactly once -> the plain per-type counts.
     "stream_dedup_files" ->

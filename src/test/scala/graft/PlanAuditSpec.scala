@@ -450,6 +450,30 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hive-partitioned layout: equality filter prunes to PartitionFilters, " +
+      "non-matching partitions never reach the scan") {
+    // The warehouse layout story at 100 TB: a load-date-partitioned
+    // fact filtered to one date must prune at PLANNING time (directory
+    // listing), not scan-and-discard. Asserted on the scan's
+    // PartitionFilters clause and on the partition count the file
+    // index actually selected.
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    (1L to 1000L).map(i => (i, s"d${i % 5}", i * 2))
+      .toDF("id", "load_date", "v")
+      .write.partitionBy("load_date").mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"load_date" === "d3").select("id", "v")
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*load_date[^\\]]*d3.*"),
+      s"partition filter did not reach the scan:\n$plan")
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned == Seq(1), s"expected exactly 1 of 5 partitions, got $scanned")
+    assert(df.count() == 200L)
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating
