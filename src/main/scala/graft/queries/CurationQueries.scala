@@ -494,9 +494,32 @@ object CurationQueries {
             expr(s"1000000 div ($RrfK + sem_rank)")).otherwise(0L)).as("rrf_ppm"))
   }
 
+  /** Diversity threshold for [[lDiversity]] — sensitive attribute is
+    * the account-balance band floor(acctbal/2000); at sf0.01 the
+    * (nation, segment) groups span 3..6 distinct bands, so l=5
+    * suppresses 32 of 125 groups: both branches real. */
+  private val LDiv = 5
+
+  /** l-diversity suppression over the customer dimension
+    * ([[graft.etl.Privacy.lDiversify]]): rows whose (nation, segment)
+    * quasi-group carries fewer than [[LDiv]] distinct balance bands
+    * get both quasi-identifiers masked — the homogeneity gate
+    * k-anonymity misses (a large group is still a leak if everyone
+    * in it shares the sensitive value). */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.Privacy.lDiversify(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal")),
+      Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 2000d).cast("long"), LDiv)
+      .select(col("c_custkey"), col("c_nationkey").as("nation_q"),
+        col("c_mktsegment").as("segment_q"), col("suppressed"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "centroid_classify" -> (centroidClassify _),
     "k_anonymity"    -> (kAnonymity _),
+    "l_diversity"    -> (lDiversity _),
     "c4_line_filter" -> (c4LineFilter _),
     "line_dedup"     -> (lineDedup _),
     "ngram_lm_score" -> (ngramLmScore _),
@@ -705,6 +728,19 @@ object CurationQueries {
         |       CAST(dist AS BIGINT) AS d_best,
         |       CAST(CASE WHEN tl = clabel THEN 1 ELSE 0 END AS BIGINT) AS correct
         |FROM r WHERE rn = 1""".stripMargin,
+    "l_diversity" ->
+      s"""WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS d
+        |  FROM customer GROUP BY 1, 2
+        |)
+        |SELECT c.c_custkey,
+        |       CASE WHEN g.d < $LDiv THEN '*'
+        |            ELSE CAST(c.c_nationkey AS VARCHAR) END AS nation_q,
+        |       CASE WHEN g.d < $LDiv THEN '*'
+        |            ELSE c.c_mktsegment END AS segment_q,
+        |       CAST(CASE WHEN g.d < $LDiv THEN 1 ELSE 0 END AS BIGINT) AS suppressed
+        |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
     "k_anonymity" ->
       s"""WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -158,6 +158,29 @@ class CurationQueriesSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("l_diversity: suppression is exactly the groups below l distinct " +
+      "sensitive bands; quasi-identifiers masked, keys untouched") {
+    val r = CurationQueries.lDiversity(spark, dir).cache()
+    try {
+      val cust = graft.Tables.customer(spark, dir)
+      assert(r.count() == cust.count())
+      // Independent recount of per-group sensitive diversity.
+      val want = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(floor(col("c_acctbal") / 2000d).cast("long")).as("d"))
+        .withColumn("want_sup", when(col("d") < 5, 1L).otherwise(0L))
+      val joined = cust.select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .join(want, Seq("c_nationkey", "c_mktsegment"))
+        .join(r, "c_custkey")
+      assert(joined.filter(col("suppressed") =!= col("want_sup")).count() == 0)
+      // Masked rows hide BOTH quasi columns; unmasked render verbatim.
+      assert(r.filter(col("suppressed") === 1L)
+        .filter(col("nation_q") =!= "*" || col("segment_q") =!= "*").count() == 0)
+      assert(joined.filter(col("suppressed") === 0L)
+        .filter(col("nation_q") =!= col("c_nationkey").cast("string") ||
+          col("segment_q") =!= col("c_mktsegment")).count() == 0)
+    } finally r.unpersist()
+  }
+
   test("pagerank query: symmetric graph conserves mass up to truncation loss") {
     val r = CurationQueries.pagerank(spark, dir).cache()
     try {
