@@ -428,16 +428,22 @@ object CurationQueries {
     import spark.implicits._
     val toks = Tables.spread(Tables.documents(spark, dir))
       .select(explode(TF.tokens(col("text"))).as("tok"))
-    val sketch = toks.agg(
+    // The aggregated sketch is ONE row of fixed depth x width size —
+    // a driver-side scalar by construction (the tf_idf avgdl
+    // convention: one bounded value on the driver, never a corpus
+    // collect), inlined as a literal so probing is a pure projection
+    // with no join at all.
+    val sk: Array[Long] = toks.agg(
       call_function("graft_cms_sketch", col("tok"),
         lit(CmsDepth), lit(CmsWidth)).as("sk"))
+      .as[Seq[Long]].head().toArray
     val probes = CmsProbes.toDF("term")
     val perRow = (0 until CmsDepth).map { r =>
-      element_at(col("sk"),
+      element_at(lit(sk),
         (lit(r * CmsWidth + 1) +
           TF.portableHash(col("term"), s"cms$r") % CmsWidth).cast("int"))
     }
-    val est = probes.crossJoin(broadcast(sketch))
+    val est = probes
       .select(col("term"), array_min(array(perRow: _*)).as("est"))
     val exact = toks.filter(col("tok").isin(CmsProbes: _*))
       .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))

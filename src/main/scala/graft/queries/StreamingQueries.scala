@@ -278,15 +278,18 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    // The final sketch is one fixed-size row in the memory sink —
+    // a driver-side scalar (the cms_freq convention): inline it as a
+    // literal and probe with a pure projection, no join.
+    val skArr: Array[Long] = spark.table(name).as[Seq[Long]].head().toArray
     val probes = StreamCmsProbes.toDF("term")
     val perRow = (0 until StreamCmsDepth).map { r =>
-      element_at(col("sk"),
+      element_at(lit(skArr),
         (lit(r * StreamCmsWidth + 1) +
           graft.text.TextFunctions.portableHash(col("term"), s"cms$r")
             % StreamCmsWidth).cast("int"))
     }
-    probes.crossJoin(broadcast(spark.table(name)))
-      .select(col("term"), array_min(array(perRow: _*)).as("est"))
+    probes.select(col("term"), array_min(array(perRow: _*)).as("est"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
