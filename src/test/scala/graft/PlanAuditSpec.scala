@@ -474,6 +474,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() == 200L)
   }
 
+  test("rrf_fusion: both candidate cuts are TakeOrderedAndProject " +
+      "(bounded heaps), never a global Sort+Limit or corpus window") {
+    val p = queryPlan("rrf_fusion")
+    assert(countOf(p, "TakeOrderedAndProject") >= 2,
+      s"expected two top-K cuts:\n$p")
+    assert(!p.contains("GlobalLimit"),
+      s"a candidate cut degraded to global sort + limit:\n$p")
+  }
+
+  test("cms_freq: probing the sketch is join-free (driver-scalar literal), " +
+      "and the only join is the probe-sized exact-count attach") {
+    val p = queryPlan("cms_freq")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // One join total: probes x exact counts (both probe-sized).
+    assert(countOf(p, "Join") <= 1, s"unexpected extra joins:\n$p")
+  }
+
   test("date-bounded aggregations hash-aggregate (no SortAggregate)") {
     // min/max over native DateType keeps an int agg buffer ->
     // HashAggregate with map-side partial aggregation. Aggregating

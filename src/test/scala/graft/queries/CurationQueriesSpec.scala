@@ -158,6 +158,26 @@ class CurationQueriesSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("rrf_fusion: fused score decomposes to the RRF formula; ranks bounded " +
+      "and doc_ids unique") {
+    val r = CurationQueries.rrfFusion(spark, dir).cache()
+    try {
+      assert(r.count() <= 200 && r.count() > 0)
+      assert(r.select(col("doc_id")).distinct().count() == r.count())
+      assert(r.filter(col("lex_rank") < 0 || col("lex_rank") > 100 ||
+        col("sem_rank") < 0 || col("sem_rank") > 100).count() == 0)
+      // rrf_ppm is exactly the sum of the per-ranker reciprocal terms
+      // (0 for a list the doc missed).
+      val want =
+        when(col("lex_rank") > 0, expr("1000000 div (60 + lex_rank)")).otherwise(0L) +
+        when(col("sem_rank") > 0, expr("1000000 div (60 + sem_rank)")).otherwise(0L)
+      assert(r.filter(col("rrf_ppm") =!= want).count() == 0)
+      // Both-lists overlap is real at this sf (the fusion branch with
+      // two reciprocal terms is actually exercised).
+      assert(r.filter(col("lex_rank") > 0 && col("sem_rank") > 0).count() > 0)
+    } finally r.unpersist()
+  }
+
   test("l_diversity: suppression is exactly the groups below l distinct " +
       "sensitive bands; quasi-identifiers masked, keys untouched") {
     val r = CurationQueries.lDiversity(spark, dir).cache()
