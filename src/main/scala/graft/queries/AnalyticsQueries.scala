@@ -991,7 +991,11 @@ object AnalyticsQueries {
     * integer (BIGINT quantity, price cents), so the hash is
     * order-free. */
   def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
+    // Scoped by application id: two concurrent sessions (e.g. Verify
+    // and Bench in separate JVMs) must not overwrite each other's
+    // bucket layout mid-read.
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
+      spark.sparkContext.applicationId
     graft.etl.Bucketing.writeBucketed(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
       "graft_bkt_orders", s"$base/orders", "o_orderkey", 8)
