@@ -109,6 +109,35 @@ object SimQueries {
     dedupPairs(Similarity.assignByCenters(v, centers))
   }
 
+  /** SemDeDup (Abbas et al. 2023) — the composed semantic-dedup
+    * PIPELINE, end to end: cluster the embedding space into trained
+    * ~sqrt(n) IVF cells, connect within-cell cosine >= 0.4 pairs into
+    * semantic clusters ([[graft.text.Components]], O(log n)
+    * large-star/small-star rounds), and keep exactly ONE
+    * representative per cluster — the minimum id, the library's
+    * deterministic canonical convention (the paper keeps the point
+    * closest to the centroid; any deterministic rule preserves the
+    * prune semantics). Singletons pass through. Output: every vector
+    * with its cluster label and keep verdict.
+    *
+    * Scale shape: the pair stage is cell-bucketed (never all-pairs,
+    * O(n^1.5) total with sqrt(n) cells), components run over the dup
+    * SUBSET only, and the final verdict join is one |V|-keyed
+    * broadcast-or-shuffle equi-join. The DuckDB oracle replays the
+    * k-means training relationally and closes the clusters with a
+    * recursive CTE — the hash proves cluster labels AND keep set. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val pairs = dedupPairs(Similarity.assignByCenters(v, centers))
+    val comps = graft.text.Components.connected(pairs, "id_a", "id_b")
+    v.select(col("id")).join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("cluster"),
+        when(col("comp").isNull || col("comp") === col("id"), 1L)
+          .otherwise(0L).as("keep"))
+  }
+
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
     * (precision); more bands -> more chances to collide (recall). */
@@ -278,6 +307,7 @@ object SimQueries {
     "embedding_dedup" -> (embeddingDedup _),
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
+    "semdedup"        -> (semDedup _),
     "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
@@ -603,6 +633,31 @@ object SimQueries {
         |$vnSql,
         |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
         |$dedupPairsSql""".stripMargin,
+    // SemDeDup: trained-cell pairs closed into clusters by a recursive
+    // CTE (min reachable id = the component label, matching the
+    // engine's Components convention), keep = singleton or cluster min.
+    "semdedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE ${scaledPartsSql("a.vec", "b.vec", "a.nrm", "b.nrm")} >= 400000
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        |), comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT v.id, coalesce(c.comp, v.id) AS cluster,
+        |       CAST(CASE WHEN c.comp IS NULL OR c.comp = v.id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM v LEFT JOIN comps c ON v.id = c.id""".stripMargin,
     // Full SRP replay: the hyperplanes are regenerated from the same
     // md5 construction, the projection is the same ordered left-fold
     // dot, and candidates are in-bucket pairs per band, deduped.

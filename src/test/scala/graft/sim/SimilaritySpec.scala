@@ -211,4 +211,24 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(out == Set(2L, 3L)) // bucket-local: the e2 cluster never scored
   }
+
+  test("semdedup: exactly one keeper per cluster, keeper is the cluster min, " +
+      "full coverage") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.SimQueries.queries("semdedup")(spark, dir).cache()
+    try {
+      val n = graft.Tables.embeddings(spark, dir).count()
+      assert(r.count() == n, "every vector gets a verdict")
+      val perCluster = r.groupBy($"cluster")
+        .agg(sum($"keep").as("kept"), min($"id").as("min_id"),
+          max(when($"keep" === 1L, $"id")).as("keeper"))
+      assert(perCluster.filter($"kept" =!= 1L).count() == 0,
+        "exactly one keeper per cluster")
+      assert(perCluster.filter($"keeper" =!= $"min_id").count() == 0,
+        "the keeper is the deterministic cluster minimum")
+      // The prune is real at this sf: some cluster has >= 2 members.
+      assert(r.filter($"keep" === 0L).count() > 0)
+    } finally r.unpersist()
+  }
 }
