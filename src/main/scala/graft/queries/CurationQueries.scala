@@ -522,7 +522,42 @@ object CurationQueries {
       .select(col("c_custkey"), col("c_nationkey").as("nation_q"),
         col("c_mktsegment").as("segment_q"), col("suppressed"))
 
+  /** Curation FUNNEL: the composed per-document keep/drop ledger a
+    * pipeline needs to account for WHERE the corpus shrinks — three
+    * independent gates (exact-dedup first-occurrence, the
+    * [[c4LineFilter]] document rule, the [[sourceQualityFilter]]
+    * source gate) and their conjunction, one row per document. Each
+    * gate is the registered operator's OWN logic (the C4 and source
+    * columns come from calling those same functions), so the funnel
+    * can never drift from the stages it summarizes.
+    *
+    * Scale shape: three |docs|-keyed frames joined on doc_id — each
+    * gate is linear on its own row, and the composition adds only
+    * keyed equi-joins. Documents with no tokens produce no C4 lines
+    * and get keep_c4 = 0 via the left join (mirrored in the oracle). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val n = docs.select(col("doc_id"),
+      lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("norm"))
+    val firsts = n.groupBy(col("norm")).agg(min(col("doc_id")).as("keeper"))
+    val keepExact = n.join(firsts, "norm")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("keep_exact"))
+    val c4 = c4LineFilter(spark, dir).select(col("doc_id"), col("keep_doc"))
+    val src = sourceQualityFilter(spark, dir)
+      .select(col("doc_id"), col("src_keep"))
+    keepExact
+      .join(c4, Seq("doc_id"), "left")
+      .join(src, Seq("doc_id"))
+      .select(col("doc_id"), col("keep_exact"),
+        coalesce(col("keep_doc"), lit(0L)).as("keep_c4"),
+        col("src_keep").as("keep_src"),
+        (col("keep_exact") * coalesce(col("keep_doc"), lit(0L)) *
+          col("src_keep")).as("keep_all"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_funnel" -> (curationFunnel _),
     "centroid_classify" -> (centroidClassify _),
     "k_anonymity"    -> (kAnonymity _),
     "l_diversity"    -> (lDiversity _),
@@ -576,6 +611,48 @@ object CurationQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "curation_funnel" ->
+      s"""WITH $linesCtes, d AS (
+        |  SELECT doc_id, pos, line_raw, n_words,
+        |         ($dotHashSql % 10 < 7) AS dot
+        |  FROM lines
+        |), k AS (
+        |  SELECT doc_id,
+        |         (dot AND n_words >= 5 AND position('spark' IN line_raw) = 0) AS keep
+        |  FROM d
+        |), c4k AS (
+        |  SELECT doc_id,
+        |         CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) >= 3
+        |              THEN 1 ELSE 0 END AS keep_c4
+        |  FROM k GROUP BY doc_id
+        |), n AS (
+        |  SELECT doc_id, source,
+        |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        |  FROM documents
+        |), f AS (SELECT norm, min(doc_id) AS keeper FROM n GROUP BY norm),
+        |s AS (
+        |  SELECT source,
+        |         (sum(n_chars) * 1000000) // count(*) AS mean_len_ppm,
+        |         (sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) * 1000000)
+        |           // count(*) AS short_ppm
+        |  FROM documents GROUP BY source
+        |), srck AS (
+        |  SELECT source,
+        |         CASE WHEN mean_len_ppm >= $SrcMeanLenCut
+        |               AND short_ppm <= $SrcShortCut
+        |              THEN 1 ELSE 0 END AS keep_src
+        |  FROM s
+        |)
+        |SELECT n.doc_id,
+        |       CAST(CASE WHEN n.doc_id = f.keeper THEN 1 ELSE 0 END AS BIGINT)
+        |         AS keep_exact,
+        |       CAST(coalesce(c.keep_c4, 0) AS BIGINT) AS keep_c4,
+        |       CAST(sk.keep_src AS BIGINT) AS keep_src,
+        |       CAST(CASE WHEN n.doc_id = f.keeper THEN 1 ELSE 0 END
+        |            * coalesce(c.keep_c4, 0) * sk.keep_src AS BIGINT) AS keep_all
+        |FROM n JOIN f USING (norm)
+        |LEFT JOIN c4k c ON n.doc_id = c.doc_id
+        |JOIN srck sk ON n.source = sk.source""".stripMargin,
     "cms_freq" ->
       s"""WITH toks AS (
         |  SELECT unnest(string_split_regex(text, '\\s+')) AS tok FROM documents

@@ -158,6 +158,27 @@ class CurationQueriesSpec extends SparkSpec {
     } finally r.unpersist()
   }
 
+  test("curation_funnel: one ledger row per document, stage columns equal the " +
+      "stage operators' own verdicts, keep_all is their conjunction") {
+    val r = CurationQueries.curationFunnel(spark, dir).cache()
+    try {
+      assert(r.count() == graft.Tables.documents(spark, dir).count())
+      val c4 = CurationQueries.c4LineFilter(spark, dir)
+        .select(col("doc_id"), col("keep_doc"))
+      assert(r.join(c4, "doc_id").filter(col("keep_c4") =!= col("keep_doc"))
+        .count() == 0)
+      val src = CurationQueries.sourceQualityFilter(spark, dir)
+        .select(col("doc_id"), col("src_keep"))
+      assert(r.join(src, "doc_id").filter(col("keep_src") =!= col("src_keep"))
+        .count() == 0)
+      assert(r.filter(col("keep_all") =!=
+        col("keep_exact") * col("keep_c4") * col("keep_src")).count() == 0)
+      // The funnel actually narrows: some docs drop, some survive all gates.
+      assert(r.filter(col("keep_all") === 1L).count() > 0)
+      assert(r.filter(col("keep_all") === 0L).count() > 0)
+    } finally r.unpersist()
+  }
+
   test("rrf_fusion: fused score decomposes to the RRF formula; ranks bounded " +
       "and doc_ids unique") {
     val r = CurationQueries.rrfFusion(spark, dir).cache()
