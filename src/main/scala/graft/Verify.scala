@@ -12,7 +12,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset (comma-separated names) for LOCAL iteration on a
+    // few queries — the driver never sets it, so the contract (dump
+    // everything) is unchanged in driver runs.
+    val selected = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES") match {
+      case None => SparkEntry.queries
+      case Some(csv) =>
+        val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: $unknown")
+        SparkEntry.queries.view.filterKeys(names).toMap
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,7 +42,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -49,4 +49,20 @@ object Bucketing {
     val r = spark.table(right).hint("merge")
     l.join(r, l(leftKey) === r(rightKey))
   }
+
+  private val cleanupRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Register `dir` for recursive deletion at JVM exit (idempotent per
+    * dir). `DROP TABLE` on an EXTERNAL table does not delete its data,
+    * so without this every application would leave its bucket layout
+    * in tmpdir forever. */
+  def deleteOnExit(dir: String): Unit =
+    if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(dir))))
+    }
 }

@@ -326,3 +326,219 @@ case class KnnTopKExpr(vec: Expression, nrm: Expression, selfId: Expression,
     copy(vec = newChildren(0), nrm = newChildren(1), selfId = newChildren(2),
       ids = newChildren(3), cands = newChildren(4))
 }
+
+/** Driver-built, broadcast-shipped center set for the IVF family: ids
+  * ascending, one pre-computed double norm per center (the same
+  * `sqrt(left-fold dot)` as [[graft.sim.Similarity.norm]], computed
+  * once at construction so every task reuses it).
+  *
+  * Why this exists: [[TopCentersExpr]] ships its centers as a plan
+  * LITERAL — fine for an index parameter like a fixed k=32, but the
+  * classic IVF sizing makes |centers| ~ sqrt(corpus), and at real
+  * scale (1e5 centers x 64 dims) a literal blows plan size and codegen
+  * constant pools long before memory matters. A `Broadcast` handle
+  * serializes into tasks as a stub (the spark.ml pattern for shipping
+  * k-means centers), keeping plan size O(1) in |centers| while the
+  * assignment math stays bit-identical.
+  */
+case class CenterSet(ids: Array[Long], vecs: Array[Array[Float]],
+    norms: Array[Double]) extends Serializable
+
+object CenterSet {
+  /** Build from (id, vec) pairs; sorts by id ascending so positional
+    * tie-breaks reproduce [[TopCentersExpr]]'s id-ascending order. */
+  def apply(centers: Array[(Long, Array[Float])]): CenterSet = {
+    val sorted = centers.sortBy(_._1)
+    CenterSet(sorted.map(_._1), sorted.map(_._2),
+      sorted.map(_._2).map { c =>
+        var acc = 0d
+        var i = 0
+        while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      })
+  }
+}
+
+/** `BroadcastCentersExpr(vec, nrm, bc, nearest)` — the broadcast-handle
+  * twin of [[TopCentersExpr]]: ranks the broadcast [[CenterSet]]
+  * against `vec` and returns the top-`nearest` center IDS (not
+  * indices — the set carries its ids) in rank order, ties by smaller
+  * id. Scores are the identical
+  * `floor(dot / (nrm * centerNorm) * 1e6 + 0.5)` double math, so the
+  * two paths are bit-equal (differential-tested in SimilaritySpec).
+  *
+  * Not registered as a SQL function: the `Broadcast` constructor arg
+  * cannot come through the children-only `injectFunction` factory —
+  * callers build the Column via `Bridge.column`. CodegenFallback for
+  * the same reason as [[TopCentersExpr]]: one boundary per row is
+  * noise next to the k-dot-products loop inside.
+  */
+case class BroadcastCentersExpr(vec: Expression, nrm: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[CenterSet], nearest: Int)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec, nrm)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (vecOk && nrm.dataType == DoubleType && nearest > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "BroadcastCentersExpr expects (array<float>, double), nearest > 0")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val n = nrm.eval(input)
+    if (v == null || n == null) return null
+    val cs = bc.value
+    val arr = v.asInstanceOf[ArrayData]
+    val vn = n.asInstanceOf[Double]
+    val dim = arr.numElements()
+    val k = cs.vecs.length
+    val take = math.min(nearest, k)
+    val topScore = Array.fill(take)(Double.NegativeInfinity)
+    val topIdx = Array.fill(take)(-1)
+    var c = 0
+    while (c < k) {
+      val cv = cs.vecs(c)
+      if (cv.length == dim) {
+        var acc = 0d
+        var i = 0
+        while (i < dim) { acc += arr.getFloat(i).toDouble * cv(i); i += 1 }
+        val s = math.floor(acc / (vn * cs.norms(c)) * 1e6 + 0.5)
+        var pos = take
+        while (pos > 0 && s > topScore(pos - 1)) pos -= 1
+        if (pos < take) {
+          var j = take - 1
+          while (j > pos) {
+            topScore(j) = topScore(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
+          }
+          topScore(pos) = s
+          topIdx(pos) = c
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(
+      topIdx.filter(_ >= 0).map(i => cs.ids(i).asInstanceOf[AnyRef]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), nrm = newChildren(1))
+}
+
+/** Two-level (coarse -> fine) IVF index, driver-built and
+  * broadcast-shipped: `coarse` is a small [[CenterSet]] (the index
+  * parameter — ~sqrt(|fine|) entries), and `groups` maps each coarse
+  * id to the [[CenterSet]] of fine centers whose nearest coarse center
+  * it is. Ranking a vector costs O((|coarse| + |fine|/|coarse|) * dim)
+  * instead of the flat path's O(|fine| * dim) — the standard IMI/
+  * coarse-quantizer move that keeps per-row assignment work bounded as
+  * the fine-center count tracks corpus growth.
+  *
+  * APPROXIMATE by design: a vector near a coarse boundary may have its
+  * true nearest fine center in a different coarse cell. The rule is
+  * deterministic (argmax scaled-cosine, ties by smaller id, at both
+  * levels) so a SQL oracle replays it exactly — recall vs the flat
+  * assignment is a measured property, not a correctness one.
+  */
+case class TwoLevelIndex(coarse: CenterSet,
+    groups: Map[Long, CenterSet]) extends Serializable
+
+/** `TwoLevelCentersExpr(vec, nrm, bc, nearest)` — ranks `vec` against a
+  * broadcast [[TwoLevelIndex]]: pick the nearest coarse center (rank-1,
+  * ties by smaller id), then return the top-`nearest` fine-center IDS
+  * within that coarse group (same score math and tie-break). A vector
+  * whose coarse group is empty emits an empty array (its rows drop at
+  * the posexplode — mirrored by the oracle's inner join on the group).
+  */
+case class TwoLevelCentersExpr(vec: Expression, nrm: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[TwoLevelIndex], nearest: Int)
+    extends Expression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec, nrm)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (vecOk && nrm.dataType == DoubleType && nearest > 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "TwoLevelCentersExpr expects (array<float>, double), nearest > 0")
+  }
+
+  /** Rank-1 index into `cs` by (score desc, position asc), or -1. */
+  private def argmax(arr: ArrayData, dim: Int, vn: Double, cs: CenterSet): Int = {
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.vecs.length) {
+      val cv = cs.vecs(c)
+      if (cv.length == dim) {
+        var acc = 0d
+        var i = 0
+        while (i < dim) { acc += arr.getFloat(i).toDouble * cv(i); i += 1 }
+        val s = math.floor(acc / (vn * cs.norms(c)) * 1e6 + 0.5)
+        if (s > bestScore) { bestScore = s; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    val n = nrm.eval(input)
+    if (v == null || n == null) return null
+    val idx = bc.value
+    val arr = v.asInstanceOf[ArrayData]
+    val vn = n.asInstanceOf[Double]
+    val dim = arr.numElements()
+    val ci = argmax(arr, dim, vn, idx.coarse)
+    if (ci < 0) return new GenericArrayData(Array.empty[AnyRef])
+    val group = idx.groups.getOrElse(idx.coarse.ids(ci), null)
+    if (group == null) return new GenericArrayData(Array.empty[AnyRef])
+    val k = group.vecs.length
+    val take = math.min(nearest, k)
+    val topScore = Array.fill(take)(Double.NegativeInfinity)
+    val topIdx = Array.fill(take)(-1)
+    var c = 0
+    while (c < k) {
+      val cv = group.vecs(c)
+      if (cv.length == dim) {
+        var acc = 0d
+        var i = 0
+        while (i < dim) { acc += arr.getFloat(i).toDouble * cv(i); i += 1 }
+        val s = math.floor(acc / (vn * group.norms(c)) * 1e6 + 0.5)
+        var pos = take
+        while (pos > 0 && s > topScore(pos - 1)) pos -= 1
+        if (pos < take) {
+          var j = take - 1
+          while (j > pos) {
+            topScore(j) = topScore(j - 1); topIdx(j) = topIdx(j - 1); j -= 1
+          }
+          topScore(pos) = s
+          topIdx(pos) = c
+        }
+      }
+      c += 1
+    }
+    new GenericArrayData(
+      topIdx.filter(_ >= 0).map(i => group.ids(i).asInstanceOf[AnyRef]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), nrm = newChildren(1))
+}

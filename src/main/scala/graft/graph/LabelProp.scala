@@ -48,8 +48,13 @@ object LabelProp {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = pin(es.select(col("src").as("nid"))
       .union(es.select(col("dst").as("nid"))).distinct())
+    // Reduce seeds to ONE row per nid (deterministic min(label)):
+    // duplicate (nid, label) seed rows would otherwise multiply the
+    // labels frame at the left join below, and the blow-up compounds
+    // every round — silently breaking the one-row-per-node invariant.
     val sd = seeds.select(
-      col("nid").cast("long").as("nid"), col("label").cast("long").as("slabel"))
+        col("nid").cast("long").as("nid"), col("label").cast("long").as("slabel"))
+      .groupBy(col("nid")).agg(min(col("slabel")).as("slabel"))
     var labels = pin(nodes.join(sd, Seq("nid"), "left")
       .select(col("nid"), col("slabel").as("label"),
         col("slabel").isNotNull.as("seeded")))

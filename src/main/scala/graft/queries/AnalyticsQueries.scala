@@ -991,20 +991,26 @@ object AnalyticsQueries {
     * integer (BIGINT quantity, price cents), so the hash is
     * order-free. */
   def bucketedJoinQ(spark: SparkSession, dir: String): DataFrame = {
-    // Scoped by application id: two concurrent sessions (e.g. Verify
-    // and Bench in separate JVMs) must not overwrite each other's
-    // bucket layout mid-read.
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-" +
-      spark.sparkContext.applicationId
+    // Scoped by application id — data path AND catalog names: two
+    // concurrent sessions (e.g. Verify and Bench in separate JVMs)
+    // must not overwrite each other's bucket layout mid-read, and if
+    // they share one catalog, fixed table names would still race on
+    // DROP/recreate. The layout is deleted at JVM exit (DROP TABLE on
+    // an external table leaves the data behind).
+    val appId = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-$appId"
+    graft.etl.Bucketing.deleteOnExit(base)
+    val tOrders = s"graft_bkt_orders_$appId"
+    val tLineitem = s"graft_bkt_lineitem_$appId"
     graft.etl.Bucketing.writeBucketed(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_bkt_orders", s"$base/orders", "o_orderkey", 8)
+      tOrders, s"$base/orders", "o_orderkey", 8)
     graft.etl.Bucketing.writeBucketed(
       Tables.lineitem(spark, dir).select(col("l_orderkey"),
         col("l_quantity"), col("l_extendedprice")),
-      "graft_bkt_lineitem", s"$base/lineitem", "l_orderkey", 8)
+      tLineitem, s"$base/lineitem", "l_orderkey", 8)
     graft.etl.Bucketing.bucketedJoin(spark,
-        "graft_bkt_orders", "graft_bkt_lineitem", "o_orderkey", "l_orderkey")
+        tOrders, tLineitem, "o_orderkey", "l_orderkey")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),

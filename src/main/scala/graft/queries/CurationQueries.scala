@@ -568,6 +568,11 @@ object CurationQueries {
     "label_prop"     -> (labelProp _),
     "bm25_rank"      -> (bm25Rank _),
     "dsir_weights"   -> (dsirWeights _),
+    // NOTE: cms_freq (and stream_cms_files in StreamingQueries)
+    // construction is NOT lazy — building the DataFrame runs the
+    // full-corpus sketch aggregation (resp. a whole streaming run)
+    // eagerly, same declared envelope as the avgdl convention.
+    // Harness code must not assume query CONSTRUCTION is free.
     "cms_freq"       -> (cmsFreq _),
     "rrf_fusion"     -> (rrfFusion _),
     "source_quality_filter" -> (sourceQualityFilter _))

@@ -225,6 +225,26 @@ object SimQueries {
     Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
   }
 
+  /** TWO-LEVEL IVF kNN graph — the same trained sqrt(n) fine centers
+    * as [[knnGraphIvf]], but assignment goes coarse-then-fine
+    * ([[Similarity.knnGraphTopKTwoLevel]]): the coarse quantizer is
+    * the n^(1/4)-sized lowest-id slice of the fine centers, fine
+    * centers group under their nearest coarse center, and a vector
+    * ranks O(n^(1/4) + n^(1/4)) centers per row instead of O(sqrt n).
+    * This removes the last corpus-dependent per-row constant in the
+    * IVF family — at 1e5 fine centers the flat path does 1e5 dots per
+    * row, this does ~632 — while the index ships as ONE broadcast
+    * stub (never a plan literal; PlanAuditSpec asserts it). The
+    * oracle replays coarse selection, fine grouping, and both ranking
+    * levels relationally, so the approximation RULE is hash-checked,
+    * not just the output shape. */
+  def knnGraphIvf2(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val coarseK = math.max(4, math.sqrt(centers.length.toDouble).round.toInt)
+    Similarity.knnGraphTopKTwoLevel(v, centers, coarseK, K, nprobe = 2)
+  }
+
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
     * of the graph family (exact baseline / trained IVF / zero-training
     * SRP), same 4-band tables as [[annSrp]]. */
@@ -262,6 +282,58 @@ object SimQueries {
     val v = augmentedVectors(spark, dir)
     val planes = Similarity.planesFor(v.count())
     Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K)
+  }
+
+  /** Deterministic CLUSTERED corpus for the registered recall row:
+    * 40 base embeddings (vec_id < 40) each expanded to a 5-member
+    * cluster — member j perturbs every coordinate by ±0.02·j with the
+    * sign drawn from the portable md5 construction (the [[Similarity.srpSign]]
+    * trick), so members share a direction (cosine ≈ 0.99+) while the
+    * 40 clusters stay far apart. Pure builtins in DOUBLE with a final
+    * FLOAT cast, so DuckDB regenerates the corpus bit-for-bit. Ids are
+    * dense (base·5 + j), which makes `0 until 16` valid k-means init
+    * rows at every SF. */
+  private[graft] def clusteredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+    base
+      .withColumn("j", explode(sequence(lit(0), lit(4))))
+      .select((col("bid") * 5 + col("j")).as("id"),
+        transform(col("bvec"), (x, i) => {
+          val sign = when(
+            conv(substring(md5(concat_ws(":", lit("cl"),
+              col("bid").cast("string"), col("j").cast("string"),
+              i.cast("string"))), 1, 15), 16, 10).cast("long") % 2 === 0,
+            lit(1.0d)).otherwise(lit(-1.0d))
+          (x.cast("double") + lit(0.02d) * col("j").cast("double") * sign)
+            .cast("float")
+        }).as("vec"))
+  }
+
+  /** ANN recall ON CLUSTERED DATA as a registered, hash-checked
+    * query (round-11 verdict task 5): the RecallSpec >= 0.8 gate ran
+    * in ScalaTest only — this row makes the measured number itself
+    * part of the correctness contract. Truth = exact brute-force
+    * top-K over the clustered corpus; approx = the trained-IVF kNN
+    * graph (16 init cells, 1 Lloyd iteration, 2 probes); output = one
+    * row (n_truth, n_hit, recall_ppm). The DuckDB oracle replays the
+    * corpus construction, the k-means training, both searches, and
+    * the intersection — a green hash proves the recall VALUE, not
+    * just the pipeline shape. The >= 0.8 floor stays machine-asserted
+    * in RecallSpec against this same registered query. */
+  def annRecallClustered(spark: SparkSession, dir: String): DataFrame = {
+    val v = clusteredCorpus(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    val ann = Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
+      .select(col("q_id").as("a_q"), col("n_id").as("a_n"))
+    val truth = Similarity.bruteForceTopK(v, v, K)
+      .select(col("q_id"), col("n_id"))
+    truth.join(ann,
+        col("q_id") === col("a_q") && col("n_id") === col("a_n"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("a_q")).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        floor(col("n_hit") * 1e6d / col("n_truth")).cast("long").as("recall_ppm"))
   }
 
   /** PCA hash-checked END TO END — fit (distributed mean/Gram, driver
@@ -311,6 +383,8 @@ object SimQueries {
     "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
+    "knn_graph_ivf2"  -> (knnGraphIvf2 _),
+    "ann_recall_clustered" -> (annRecallClustered _),
     "knn_graph_srp"   -> (knnGraphSrp _),
     "knn_graph_srp_scaled" -> (knnGraphSrpScaled _),
     "knn_graph_srp_auto" -> (knnGraphSrpAuto _)
@@ -394,6 +468,25 @@ object SimQueries {
       |  FROM proj GROUP BY id, band
       |)""".stripMargin
 
+  /** The clustered perturbation corpus as SQL (mirror of
+    * [[clusteredCorpus]]): 40 base vectors x 5 members, coordinate
+    * perturbed by ±0.02·j with md5-drawn signs, DOUBLE math, FLOAT
+    * cast. NOTE: no continuation line may start with "||" (the
+    * stripMargin interaction documented at [[srpBucketsSql]]). */
+  private val clusteredSql =
+    """v AS (
+      |  SELECT b.vec_id * 5 + gj.j AS id,
+      |    [CAST(CAST(b.embedding[i + 1] AS DOUBLE) +
+      |          CAST(0.02 AS DOUBLE) * CAST(gj.j AS DOUBLE) *
+      |          (CASE WHEN CAST('0x' || substr(md5('cl:' ||
+      |              CAST(b.vec_id AS VARCHAR) || ':' || CAST(gj.j AS VARCHAR) ||
+      |              ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+      |     AS FLOAT) for i in generate_series(0, 63)] AS vec
+      |  FROM embeddings b CROSS JOIN generate_series(0, 4) AS gj(j)
+      |  WHERE b.vec_id < 40
+      |)""".stripMargin
+
   /** The augmented ×4 rotation corpus as SQL (mirror of
     * [[augmentedVectors]]). */
   private val augmentedSql =
@@ -424,6 +517,18 @@ object SimQueries {
     * Emits CTE `ranked_assign(id, vec, nrm, bucket, rn)`; expects a
     * prior CTE `vn(id, vec, nrm)`. */
   private def trainedAssignSql(cellsSql: String, nprobe: Int): String =
+    s"""${trainedCentersSql(cellsSql)},
+       |ranked_assign AS (
+       |  SELECT id, vec, nrm, bucket, rn FROM (
+       |    SELECT vn.id, vn.vec, vn.nrm, cn.c_id AS bucket,
+       |           row_number() OVER (PARTITION BY vn.id
+       |             ORDER BY ${scaledPartsSql("vn.vec", "cn.c_vec", "vn.nrm", "cn.c_nrm")} DESC,
+       |                      cn.c_id ASC) AS rn
+       |    FROM vn CROSS JOIN cn) WHERE rn <= $nprobe)""".stripMargin
+
+  /** The training half of [[trainedAssignSql]]: CTEs up to
+    * `cn(c_id, c_vec, c_nrm)` — the Lloyd-refined fine centers. */
+  private def trainedCentersSql(cellsSql: String): String =
     s"""c0 AS (SELECT id AS c_id, vec AS c_vec, nrm AS c_nrm
        |       FROM vn WHERE id < ($cellsSql)),
        |a0 AS (
@@ -441,14 +546,42 @@ object SimQueries {
        |       FROM el GROUP BY bucket, pos),
        |cc AS (SELECT bucket AS c_id, list(CAST(m AS FLOAT) ORDER BY pos ASC) AS c_vec
        |       FROM mm GROUP BY bucket),
-       |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM cc),
+       |cn AS (SELECT c_id, c_vec, sqrt(${dotSql("c_vec", "c_vec")}) AS c_nrm FROM cc)""".stripMargin
+
+  /** SQL replay of the TWO-LEVEL assignment
+    * ([[Similarity.buildTwoLevelIndex]] +
+    * [[Similarity.rankedCellsTwoLevel]]) over the `cn` fine centers:
+    * coarse = the coarseK lowest-id fine centers (coarseK =
+    * max(4, round(sqrt(|fine|))) — the n^(1/4) rule), fine centers
+    * grouped under their argmax coarse center, vectors ranked
+    * coarse-then-fine with the identical (score DESC, id ASC)
+    * tie-break at both levels. Emits `ranked_assign(id, vec, nrm,
+    * bucket, rn)`; expects prior CTEs `vn` and `cn`. */
+  private def twoLevelAssignSql(nprobe: Int): String =
+    s"""ckv AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) AS ck
+       |        FROM cn),
+       |co AS (SELECT c_id AS o_id, c_vec AS o_vec, c_nrm AS o_nrm FROM (
+       |         SELECT cn.*, row_number() OVER (ORDER BY c_id ASC) AS rn FROM cn)
+       |       WHERE rn <= (SELECT ck FROM ckv)),
+       |fg AS (SELECT c_id, c_vec, c_nrm, o_id AS g FROM (
+       |         SELECT cn.c_id, cn.c_vec, cn.c_nrm, co.o_id,
+       |                row_number() OVER (PARTITION BY cn.c_id
+       |                  ORDER BY ${scaledPartsSql("cn.c_vec", "co.o_vec", "cn.c_nrm", "co.o_nrm")} DESC,
+       |                           co.o_id ASC) AS rn
+       |         FROM cn CROSS JOIN co) WHERE rn = 1),
+       |vc AS (SELECT id, vec, nrm, o_id AS g FROM (
+       |         SELECT vn.id, vn.vec, vn.nrm, co.o_id,
+       |                row_number() OVER (PARTITION BY vn.id
+       |                  ORDER BY ${scaledPartsSql("vn.vec", "co.o_vec", "vn.nrm", "co.o_nrm")} DESC,
+       |                           co.o_id ASC) AS rn
+       |         FROM vn CROSS JOIN co) WHERE rn = 1),
        |ranked_assign AS (
        |  SELECT id, vec, nrm, bucket, rn FROM (
-       |    SELECT vn.id, vn.vec, vn.nrm, cn.c_id AS bucket,
-       |           row_number() OVER (PARTITION BY vn.id
-       |             ORDER BY ${scaledPartsSql("vn.vec", "cn.c_vec", "vn.nrm", "cn.c_nrm")} DESC,
-       |                      cn.c_id ASC) AS rn
-       |    FROM vn CROSS JOIN cn) WHERE rn <= $nprobe)""".stripMargin
+       |    SELECT vc.id, vc.vec, vc.nrm, fg.c_id AS bucket,
+       |           row_number() OVER (PARTITION BY vc.id
+       |             ORDER BY ${scaledPartsSql("vc.vec", "fg.c_vec", "vc.nrm", "fg.c_nrm")} DESC,
+       |                      fg.c_id ASC) AS rn
+       |    FROM vc JOIN fg ON vc.g = fg.g) WHERE rn <= $nprobe)""".stripMargin
 
   /** sqrt(n)-cell count in SQL — mirror of [[sqrtCells]] (Scala
     * `.round` = floor(x + 0.5) for positive x). */
@@ -466,6 +599,24 @@ object SimQueries {
        |  SELECT q.q_id, a.id AS n_id,
        |         ${scaledPartsSql("q.q_vec", "a.vec", "q.q_nrm", "a.nrm")} AS score_c
        |  FROM q JOIN assign a ON q.bucket = a.bucket AND q.q_id <> a.id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_c DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
+  /** Self-kNN search tail over `ranked_assign`: every vector probes
+    * its ranked cells (rows of `ranked_assign`), candidates are the
+    * rank-1 cell members, exact top-K per query — the shared tail of
+    * the IVF kNN-graph oracles (mirror of `Similarity.knnFromRanked`). */
+  private def selfKnnTailSql: String =
+    s"""assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+       |scored AS (
+       |  SELECT p.id AS q_id, a.id AS n_id,
+       |         ${scaledPartsSql("p.vec", "a.vec", "p.nrm", "a.nrm")} AS score_c
+       |  FROM ranked_assign p JOIN assign a
+       |    ON p.bucket = a.bucket AND p.id <> a.id),
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY score_c DESC, n_id ASC) AS rank
@@ -697,18 +848,45 @@ object SimQueries {
       s"""WITH $augmentedSql,
         |$vnSql,
         |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
+        |$selfKnnTailSql""".stripMargin,
+    "knn_graph_ivf2" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${trainedCentersSql(s"($sqrtCellsSql)")},
+        |${twoLevelAssignSql(nprobe = 2)},
+        |$selfKnnTailSql""".stripMargin,
+    // Clustered-corpus recall: the corpus is regenerated from the same
+    // md5-sign perturbation, both searches replayed, the intersection
+    // counted — the hash pins the measured recall value.
+    "ann_recall_clustered" ->
+      s"""WITH $clusteredSql,
+        |$vnSql,
+        |${trainedAssignSql("16", nprobe = 2)},
         |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
-        |scored AS (
+        |ascored AS (
         |  SELECT p.id AS q_id, a.id AS n_id,
         |         ${scaledPartsSql("p.vec", "a.vec", "p.nrm", "a.nrm")} AS score_c
         |  FROM ranked_assign p JOIN assign a
         |    ON p.bucket = a.bucket AND p.id <> a.id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score_c DESC, n_id ASC) AS rank
-        |  FROM scored)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
-        |FROM ranked WHERE rank <= $K""".stripMargin,
+        |ann AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score_c DESC, n_id ASC) AS rank
+        |    FROM ascored) WHERE rank <= $K),
+        |bscored AS (
+        |  SELECT q.id AS q_id, c.id AS n_id,
+        |         ${scaledPartsSql("q.vec", "c.vec", "q.nrm", "c.nrm")} AS score_c
+        |  FROM vn q JOIN vn c ON q.id <> c.id),
+        |truth AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score_c DESC, n_id ASC) AS rank
+        |    FROM bscored) WHERE rank <= $K)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+        |       CAST(count(a.q_id) AS BIGINT) AS n_hit,
+        |       CAST(floor(count(a.q_id) * 1e6 / count(*)) AS BIGINT) AS recall_ppm
+        |FROM truth t LEFT JOIN ann a
+        |  ON t.q_id = a.q_id AND t.n_id = a.n_id""".stripMargin,
     "knn_graph_srp" ->
       s"""WITH $augmentedSql,
         |$vnSql,

@@ -90,14 +90,39 @@ object Similarity {
       .select(col("id"), col("vec"), col("c_id").as("bucket"))
   }
 
+  /** Centers above this count ship as a BROADCAST handle instead of a
+    * plan literal ([[rankedCells]] dispatches): a literal of 32
+    * 64-dim float vectors is ~8 KB of plan — harmless — but the
+    * classic IVF sizing makes |centers| ~ sqrt(corpus), and at real
+    * scale (1e5 centers) a literal blows plan size / codegen constant
+    * pools long before memory matters. The broadcast path is
+    * bit-equal (differential-tested in SimilaritySpec), so the switch
+    * is pure plumbing — engine-chosen, like [[planesFor]]. Set at 32
+    * (not higher) so the sqrt(n)-sized queries cross it already at the
+    * sf0.01 correctness gate — the driver's DuckDB hash check then
+    * exercises the broadcast path, not only the ScalaTest
+    * differential. */
+  private[graft] val LiteralCentersMax = 32
+
   /** Shuffle-free centroid ranking against DRIVER-SIDE centers (the
     * spark.ml pattern — k·dim floats are bytes, not data): per row,
-    * the k scores are an array of (score, -centroid_id) structs built
-    * from literal vectors, sorted descending, top `nearest` kept. A
-    * pure projection — no join, no window, no exchange — with the
-    * same (score desc, centroid_id asc) tie-break as [[assign]].
-    * Returns (id, vec, nrm, bucket, __rn 1-based). */
+    * ONE native expression eval scores all k centers and keeps the top
+    * `nearest`. A pure projection — no join, no window, no exchange —
+    * with the same (score desc, centroid_id asc) tie-break as
+    * [[assign]]. Returns (id, vec, nrm, bucket, __rn 1-based).
+    *
+    * Dispatch: small center sets inline as a plan literal
+    * ([[TopCentersExpr]], fully cached per instance); sets larger than
+    * [[LiteralCentersMax]] ship as a broadcast variable
+    * ([[graft.expressions.BroadcastCentersExpr]]) so plan size stays
+    * O(1) in |centers|. Both paths produce bit-identical rows. */
   private def rankedCells(vectors: DataFrame,
+      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame =
+    if (centers.length <= LiteralCentersMax)
+      rankedCellsLit(vectors, centers, nearest)
+    else rankedCellsBroadcast(vectors, centers, nearest)
+
+  private[graft] def rankedCellsLit(vectors: DataFrame,
       centers: Array[(Long, Array[Float])], nearest: Int): DataFrame = {
     // All k center scores in ONE native expression eval per row
     // (TopCentersExpr); an array() of k per-center score columns
@@ -115,6 +140,26 @@ object Similarity {
         posexplode(col("__top")).as(Seq("__pos", "__idx")))
       .select(col("id"), col("vec"), col("nrm"),
         element_at(idsLit, col("__idx").cast("int") + 1).as("bucket"),
+        (col("__pos") + 1).as("__rn"))
+  }
+
+  /** The broadcast-handle variant of [[rankedCellsLit]] — same rows,
+    * bit for bit, but the centers travel as a `Broadcast[CenterSet]`
+    * stub in the serialized expression (the spark.ml pattern), never
+    * as a plan literal. The expression returns center IDS directly
+    * (the set carries them), so no element_at translation step. */
+  private[graft] def rankedCellsBroadcast(vectors: DataFrame,
+      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val bc = vectors.sparkSession.sparkContext.broadcast(
+      graft.expressions.CenterSet(centers))
+    withNorm(vectors, "")
+      .withColumn("__top", org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.BroadcastCentersExpr(
+          UnresolvedAttribute("vec"), UnresolvedAttribute("nrm"), bc, nearest)))
+      .select(col("id"), col("vec"), col("nrm"),
+        posexplode(col("__top")).as(Seq("__pos", "bucket")))
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"),
         (col("__pos") + 1).as("__rn"))
   }
 
@@ -347,14 +392,17 @@ object Similarity {
     * one top-k window — O(n·k) projection work + O(n²·nprobe/k) in-cell
     * pair scores against the brute pass's O(n²). */
   def knnGraphTopK(corpus: DataFrame, centers: Array[(Long, Array[Float])],
-      k: Int, nprobe: Int = 1): DataFrame = {
-    // One explicit exchange by cell, BEFORE deriving the two join
-    // sides: cells and probes then share an identical exchange subtree
-    // (reused, so the corpus is scanned and rank-projected once), and
-    // the bucket-keyed self-join below needs no further shuffle — the
-    // data already hash-partitions on its key.
-    val ranked = rankedCells(corpus, centers, nprobe)
-      .repartition(col("bucket"))
+      k: Int, nprobe: Int = 1): DataFrame =
+    knnFromRanked(rankedCells(corpus, centers, nprobe), k)
+
+  /** Shared self-kNN tail over a ranked-assignment frame
+    * (id, vec, nrm, bucket, __rn): one explicit exchange by cell,
+    * BEFORE deriving the two join sides — cells and probes then share
+    * an identical exchange subtree (reused, so the corpus is scanned
+    * and rank-projected once), and the bucket-keyed self-join needs no
+    * further shuffle — the data already hash-partitions on its key. */
+  private def knnFromRanked(rankedRaw: DataFrame, k: Int): DataFrame = {
+    val ranked = rankedRaw.repartition(col("bucket"))
     val cells = ranked.filter(col("__rn") === 1)
       .select(col("bucket"), col("id").as("n_id"), col("vec").as("n_vec"),
         col("nrm").as("n_nrm"))
@@ -368,6 +416,95 @@ object Similarity {
           col("q_nrm"), col("n_nrm")).as("score_c"))
     topK(scored, k)
   }
+
+  /** Driver-side scaled cosine — the SAME ascending-index double fold
+    * and `floor(dot / (na * nb) * 1e6 + 0.5)` as [[scaledFromParts]]/
+    * [[graft.expressions.DotExpr]], for driver-side index construction
+    * that must be bit-replayable by a SQL oracle. */
+  private[graft] def scoreCLocal(a: Array[Float], na: Double,
+      b: Array[Float], nb: Double): Double = {
+    var acc = 0d
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    math.floor(acc / (na * nb) * 1e6 + 0.5)
+  }
+
+  private[graft] def normLocal(a: Array[Float]): Double = {
+    var acc = 0d
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /** Build the two-level (coarse -> fine) IVF index from driver-side
+    * fine centers: the `coarseK` LOWEST-ID fine centers become the
+    * coarse quantizer, and every fine center joins the group of its
+    * argmax-scaled-cosine coarse center (ties by smaller coarse id) —
+    * a deterministic rule a SQL oracle replays exactly. All scores use
+    * [[scoreCLocal]], bit-identical to the distributed expressions.
+    *
+    * Why two levels: with the classic |fine| ~ sqrt(n) sizing, flat
+    * assignment costs O(|fine|·dim) per row — corpus-dependent work
+    * per row. Coarse-then-fine costs O((coarseK + |fine|/coarseK)·dim),
+    * minimized at coarseK ~ sqrt(|fine|) = n^(1/4): the standard
+    * coarse-quantizer move (IMI / FAISS IVF-on-IVF) that keeps both
+    * the per-row constant AND the shipped index bounded as the center
+    * count tracks corpus growth. */
+  def buildTwoLevelIndex(fineCenters: Array[(Long, Array[Float])],
+      coarseK: Int): graft.expressions.TwoLevelIndex = {
+    require(coarseK >= 1, s"coarseK must be >= 1, got $coarseK")
+    val sorted = fineCenters.sortBy(_._1)
+    val coarse = sorted.take(coarseK)
+    val coarseNorms = coarse.map(c => normLocal(c._2))
+    val grouped = sorted.groupBy { case (_, v) =>
+      val vn = normLocal(v)
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < coarse.length) {
+        val s = scoreCLocal(v, vn, coarse(i)._2, coarseNorms(i))
+        if (s > bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      coarse(best)._1
+    }
+    graft.expressions.TwoLevelIndex(
+      graft.expressions.CenterSet(coarse),
+      grouped.map { case (g, members) =>
+        g -> graft.expressions.CenterSet(members)
+      })
+  }
+
+  /** Two-level ranked assignment — same output contract as
+    * [[rankedCells]] (id, vec, nrm, bucket, __rn), still a pure
+    * shuffle-free projection, but per-row work is
+    * O((coarseK + |fine|/coarseK)·dim) and the index ships as ONE
+    * broadcast stub. Approximate near coarse boundaries (see
+    * [[graft.expressions.TwoLevelIndex]]); a vector whose coarse group
+    * is empty emits no rows. */
+  private[graft] def rankedCellsTwoLevel(vectors: DataFrame,
+      index: graft.expressions.TwoLevelIndex, nearest: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val bc = vectors.sparkSession.sparkContext.broadcast(index)
+    withNorm(vectors, "")
+      .withColumn("__top", org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.TwoLevelCentersExpr(
+          UnresolvedAttribute("vec"), UnresolvedAttribute("nrm"), bc, nearest)))
+      .select(col("id"), col("vec"), col("nrm"),
+        posexplode(col("__top")).as(Seq("__pos", "bucket")))
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"),
+        (col("__pos") + 1).as("__rn"))
+  }
+
+  /** Self-kNN via the two-level index: identical tail to
+    * [[knnGraphTopK]] (one bucket exchange, reused by both join
+    * sides), only the assignment projection differs. */
+  def knnGraphTopKTwoLevel(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], coarseK: Int,
+      k: Int, nprobe: Int = 1): DataFrame =
+    knnFromRanked(
+      rankedCellsTwoLevel(corpus, buildTwoLevelIndex(fineCenters, coarseK),
+        nprobe), k)
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid
     * buckets. `nprobe = 1` searches only the query's own cell; larger

@@ -507,4 +507,35 @@ class PlanAuditSpec extends SparkSpec {
         s"$name degraded to SortAggregate:\n$plan")
     }
   }
+
+  test("IVF family ships no corpus-sized center literal (the sqrt(n)-sized " +
+      "paths use the broadcast handle)") {
+    // The classic IVF sizing makes |centers| ~ sqrt(corpus); shipping
+    // them as a typedlit blows plan size / codegen constant pools at
+    // real scale (1e5 centers x 64 dims). Above LiteralCentersMax the
+    // engine ships a Broadcast[CenterSet] stub instead — so no plan
+    // may contain an array<array<float>> literal wider than the
+    // dispatch bound. sf0.01 puts knn_graph_ivf at ~45 fine centers
+    // (over the bound); knn_graph_ivf2's only literal is its
+    // n^(1/4)-sized coarse quantizer.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val widths = df.queryExecution.optimizedPlan.collect { case node =>
+        node.expressions.flatMap(_.collect {
+          case Literal(v: ArrayData, ArrayType(ArrayType(FloatType, _), _)) =>
+            v.numElements()
+        })
+      }.flatten
+      assert(widths.forall(_ <= graft.sim.Similarity.LiteralCentersMax),
+        s"$name ships a corpus-sized center literal (widths: $widths)")
+      // And the plan shape holds: no cartesian/nested-loop, the
+      // bucket self-join rides the one explicit exchange.
+      val plan = df.queryExecution.sparkPlan.toString()
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
 }

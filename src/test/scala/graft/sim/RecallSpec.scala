@@ -73,4 +73,15 @@ class RecallSpec extends SparkSpec {
       s"engine-chosen banding (recall $auto) must not lose to the " +
         s"fixed 10-plane setting (recall $scaled) at n=$n")
   }
+
+  test("the REGISTERED clustered-recall query (ann_recall_clustered) gates >= 0.8") {
+    // The same number the CORRECTNESS row hash-pins, machine-gated
+    // here: the registered query measures trained-IVF recall on the
+    // deterministic clustered fixture; the contract is >= 0.8.
+    val r = graft.queries.SimQueries.queries("ann_recall_clustered")(
+      spark, "/root/testdata/sf0.001").head()
+    val (nTruth, nHit, ppm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTruth == 600L, s"truth set should be 200 queries x 3: $nTruth")
+    assert(ppm >= 800000L, s"clustered recall $nHit/$nTruth = $ppm ppm < 0.8")
+  }
 }

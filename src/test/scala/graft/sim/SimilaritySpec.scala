@@ -231,4 +231,75 @@ class SimilaritySpec extends SparkSpec {
       assert(r.filter($"keep" === 0L).count() > 0)
     } finally r.unpersist()
   }
+
+  test("rankedCellsBroadcast is bit-equal to the literal path (dispatch is pure plumbing)") {
+    // 40 centers > LiteralCentersMax, so the registered queries would
+    // take the broadcast path here — this pins it to the literal
+    // path's output bit for bit (ids, buckets, ranks, norms).
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 40L, iters = 1)
+    assert(centers.length > Similarity.LiteralCentersMax)
+    val litDf = Similarity.rankedCellsLit(v, centers, 2)
+    val bcDf = Similarity.rankedCellsBroadcast(v, centers, 2)
+    assert(litDf.count() == bcDf.count())
+    assert(litDf.exceptAll(bcDf).count() == 0 &&
+      bcDf.exceptAll(litDf).count() == 0,
+      "broadcast-handle assignment diverged from the literal path")
+  }
+
+  test("two-level index: coarse = lowest-id slice, groups partition fine centers " +
+      "under their argmax coarse center") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val fine = KMeans.fitCenters(v, 0L until 40L, iters = 1)
+    val idx = Similarity.buildTwoLevelIndex(fine, 6)
+    val fineIds = fine.map(_._1).sorted.toSeq
+    assert(idx.coarse.ids.toSeq == fineIds.take(6))
+    val memberIds = idx.groups.values.flatMap(_.ids).toSeq.sorted
+    assert(memberIds == fineIds, "groups must partition the fine centers")
+    // Every member sits in the group of its argmax coarse center
+    // (ties by smaller coarse id — first strict max in ascending order).
+    val fineById = fine.toMap
+    idx.groups.foreach { case (g, cs) =>
+      cs.ids.foreach { id =>
+        val vec = fineById(id)
+        val vn = Similarity.normLocal(vec)
+        val best = idx.coarse.ids.indices.maxBy { i =>
+          (Similarity.scoreCLocal(vec, vn, idx.coarse.vecs(i),
+            idx.coarse.norms(i)), -i)
+        }
+        assert(idx.coarse.ids(best) == g,
+          s"fine center $id grouped under $g, argmax says ${idx.coarse.ids(best)}")
+      }
+    }
+  }
+
+  test("rankedCellsTwoLevel matches a driver-side replay of the coarse->fine rule") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val fine = KMeans.fitCenters(v, 0L until 40L, iters = 1)
+    val idx = Similarity.buildTwoLevelIndex(fine, 6)
+    val out = Similarity.rankedCellsTwoLevel(v, idx, 2).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(4)).map(_.getLong(3)).toSeq
+      }
+    val expected = v.collect().map { r =>
+      val id = r.getLong(0)
+      val vec = r.getSeq[Float](1).toArray
+      val vn = Similarity.normLocal(vec)
+      val ci = idx.coarse.ids.indices.maxBy { i =>
+        (Similarity.scoreCLocal(vec, vn, idx.coarse.vecs(i),
+          idx.coarse.norms(i)), -i)
+      }
+      val g = idx.groups(idx.coarse.ids(ci))
+      val ranked = g.ids.indices
+        .map(i => (Similarity.scoreCLocal(vec, vn, g.vecs(i), g.norms(i)), i))
+        .sortBy { case (s, i) => (-s, i) }
+        .take(2).map { case (_, i) => g.ids(i) }
+      id -> ranked.toSeq
+    }.toMap
+    assert(out == expected)
+  }
 }

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -290,5 +292,113 @@ class IncrementalStreamSpec extends SparkSpec {
     val sql = Resources.loadText("sample_query.sql")
     assert(sql.contains("SELECT DISTINCT o_orderkey"))
     assert(sql.contains("o_orderstatus != 'X'"))
+  }
+
+  // ----------------------------------------------------------------
+  // Kill-and-restart checkpoint recovery (round-11 verdict task 3):
+  // the file-source rows prove replay-immunity via at-least-once
+  // redelivery; these two prove STATE-STORE RESTORE — a query is
+  // stopped (mid-stream for dedup) and a NEW query instance resumes
+  // from the checkpoint dir, where only restored state can produce
+  // the asserted output.
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dedupStream: kill mid-stream, restart from checkpoint — duplicates " +
+      "of pre-kill keys still drop (state-store restore, exactly-once output)") {
+    val in = tmp("graft-restart-in")
+    val ckpt = tmp("graft-restart-ckpt")
+    val out = tmp("graft-restart-out")
+    val t0 = ts("2024-01-01 10:00:00")
+    def writeFile(name: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, t0)).toDF("event_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/$name")
+    // 6 files; each re-contains the previous file's ids (cross-batch
+    // duplicates inside phase 1 as well).
+    for (f <- 0 until 6) {
+      val fresh = (f * 10L) until (f * 10L + 10L)
+      val dupOfPrev = if (f == 0) Seq.empty[Long]
+        else ((f - 1) * 10L) until ((f - 1) * 10L + 10L)
+      writeFile(f"file$f%02d", fresh ++ dupOfPrev)
+    }
+    val schema = spark.read.parquet(s"$in/file00").schema
+    def dedupQuery() = IncrementalStream.dedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$in/*"),
+      Seq("event_id"), "ts", "1 hour")
+    // Phase 1: running query, killed after at least one committed batch
+    // but (with 6 one-file triggers) before the stream is drained.
+    val q1 = dedupQuery().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).format("parquet")
+      .option("path", out).start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(q1.recentProgress.exists(_.numInputRows > 0),
+      "phase 1 never committed a batch")
+    q1.stop() // hard stop — not a drained AvailableNow termination
+    // Phase 2: new files that duplicate PHASE-1 ids (only restored
+    // state can drop these) plus genuinely new ids.
+    writeFile("file06", (0L until 30L) ++ (60L until 70L))
+    writeFile("file07", (70L until 80L) ++ (40L until 50L))
+    val q2 = dedupQuery().writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt).format("parquet")
+      .option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val counts = spark.read.parquet(out).groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 80L).toSet,
+      s"missing ids: ${(0L until 80L).toSet -- counts.keySet}")
+    val dups = counts.filter(_._2 > 1)
+    assert(dups.isEmpty,
+      s"ids emitted more than once across the kill/restart: $dups")
+  }
+
+  test("episodeOpens: restart from checkpoint restores per-key GroupState — " +
+      "a same-value advance after restart opens NO episode") {
+    import IncrementalStream.Rec
+    val in = tmp("graft-episode-in")
+    val ckpt = tmp("graft-episode-ckpt")
+    // foreachBatch sink keyed by batchId: idempotent under epoch
+    // replay, shared across the two query instances.
+    val collected =
+      new java.util.concurrent.ConcurrentHashMap[Long, Seq[(Long, Long, String)]]()
+    def run(trigger: org.apache.spark.sql.streaming.Trigger): Unit = {
+      val schema = org.apache.spark.sql.Encoders.product[Rec].schema
+      val q = IncrementalStream.episodeOpens(
+          spark.readStream.schema(schema).parquet(s"$in/*").as[Rec])
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Rec], id: Long) =>
+          collected.put(id,
+            df.collect().toSeq.map(r => (r.key, r.seq, r.value)))
+          ()
+        }
+        .trigger(trigger).start()
+      q.awaitTermination()
+    }
+    Seq(
+      Rec(1L, 1L, "a"), Rec(1L, 2L, "a"), Rec(1L, 3L, "b"),
+      Rec(2L, 1L, "x")
+    ).toDS().coalesce(1).write.mode("overwrite").parquet(s"$in/file0")
+    run(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val phase1 = collected.values.asScala.flatten.toSet
+    assert(phase1 == Set((1L, 1L, "a"), (1L, 3L, "b"), (2L, 1L, "x")), phase1)
+    // Phase 2 after restart: key 1 advances with the SAME value "b"
+    // (emits nothing IFF the stored state survived the restart), then
+    // changes to "c" (emits); key 2 sees a late replay (nothing) and a
+    // same-value advance (nothing); key 3 is new (emits).
+    Seq(
+      Rec(1L, 4L, "b"), Rec(1L, 5L, "c"),
+      Rec(2L, 0L, "y"), Rec(2L, 2L, "x"),
+      Rec(3L, 1L, "q")
+    ).toDS().coalesce(1).write.mode("overwrite").parquet(s"$in/file1")
+    run(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val all = collected.values.asScala.flatten.toSet
+    assert(all == phase1 ++ Set((1L, 5L, "c"), (3L, 1L, "q")),
+      s"restart fabricated or lost episodes: $all")
   }
 }
