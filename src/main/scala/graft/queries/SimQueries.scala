@@ -138,6 +138,48 @@ object SimQueries {
           .otherwise(0L).as("keep"))
   }
 
+  /** INCREMENTAL embedding near-dup — IVF index MAINTENANCE, the
+    * embedding member of the incremental family (`minhash_dedup_incr`,
+    * `span_dedup_incr`): the index (trained centers + the base
+    * corpus's verified pair set) exists BEFORE a delta batch arrives;
+    * the delta is assigned by the EXISTING centers (no retraining —
+    * the production contract of a deployed IVF index), paired only
+    * against same-cell residents (base + delta), and the union of
+    * prior pairs and fresh delta-touching pairs is emitted. Because
+    * cells partition the corpus under one fixed center set, the
+    * composition is IDENTICAL to a full-batch run over all vectors
+    * with the base-trained centers — which is exactly what the DuckDB
+    * oracle replays, so the hash proves the maintenance path loses and
+    * invents nothing. Base/delta split by `vec_id % 10` (the family
+    * convention). Scale shape: the delta never touches out-of-cell
+    * residents, so a daily delta costs O(|delta| · cell population),
+    * not a corpus re-pair. */
+  def embeddingDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val base = all.filter(col("id") % 10 < 8)
+    val delta = all.filter(col("id") % 10 >= 8)
+    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
+    val baseA = Similarity.assignByCenters(base, centers)
+    val deltaA = Similarity.assignByCenters(delta, centers)
+    val prior = dedupPairs(baseA)
+    val residents = baseA.unionByName(deltaA)
+      .select(col("bucket"), col("id"), col("vec"), col("nrm"))
+    val fresh = deltaA
+      .select(col("bucket").as("bkd"), col("id").as("did"),
+        col("vec").as("dvec"), col("nrm").as("dnrm"))
+      .join(residents, col("bkd") === col("bucket") && col("did") =!= col("id"))
+      .select(least(col("did"), col("id")).as("id_a"),
+        greatest(col("did"), col("id")).as("id_b"),
+        // The fold is symmetric (ascending-index products commute
+        // termwise), so scoring (delta, resident) is bit-equal to the
+        // oracle's id-ordered (a, b).
+        Similarity.scaledFromParts(Similarity.dot(col("dvec"), col("vec")),
+          col("dnrm"), col("nrm")).as("score_c"))
+      .distinct()
+      .filter(col("score_c") >= 400000L)
+    prior.unionByName(fresh).distinct()
+  }
+
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
     * (precision); more bands -> more chances to collide (recall). */
@@ -378,6 +420,7 @@ object SimQueries {
     "ann_ivf_probe2"  -> (annIvfProbe2 _),
     "embedding_dedup" -> (embeddingDedup _),
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
+    "embedding_dedup_incr" -> (embeddingDedupIncr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "semdedup"        -> (semDedup _),
     "ann_srp" -> (annSrp _),
@@ -516,8 +559,9 @@ object SimQueries {
     *
     * Emits CTE `ranked_assign(id, vec, nrm, bucket, rn)`; expects a
     * prior CTE `vn(id, vec, nrm)`. */
-  private def trainedAssignSql(cellsSql: String, nprobe: Int): String =
-    s"""${trainedCentersSql(cellsSql)},
+  private def trainedAssignSql(cellsSql: String, nprobe: Int,
+      trainSrc: String = "vn"): String =
+    s"""${trainedCentersSql(cellsSql, trainSrc)},
        |ranked_assign AS (
        |  SELECT id, vec, nrm, bucket, rn FROM (
        |    SELECT vn.id, vn.vec, vn.nrm, cn.c_id AS bucket,
@@ -527,17 +571,19 @@ object SimQueries {
        |    FROM vn CROSS JOIN cn) WHERE rn <= $nprobe)""".stripMargin
 
   /** The training half of [[trainedAssignSql]]: CTEs up to
-    * `cn(c_id, c_vec, c_nrm)` — the Lloyd-refined fine centers. */
-  private def trainedCentersSql(cellsSql: String): String =
+    * `cn(c_id, c_vec, c_nrm)` — the Lloyd-refined fine centers.
+    * `src` names the training-corpus CTE (default the full `vn`; the
+    * incremental row trains on the base subset only). */
+  private def trainedCentersSql(cellsSql: String, src: String = "vn"): String =
     s"""c0 AS (SELECT id AS c_id, vec AS c_vec, nrm AS c_nrm
-       |       FROM vn WHERE id < ($cellsSql)),
+       |       FROM $src WHERE id < ($cellsSql)),
        |a0 AS (
        |  SELECT id, vec, c_id AS bucket FROM (
-       |    SELECT vn.id, vn.vec, c0.c_id,
-       |           row_number() OVER (PARTITION BY vn.id
-       |             ORDER BY ${scaledPartsSql("vn.vec", "c0.c_vec", "vn.nrm", "c0.c_nrm")} DESC,
+       |    SELECT $src.id, $src.vec, c0.c_id,
+       |           row_number() OVER (PARTITION BY $src.id
+       |             ORDER BY ${scaledPartsSql(s"$src.vec", "c0.c_vec", s"$src.nrm", "c0.c_nrm")} DESC,
        |                      c0.c_id ASC) AS rn
-       |    FROM vn CROSS JOIN c0) WHERE rn = 1),
+       |    FROM $src CROSS JOIN c0) WHERE rn = 1),
        |el AS (SELECT bucket, unnest(generate_series(1, len(vec))) AS pos,
        |              unnest(vec) AS x FROM a0),
        |mm AS (SELECT bucket, pos,
@@ -551,30 +597,41 @@ object SimQueries {
   /** SQL replay of the TWO-LEVEL assignment
     * ([[Similarity.buildTwoLevelIndex]] +
     * [[Similarity.rankedCellsTwoLevel]]) over the `cn` fine centers:
-    * coarse = the coarseK lowest-id fine centers (coarseK =
+    * init coarse = the coarseK lowest-id fine centers (coarseK =
     * max(4, round(sqrt(|fine|))) — the n^(1/4) rule), fine centers
-    * grouped under their argmax coarse center, vectors ranked
-    * coarse-then-fine with the identical (score DESC, id ASC)
-    * tie-break at both levels. Emits `ranked_assign(id, vec, nrm,
-    * bucket, rn)`; expects prior CTEs `vn` and `cn`. */
+    * grouped under their argmax init-coarse, coarse centers REFINED to
+    * the exact-integer-sum group means (el2/mm2/co — the hub-cell fix,
+    * see buildTwoLevelIndex), vectors ranked refined-coarse-then-fine
+    * with the identical (score DESC, id ASC) tie-break at both
+    * levels. Emits `ranked_assign(id, vec, nrm, bucket, rn)`; expects
+    * prior CTEs `vn` and `cn`. */
   private def twoLevelAssignSql(nprobe: Int): String =
     s"""ckv AS (SELECT GREATEST(4, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) AS ck
        |        FROM cn),
-       |co AS (SELECT c_id AS o_id, c_vec AS o_vec, c_nrm AS o_nrm FROM (
+       |co0 AS (SELECT c_id AS o_id, c_vec AS o_vec, c_nrm AS o_nrm FROM (
        |         SELECT cn.*, row_number() OVER (ORDER BY c_id ASC) AS rn FROM cn)
        |       WHERE rn <= (SELECT ck FROM ckv)),
        |fg AS (SELECT c_id, c_vec, c_nrm, o_id AS g FROM (
-       |         SELECT cn.c_id, cn.c_vec, cn.c_nrm, co.o_id,
+       |         SELECT cn.c_id, cn.c_vec, cn.c_nrm, co0.o_id,
        |                row_number() OVER (PARTITION BY cn.c_id
-       |                  ORDER BY ${scaledPartsSql("cn.c_vec", "co.o_vec", "cn.c_nrm", "co.o_nrm")} DESC,
-       |                           co.o_id ASC) AS rn
-       |         FROM cn CROSS JOIN co) WHERE rn = 1),
+       |                  ORDER BY ${scaledPartsSql("cn.c_vec", "co0.o_vec", "cn.c_nrm", "co0.o_nrm")} DESC,
+       |                           co0.o_id ASC) AS rn
+       |         FROM cn CROSS JOIN co0) WHERE rn = 1),
+       |el2 AS (SELECT g, unnest(generate_series(1, len(c_vec))) AS pos,
+       |               unnest(c_vec) AS x FROM fg),
+       |mm2 AS (SELECT g, pos,
+       |          CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |            / 1e9 / count(*) AS m
+       |        FROM el2 GROUP BY g, pos),
+       |co AS (SELECT g AS o_id, list(CAST(m AS FLOAT) ORDER BY pos ASC) AS o_vec
+       |       FROM mm2 GROUP BY g),
+       |con AS (SELECT o_id, o_vec, sqrt(${dotSql("o_vec", "o_vec")}) AS o_nrm FROM co),
        |vc AS (SELECT id, vec, nrm, o_id AS g FROM (
-       |         SELECT vn.id, vn.vec, vn.nrm, co.o_id,
+       |         SELECT vn.id, vn.vec, vn.nrm, con.o_id,
        |                row_number() OVER (PARTITION BY vn.id
-       |                  ORDER BY ${scaledPartsSql("vn.vec", "co.o_vec", "vn.nrm", "co.o_nrm")} DESC,
-       |                           co.o_id ASC) AS rn
-       |         FROM vn CROSS JOIN co) WHERE rn = 1),
+       |                  ORDER BY ${scaledPartsSql("vn.vec", "con.o_vec", "vn.nrm", "con.o_nrm")} DESC,
+       |                           con.o_id ASC) AS rn
+       |         FROM vn CROSS JOIN con) WHERE rn = 1),
        |ranked_assign AS (
        |  SELECT id, vec, nrm, bucket, rn FROM (
        |    SELECT vc.id, vc.vec, vc.nrm, fg.c_id AS bucket,
@@ -783,6 +840,18 @@ object SimQueries {
       s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
         |$vnSql,
         |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
+        |$dedupPairsSql""".stripMargin,
+    // Incremental maintenance replayed as the equivalent full batch:
+    // centers train on the BASE subset only, every vector (base +
+    // delta) is assigned by them, in-cell pairs verified — identical
+    // to prior ∪ fresh because cells partition under fixed centers.
+    "embedding_dedup_incr" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${trainedAssignSql(
+          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+          nprobe = 1, trainSrc = "vb")},
         |$dedupPairsSql""".stripMargin,
     // SemDeDup: trained-cell pairs closed into clusters by a recursive
     // CTE (min reachable id = the component label, matching the

@@ -454,22 +454,46 @@ object Similarity {
       coarseK: Int): graft.expressions.TwoLevelIndex = {
     require(coarseK >= 1, s"coarseK must be >= 1, got $coarseK")
     val sorted = fineCenters.sortBy(_._1)
-    val coarse = sorted.take(coarseK)
-    val coarseNorms = coarse.map(c => normLocal(c._2))
+    // Init coarse = the coarseK lowest-id fine centers; group every
+    // fine center under its argmax init-coarse (ties by smaller id).
+    val coarse0 = sorted.take(coarseK)
+    val coarse0Norms = coarse0.map(c => normLocal(c._2))
     val grouped = sorted.groupBy { case (_, v) =>
       val vn = normLocal(v)
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
-      while (i < coarse.length) {
-        val s = scoreCLocal(v, vn, coarse(i)._2, coarseNorms(i))
+      while (i < coarse0.length) {
+        val s = scoreCLocal(v, vn, coarse0(i)._2, coarse0Norms(i))
         if (s > bestScore) { bestScore = s; best = i }
         i += 1
       }
-      coarse(best)._1
+      coarse0(best)._1
+    }
+    // REFINED coarse = exact-integer-sum mean of each group's members
+    // (the KMeans.stepCenters formula, bit-replayable in SQL). Why
+    // refine: with the raw slice as coarse, each coarse center IS a
+    // member of its own group, and every vector lands in that group
+    // precisely because its cosine to that member was the max over
+    // coarse — so the member wins the fine ranking too and becomes a
+    // HUB cell (measured: max cell 382 vs the flat path's 109 at
+    // sf0.1; 4x pair-stage blowup at sf10). The group MEAN is not any
+    // fine center, which dissolves the self-preference while keeping
+    // the construction deterministic. Group membership stays keyed by
+    // the init id (no regrouping), so no group can come up empty.
+    val refined = grouped.toArray.map { case (g, members) =>
+      val dim = members.head._2.length
+      val vec = Array.tabulate(dim) { i =>
+        var s = 0L
+        members.foreach { case (_, v) =>
+          s += math.floor(v(i).toDouble * 1e9 + 0.5).toLong
+        }
+        (s.toDouble / 1e9 / members.length).toFloat
+      }
+      g -> vec
     }
     graft.expressions.TwoLevelIndex(
-      graft.expressions.CenterSet(coarse),
+      graft.expressions.CenterSet(refined),
       grouped.map { case (g, members) =>
         g -> graft.expressions.CenterSet(members)
       })

@@ -47,8 +47,12 @@ class RegistrySpec extends SparkSpec {
     //  - freq_items_band cross-joins the ONE-row freqItems sketch
     //    frame onto the handful of exact heavy hitters — a 1-row
     //    broadcast build side, constant per row.
+    //  - ann_recall_clustered's TRUTH side is the exact brute-force
+    //    baseline (pure-theta broadcast, same as ann_topk) over a
+    //    fixture FIXED at 200 vectors regardless of SF — the exact
+    //    pass is the recall denominator, bounded by construction.
     val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref",
-      "freq_items_band")
+      "freq_items_band", "ann_recall_clustered")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => boundedByDesign.contains(q._1))
       .collect { case (name, fn) =>

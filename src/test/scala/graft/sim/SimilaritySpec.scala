@@ -248,30 +248,42 @@ class SimilaritySpec extends SparkSpec {
       "broadcast-handle assignment diverged from the literal path")
   }
 
-  test("two-level index: coarse = lowest-id slice, groups partition fine centers " +
-      "under their argmax coarse center") {
+  test("two-level index: groups partition fine centers under the argmax INIT " +
+      "slice; coarse centers are the refined group means") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
     val fine = KMeans.fitCenters(v, 0L until 40L, iters = 1)
     val idx = Similarity.buildTwoLevelIndex(fine, 6)
     val fineIds = fine.map(_._1).sorted.toSeq
+    // Coarse ids descend from the 6 lowest-id fine centers.
     assert(idx.coarse.ids.toSeq == fineIds.take(6))
     val memberIds = idx.groups.values.flatMap(_.ids).toSeq.sorted
     assert(memberIds == fineIds, "groups must partition the fine centers")
-    // Every member sits in the group of its argmax coarse center
-    // (ties by smaller coarse id — first strict max in ascending order).
+    // Every member sits in the group of its argmax INIT-coarse center
+    // (the lowest-id slice — ties by smaller coarse id), and each
+    // refined coarse vector is the exact-integer-sum mean of its
+    // group's members (the hub-cell fix: the mean is not any member).
     val fineById = fine.toMap
+    val init = fine.sortBy(_._1).take(6)
+    val initNorms = init.map(c => Similarity.normLocal(c._2))
     idx.groups.foreach { case (g, cs) =>
       cs.ids.foreach { id =>
         val vec = fineById(id)
         val vn = Similarity.normLocal(vec)
-        val best = idx.coarse.ids.indices.maxBy { i =>
-          (Similarity.scoreCLocal(vec, vn, idx.coarse.vecs(i),
-            idx.coarse.norms(i)), -i)
+        val best = init.indices.maxBy { i =>
+          (Similarity.scoreCLocal(vec, vn, init(i)._2, initNorms(i)), -i)
         }
-        assert(idx.coarse.ids(best) == g,
-          s"fine center $id grouped under $g, argmax says ${idx.coarse.ids(best)}")
+        assert(init(best)._1 == g,
+          s"fine center $id grouped under $g, argmax says ${init(best)._1}")
       }
+      val gi = idx.coarse.ids.indexOf(g)
+      val members = cs.ids.map(fineById)
+      val expectedMean = Array.tabulate(members.head.length) { i =>
+        val s = members.map(m => math.floor(m(i).toDouble * 1e9 + 0.5).toLong).sum
+        (s.toDouble / 1e9 / members.length).toFloat
+      }
+      assert(idx.coarse.vecs(gi).toSeq == expectedMean.toSeq,
+        s"refined coarse $g is not the exact group mean")
     }
   }
 
