@@ -6,14 +6,85 @@ import org.apache.spark.sql.functions._
 /** Skew mitigation for hot keys at scale.
   *
   * AQE's runtime skew-join splitting handles most cases; these helpers
-  * cover the two patterns AQE cannot: a single hot GROUP BY key whose
-  * partial aggregate still lands on one reducer, and a shuffle join
-  * whose hot build-side key must be replicated. Salting is
+  * cover the patterns AQE cannot: a single hot GROUP BY key whose
+  * partial aggregate still lands on one reducer, a shuffle join whose
+  * hot build-side key must be replicated, and a blocked SELF-join
+  * whose hot bucket serializes O(p²) COMPUTE in one task while staying
+  * far under AQE's byte-based skew thresholds. Salting is
   * deterministic (hash of a tiebreak column, not rand()) so results
   * are reproducible and retries are safe — rand() in a salted pipeline
   * breaks task-retry idempotency.
   */
 object Skew {
+
+  /** Residents-per-bucket cap for [[selfPairsByBucket]] (and the
+    * IVF tail's asymmetric variant,
+    * [[graft.sim.Similarity.knnFromRanked]]): a bucket of pop p costs
+    * O(p²) pair scores, and one over-populated bucket serializes that
+    * work in a single task (measured at sf10: a 4645-resident IVF
+    * cell vs a 1060 median max — the straggler behind a 2.2× tail).
+    * AQE's skew-join split cannot catch this: it triggers on
+    * partition BYTES (256 MB default) while a few thousand rows of
+    * quadratic dot products are compute-minutes at single-digit MB. */
+  val SelfJoinCap = 2048
+
+  /** Skew-safe within-bucket SELF-join over a SYMMETRIC frame
+    * (columns: `keys` ++ `payload`; every row is both probe and
+    * candidate) — the shared pair generator behind the blocked
+    * dedup/LSH families. One explicit exchange by the bucket key(s);
+    * the per-bucket population that drives skew routing is a WINDOW
+    * over that exchange (no second shuffle, no separate aggregate
+    * subtree — and because the frame is symmetric, both join sides
+    * consume identical columns, so their exchange subtrees
+    * canonicalize equal and the bucketing projection materializes
+    * ONCE, served to every consumer as a runtime ReusedExchange;
+    * plan-audited).
+    *
+    * Hot/cold routing: buckets at/under `cap` join shuffle-free on
+    * the shared exchange; an over-cap bucket hashes its candidate
+    * side into ceil(pop/cap) parts by `payload.head` and replicates
+    * its probe side per part (`explode(sequence)`), so each
+    * (probe, candidate) pair is produced exactly once — in the
+    * candidate's part — and the hot bucket's O(p²) pair work lands
+    * on parallel tasks instead of one serialized straggler. The
+    * shuffle cost is proportional to the skew, not the corpus, and
+    * with no hot buckets AQE's empty-relation propagation deletes
+    * the hot branch at runtime.
+    *
+    * Emits every ordered in-bucket pair exactly once — including
+    * self-pairs — with probe-side columns `<payload>_a` and
+    * candidate-side `<payload>_b`, plus the key columns; callers
+    * impose `a < b` (unordered) or `a =!= b` (ordered).
+    * Bit-identical to the naive bucket self-join (partitioning only;
+    * differential-tested with a forced tiny cap). */
+  def selfPairsByBucket(frame: DataFrame, keys: Seq[String],
+      payload: Seq[String], cap: Int = SelfJoinCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(payload.nonEmpty, "payload must name at least one column")
+    val keyCols = keys.map(col)
+    val withS = frame.repartition(keyCols: _*)
+      .withColumn("__s", greatest(ceil(
+        count(lit(1)).over(Window.partitionBy(keyCols: _*))
+          .cast("double") / cap).cast("int"), lit(1)))
+    def side(df: DataFrame, suffix: String, part: Option[Column]) =
+      df.select((keyCols ++ part.map(_.as("__part")).toSeq ++
+        payload.map(c => col(c).as(s"${c}_$suffix"))): _*)
+
+    val cold = withS.filter(col("__s") === 1)
+    val coldPairs = side(cold, "a", None).join(side(cold, "b", None), keys)
+
+    val hot = withS.filter(col("__s") > 1)
+    val hotPairs = side(
+        hot.withColumn("__p", explode(sequence(lit(0), col("__s") - 1))),
+        "a", Some(col("__p")))
+      .join(side(hot, "b", Some(
+          pmod(xxhash64(col(payload.head)), col("__s").cast("long"))
+            .cast("int"))),
+        keys :+ "__part")
+      .drop("__part")
+
+    coldPairs.unionByName(hotPairs)
+  }
 
   /** Two-phase salted aggregation: groupBy (keys + salt) for the heavy
     * partial, then re-aggregate by keys. `aggs` must be decomposable

@@ -79,18 +79,13 @@ object SimQueries {
     * BEFORE deriving the two join sides makes their exchange subtrees
     * identical, so the assignment is computed once (ReuseExchange) and
     * the self-join needs no further shuffle. */
-  private def dedupPairs(assigned: DataFrame): DataFrame = {
-    val byCell = assigned.repartition(col("bucket"))
-    val a = byCell.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val b = byCell.select(col("bucket").as("bucket_b"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+  private def dedupPairs(assigned: DataFrame): DataFrame =
+    Similarity.selfPairsByBucket(assigned, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.scaledFromParts(Similarity.dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")).as("score_c"))
       .filter(col("score_c") >= 400000L)
-  }
 
   /** Embedding-cosine near-duplicate pairs blocked by trained cells
     * (fixed k = [[TrainedK]]): bucketed, never all-pairs. */

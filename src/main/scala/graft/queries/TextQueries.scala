@@ -265,11 +265,14 @@ object TextQueries {
       shiftright(col("s"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)
     val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
-    val cand = bands.select(col("b"), col("bv"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("b").as("b2"), col("bv").as("bv2"),
-        col("doc_id").as("doc_b")),
-        col("b") === col("b2") && col("bv") === col("bv2") &&
-          col("doc_a") < col("doc_b"))
+    // Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
+    // a hot 15-bit band value — boilerplate all near-identical docs
+    // share — would otherwise serialize its quadratic candidate
+    // fan-out in one task.
+    val cand = graft.etl.Skew.selfPairsByBucket(
+        bands.select(col("b"), col("bv"), col("doc_id").as("doc")),
+        Seq("b", "bv"), Seq("doc"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")

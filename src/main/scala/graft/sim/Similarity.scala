@@ -267,28 +267,24 @@ object Similarity {
     * hyperplanes — no training job, no centers to ship; the corpus
     * shuffles once per band by (band, bucket); nothing is all-pairs.
     * Skew hazard: a dense direction in the corpus concentrates one
-    * bucket, and the in-bucket self-join is quadratic in bucket size —
-    * the knob is more `planes` (each bit halves expected bucket
-    * population); real systems also sub-split buckets past a cap, the
-    * same move as the n-gram inverted index's df-cap
-    * (graft.queries.TextQueries `DfCap`). */
+    * bucket, and the in-bucket self-join is quadratic in bucket size.
+    * Two defenses compose: more `planes` bounds the EXPECTED
+    * occupancy (each bit halves it — [[planesFor]]), and the pair
+    * join itself sub-splits any bucket past
+    * [[graft.etl.Skew.SelfJoinCap]] residents
+    * ([[graft.etl.Skew.selfPairsByBucket]]), so a clustered corpus's
+    * hot bucket parallelizes instead of serializing one task. */
   def srpNearDuplicates(vectors: DataFrame, dim: Int, bands: Int,
-      planes: Int, minScoreC: Long, salt: String = "srp"): DataFrame = {
-    val byBucket = srpBuckets(vectors, dim, bands, planes, salt)
-      .repartition(col("band"), col("bkt"))
-    val a = byBucket.select(col("band"), col("bkt"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-    val bb = byBucket.select(col("band").as("band_b"), col("bkt").as("bkt_b"),
-      col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
-    a.join(bb, col("band") === col("band_b") && col("bkt") === col("bkt_b") &&
-        col("id_a") < col("id_b"))
+      planes: Int, minScoreC: Long, salt: String = "srp"): DataFrame =
+    selfPairsByBucket(srpBuckets(vectors, dim, bands, planes, salt),
+        Seq("band", "bkt"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         scaledFromParts(dot(col("vec_a"), col("vec_b")),
           col("nrm_a"), col("nrm_b")).as("score_c"))
       // A pair colliding in several bands scores identically each time.
       .distinct()
       .filter(col("score_c") >= minScoreC)
-  }
 
   /** SRP-bucketed top-k search — the TRAINING-FREE ANN variant:
     * candidates are corpus vectors sharing any band bucket with the
@@ -325,18 +321,12 @@ object Similarity {
     * recall honesty; [[knnGraphExact]] is the exact baseline). */
   def srpKnnGraph(corpus: DataFrame, dim: Int, bands: Int, planes: Int,
       k: Int, salt: String = "srp"): DataFrame = {
-    val byBucket = srpBuckets(corpus, dim, bands, planes, salt)
-      .repartition(col("band"), col("bkt"))
-    val a = byBucket.select(col("band"), col("bkt"), col("id").as("q_id"),
-      col("vec").as("q_vec"), col("nrm").as("q_nrm"))
-    val b = byBucket.select(col("band").as("band_b"), col("bkt").as("bkt_b"),
-      col("id").as("n_id"), col("vec").as("n_vec"), col("nrm").as("n_nrm"))
-    val scored = a.join(b,
-        col("band") === col("band_b") && col("bkt") === col("bkt_b") &&
-          col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        scaledFromParts(dot(col("q_vec"), col("n_vec")),
-          col("q_nrm"), col("n_nrm")).as("score_c"))
+    val scored = selfPairsByBucket(
+        srpBuckets(corpus, dim, bands, planes, salt), Seq("band", "bkt"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
+        scaledFromParts(dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("score_c"))
       .distinct() // multi-band collisions score identically
     topK(scored, k)
   }
@@ -395,27 +385,116 @@ object Similarity {
       k: Int, nprobe: Int = 1): DataFrame =
     knnFromRanked(rankedCells(corpus, centers, nprobe), k)
 
+  /** In-cell search tasks are capped at this resident population:
+    * a cell of pop p costs O(p²) pair scores, and one over-populated
+    * cell serializes that work in a single task (measured at sf10:
+    * the two-level index's 4645-resident cell vs a 1060 flat max —
+    * the straggler behind its 2.2× tail). Cells above the cap split
+    * into ceil(pop/cap) parts — the manual analog of AQE's skew-join
+    * partition split, which AQE skips here because the bucket
+    * exchange is user-specified. Results are bit-identical
+    * (partitioning only; differential-tested). */
+  private[graft] val CellSplitCap = graft.etl.Skew.SelfJoinCap
+
   /** Shared self-kNN tail over a ranked-assignment frame
     * (id, vec, nrm, bucket, __rn): one explicit exchange by cell,
-    * BEFORE deriving the two join sides — cells and probes then share
-    * an identical exchange subtree (reused, so the corpus is scanned
-    * and rank-projected once), and the bucket-keyed self-join needs no
-    * further shuffle — the data already hash-partitions on its key. */
-  private def knnFromRanked(rankedRaw: DataFrame, k: Int): DataFrame = {
-    val ranked = rankedRaw.repartition(col("bucket"))
-    val cells = ranked.filter(col("__rn") === 1)
-      .select(col("bucket"), col("id").as("n_id"), col("vec").as("n_vec"),
-        col("nrm").as("n_nrm"))
-    val probes = ranked
-      .select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"),
-        col("nrm").as("q_nrm"))
-    val scored = probes.join(cells, Seq("bucket"))
+    * then a skew-routed self-join.
+    *
+    * ONE rank-projection, by construction: the per-cell resident
+    * count that drives skew routing is a WINDOW over the exchanged
+    * frame (`partitionBy(bucket)` is satisfied by the explicit
+    * exchange — no second shuffle, no separate aggregate subtree),
+    * so every consumer below sits on an exchange whose child is the
+    * SAME scan + center-ranking projection with the SAME column set.
+    * Identical canonical subtrees are what exchange reuse keys on —
+    * the expensive |centers|·dim-per-row ranking runs once and the
+    * shuffle output is read by all consumers (plan-audited: one
+    * REPARTITION_BY_COL exchange in the whole plan).
+    *
+    * Skew handling — HOT/COLD routing on `__s = ceil(pop/cap)`. Rows
+    * of cells at/under the cap (in practice almost all of the
+    * corpus) take the original bucket-keyed self-join: both sides
+    * read the one exchange, so the pair stream is byte-for-byte the
+    * unsplit plan's and needs NO further shuffle. Rows of an
+    * over-cap cell route to the split join: residents partition into
+    * `__s` parts by a hash of their id, every probe of that cell
+    * replicates to each part (`explode(sequence)`), so each
+    * (probe, resident) pair is produced exactly once — in the
+    * resident's part — and the hot cell's O(p²) work lands on
+    * ceil(p/cap) parallel tasks instead of one serialized straggler.
+    * Only hot-cell rows pay the (bucket, part) re-exchange and the
+    * probe fan-out — shuffle proportional to the skew, not to the
+    * corpus. Results are bit-identical either way (partitioning
+    * only; differential-tested with a forced tiny cap). */
+  private[graft] def knnFromRanked(rankedRaw: DataFrame, k: Int,
+      cellCap: Int = CellSplitCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // greatest(..., 1): a cell can attract probe rows while owning
+    // zero residents; its pairs are empty either way, but __s = 0
+    // would make the probe fan-out sequence degenerate.
+    val withS = rankedRaw.repartition(col("bucket"))
+      .withColumn("__s", greatest(ceil(
+        count(when(col("__rn") === 1, 1))
+          .over(Window.partitionBy(col("bucket")))
+          .cast("double") / cellCap).cast("int"), lit(1)))
+
+    def pairScore(joined: DataFrame): DataFrame = joined
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         scaledFromParts(dot(col("q_vec"), col("n_vec")),
           col("q_nrm"), col("n_nrm")).as("score_c"))
-    topK(scored, k)
+
+    // Exchange reuse keys on canonical subtree equality, and column
+    // pruning breaks it silently: the cells side consumes __rn (the
+    // resident filter) while the probes side doesn't, so pruning
+    // would push a NARROWER projection under the probes' copy of the
+    // exchange and the two subtrees stop canonicalizing equal — the
+    // scan + center ranking would then run once per consumer. The
+    // probe filter `__rn >= 1` is true by construction (ranks start
+    // at 1) but not provable by the optimizer, so it survives and
+    // pins __rn into the probes' column set. Plan-audited, so a
+    // future optimizer that learns to prove it will fail the audit
+    // loudly rather than regress quietly.
+    val probeRows = withS.filter(col("__rn") >= 1)
+
+    // Cold path: both sides are filters over the shared bucket
+    // exchange — zero additional shuffle.
+    val cold = col("__s") === 1
+    val coldScored = pairScore(
+      probeRows.filter(cold)
+        .select(col("bucket"), col("id").as("q_id"),
+          col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+        .join(withS.filter(cold && col("__rn") === 1)
+          .select(col("bucket"), col("id").as("n_id"),
+            col("vec").as("n_vec"), col("nrm").as("n_nrm")),
+          Seq("bucket")))
+
+    // Hot path: over-cap cells only (a small row subset).
+    val hot = col("__s") > 1
+    val hotScored = pairScore(
+      probeRows.filter(hot)
+        .select(col("bucket"),
+          explode(sequence(lit(0), col("__s") - 1)).as("__part"),
+          col("id").as("q_id"), col("vec").as("q_vec"),
+          col("nrm").as("q_nrm"))
+        .join(withS.filter(hot && col("__rn") === 1)
+          .select(col("bucket"),
+            pmod(xxhash64(col("id")), col("__s").cast("long")).cast("int")
+              .as("__part"),
+            col("id").as("n_id"), col("vec").as("n_vec"),
+            col("nrm").as("n_nrm")),
+          Seq("bucket", "__part")))
+
+    topK(coldScored.unionByName(hotScored), k)
   }
+
+  /** The symmetric pair generator, vector-payload form — see
+    * [[graft.etl.Skew.selfPairsByBucket]] for the full contract
+    * (single materialized exchange, hot/cold skew routing,
+    * bit-identical to the naive bucket self-join). */
+  private[graft] def selfPairsByBucket(frame: DataFrame, keys: Seq[String],
+      cap: Int = CellSplitCap): DataFrame =
+    graft.etl.Skew.selfPairsByBucket(frame, keys, Seq("id", "vec", "nrm"), cap)
 
   /** Driver-side scaled cosine — the SAME ascending-index double fold
     * and `floor(dot / (na * nb) * 1e6 + 0.5)` as [[scaledFromParts]]/

@@ -73,13 +73,17 @@ object MinHashLSH {
     sigs.select(col(idCol), explode(array(bandCols: _*)).as("band_key"))
   }
 
-  /** Distinct candidate pairs (a < b) sharing at least one band key. */
-  def candidates(bandDf: DataFrame, idCol: String): DataFrame = {
-    val l = bandDf.select(col("band_key"), col(idCol).as("doc_a"))
-    val r = bandDf.select(col("band_key").as("bk2"), col(idCol).as("doc_b"))
-    l.join(r, col("band_key") === col("bk2") && col("doc_a") < col("doc_b"))
+  /** Distinct candidate pairs (a < b) sharing at least one band key.
+    * The band self-join is skew-routed ([[graft.etl.Skew
+    * .selfPairsByBucket]]): a hot band key — boilerplate text whose
+    * band signature thousands of documents share — would otherwise
+    * serialize its quadratic pair fan-out in one task. */
+  def candidates(bandDf: DataFrame, idCol: String): DataFrame =
+    graft.etl.Skew.selfPairsByBucket(
+        bandDf.select(col("band_key"), col(idCol).as("doc")),
+        Seq("band_key"), Seq("doc"))
+      .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-  }
 
   /** Exact Jaccard for candidate pairs via array intersection (the
     * pair side is small and broadcasts). */

@@ -538,4 +538,48 @@ class PlanAuditSpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
+
+  test("IVF self-kNN materializes the center-ranking scan ONCE: every " +
+      "bucket exchange beyond the first is a runtime ReusedExchange") {
+    // knnFromRanked fans out to four consumers (cold/hot x probe/cell)
+    // plus the per-cell window; all of them must ride ONE materialized
+    // REPARTITION_BY_COL shuffle of the scan + |centers|-dot ranking
+    // projection. That only happens when the consumers' below-exchange
+    // subtrees canonicalize equal — which column pruning silently
+    // breaks if one side stops consuming __rn (the reason for the
+    // probes' pinned `__rn >= 1` filter). Asserted on the
+    // POST-EXECUTION adaptive plan: AQE reuse is a runtime stage
+    // decision, invisible in the static plan.
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      val materialized = countOf(finalPlan, "REPARTITION_BY_COL") -
+        countOf(finalPlan, "ReusedExchange")
+      assert(materialized <= 1 && countOf(finalPlan, "ReusedExchange") >= 1,
+        s"$name materialized the ranking scan more than once:\n$finalPlan")
+    }
+  }
+
+  test("symmetric pair families (trained-cell dedup, SRP graph) also " +
+      "materialize their bucketing projection once") {
+    // selfPairsByBucket's probe/candidate sides consume identical
+    // columns by construction, so the bucket exchange must
+    // canonicalize equal and be served as one materialized stage —
+    // the center-assignment (or hyperplane-projection) scan runs
+    // once, not once per join side.
+    for (name <- Seq("embedding_dedup_trained", "knn_graph_srp")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      val materialized = countOf(finalPlan, "REPARTITION_BY_COL") -
+        countOf(finalPlan, "ReusedExchange")
+      assert(materialized <= 1 && countOf(finalPlan, "ReusedExchange") >= 1,
+        s"$name materialized its bucketing scan more than once:\n$finalPlan")
+    }
+  }
 }

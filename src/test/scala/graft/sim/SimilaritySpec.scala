@@ -314,4 +314,60 @@ class SimilaritySpec extends SparkSpec {
     }.toMap
     assert(out == expected)
   }
+
+  test("selfPairsByBucket: forced tiny cap is bit-identical to the unsplit " +
+      "self-join (ordered pairs, self-pairs included, no dup/loss)") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 4L, iters = 1)
+    val assigned = Similarity.assignByCenters(v, centers)
+    def pairs(cap: Int) =
+      Similarity.selfPairsByBucket(assigned, Seq("bucket"), cap = cap)
+        .select($"id_a", $"id_b")
+    val split = pairs(3)
+    val whole = pairs(1 << 30)
+    assert(split.count() == whole.count())
+    assert(split.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(split).count() == 0,
+      "bucket splitting changed the pair set — it must be partitioning-only")
+  }
+
+  test("hot-cell split: with the hot branch ALIVE (forced tiny cap), the " +
+      "ranking scan still materializes once — reuse is not an artifact of " +
+      "AQE deleting an empty hot side") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 8L, iters = 1)
+    val df = Similarity.knnFromRanked(
+      Similarity.rankedCellsBroadcast(v, centers, 2), 3, cellCap = 4)
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val finalPlan = qe.executedPlan.treeString.split("== Initial Plan ==")(0)
+    def n(s: String) = s.r.findAllIn(finalPlan).length
+    // In the final adaptive plan the one materialized exchange may
+    // itself print as a ReusedExchange reference (its defining stage
+    // is not re-printed), so assert "at most one non-reused mention,
+    // and reuse actually fired" rather than an exact count.
+    val materialized = n("REPARTITION_BY_COL") - n("ReusedExchange")
+    assert(materialized <= 1 && n("ReusedExchange") >= 1,
+      s"hot-branch-alive plan materialized the scan $materialized times:\n" +
+        finalPlan)
+  }
+
+  test("hot-cell split: a forced tiny cap produces bit-identical kNN output " +
+      "to the unsplit plan") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 8L, iters = 1)
+    // cap 4 forces every cell to split into many parts; cap 1<<30
+    // disables splitting entirely (s = 1 everywhere).
+    def run(cap: Int) = Similarity.knnFromRanked(
+      Similarity.rankedCellsBroadcast(v, centers, 2), 3, cellCap = cap)
+    val split = run(4)
+    val whole = run(1 << 30)
+    assert(split.count() == whole.count())
+    assert(split.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(split).count() == 0,
+      "cell splitting changed results — it must be partitioning-only")
+  }
 }
