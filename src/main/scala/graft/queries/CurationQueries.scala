@@ -99,9 +99,23 @@ object CurationQueries {
     * (a doc would need 800k tokens to exceed it — n_chars caps far
     * below). */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    // One materialized line stream (tokenize + slice + join + hash):
+    // the first-occurrence aggregate and the join-back both ride a
+    // single explicit lh exchange. The pin filter lives on the
+    // SHARED frame (not a branch): predicate pushdown copies a
+    // branch-side filter below the exchange on that branch alone,
+    // de-synchronizing the subtrees — applied here, it pushes below
+    // identically in every copy, and because it references every
+    // column any consumer needs (true by construction — positions
+    // are 1-based, lines and ids never null — but unprovable),
+    // pruning keeps the full column set in each copy and the
+    // subtrees canonicalize equal. Plan-audited.
     val h = lines(Tables.spread(Tables.documents(spark, dir)))
       .withColumn("lh", TF.portableHash(col("line_raw"), "linedup"))
       .withColumn("okey", col("doc_id") * 100000L + col("pos"))
+      .filter(col("doc_id").isNotNull && col("pos") >= 1 &&
+        length(col("line_raw")) >= 0)
+      .repartition(col("lh"))
     val firsts = h.groupBy(col("lh")).agg(min(col("okey")).as("first_key"))
     h.join(firsts, "lh")
       .groupBy(col("doc_id"))
@@ -145,16 +159,29 @@ object CurationQueries {
     val bg = toks.select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val train = bg.filter(col("doc_id") % 5 =!= 0)
-    val c2 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     // Vocabulary size is a scalar count action (the tf_idf convention:
     // one value on the driver, not a corpus collect).
     val v: Long = docs.filter(col("doc_id") % 5 =!= 0)
       .select(explode(TF.tokens(col("text"))).as("tok"))
       .agg(count_distinct(col("tok"))).head().getLong(0)
-    val perDoc = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+    // Model counts DERIVE from the per-doc aggregate (sums of
+    // per-doc counts == direct train counts; the train filter keys
+    // on doc_id, a grouping key), so the bigram explode materializes
+    // once and c2/c1/probe all ride perDoc's exchange (runtime
+    // ReusedExchange — grouping keys are not prunable and cnt is
+    // consumed by every side).
+    // The train filter carries an `|| cnt < 0` disjunct (never true,
+    // unprovable, references an aggregate output) so it cannot push
+    // below perDoc into the bigram stream — c2, c1 and the probe all
+    // ride ONE materialized exchange. The w1/w2 null pre-filter
+    // keeps join-key isnotnull inference from privatizing a subtree
+    // copy (tokens are never null; values unchanged).
+    val perDoc = bg.filter(col("w1").isNotNull && col("w2").isNotNull)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+    val train = perDoc.filter(col("doc_id") % 5 =!= 0 || col("cnt") < 0L)
+    val c2 = train.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(sum(col("cnt")).as("c1"))
     perDoc
       .join(broadcast(c2), Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
@@ -238,7 +265,14 @@ object CurationQueries {
     * df is |Q|-row broadcast, and the doc-length join is one linear
     * equi-shuffle. */
   def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    // The doc_id null filter is pre-applied to the SHARED token
+    // frame: the probe side's inner join with dl would otherwise
+    // infer isnotnull(doc_id) onto its copy of the subtree only
+    // (pushed into the scan), and the df/probe exchange subtrees
+    // would stop canonicalizing equal — silently doubling the
+    // tokenize pass. Values are unchanged (doc_id is never null).
     val toks = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), TF.tokens(col("text")).as("t"))
     val stats = toks.agg(count(lit(1)), sum(size(col("t")))).head()
     val nDocs = stats.getLong(0)
@@ -247,7 +281,11 @@ object CurationQueries {
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df already derives from tf; the `tf >= 1` filter (true by
+    // construction, unprovable) pins the count buffer so both
+    // consumers share tf's exchange instead of re-tokenizing.
+    val df = tf.filter(col("tf") >= 1)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
       .join(dl, "doc_id")
       .withColumn("contrib",
@@ -290,16 +328,32 @@ object CurationQueries {
       sum(when(col("lang") === "en", 1L).otherwise(0L))).head()
     val cTot = totals.getLong(0)
     val tTot = totals.getLong(1)
-    val ct = bg.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val cc = bg.groupBy(col("b")).agg(count(lit(1)).as("cc"))
+    // Both bucket models and the per-doc probe DERIVE from one
+    // per-(doc, lang, bucket) aggregate, so the bigram hash stream —
+    // the expensive part — materializes once and every consumer
+    // rides its exchange (runtime ReusedExchange). Aggregate
+    // grouping keys are not prunable and `cnt` is consumed by all
+    // three sides, so the subtrees canonicalize equal with no
+    // pinning needed. Values are identical: sums of per-doc counts
+    // == direct counts.
+    // ct's lang filter carries an `|| cnt < 0` disjunct (never true —
+    // counts are positive — but unprovable, and it references an
+    // aggregate output): a bare grouping-key filter would push BELOW
+    // perDoc into the bigram stream and give ct a private copy of
+    // the whole subtree instead of riding the shared exchange.
+    val perDoc = bg.filter(col("b").isNotNull)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ct = perDoc.filter(col("lang") === "en" || col("cnt") < 0L)
+      .groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
+    val cc = perDoc.groupBy(col("b")).agg(sum(col("cnt")).as("cc"))
     val delta = cc.join(ct, Seq("b"), "left")
       .select(col("b"),
         floor((log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
             lit(tTot + DsirBuckets))
           - log((col("cc") + 1L).cast("double") / lit(cTot + DsirBuckets)))
           * lit(1e6)).cast("long").as("d_ppm"))
-    bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy(col("doc_id"), col("b")).agg(sum(col("cnt")).as("cnt"))
       .join(broadcast(delta), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),

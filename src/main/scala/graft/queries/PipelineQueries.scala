@@ -668,10 +668,17 @@ object PipelineQueries {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
     val nDocs = docs.count()
-    val dfs = toks.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("dfc"))
     val tfs = toks.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tfc"))
+    // df(token) == number of (doc, token) groups, so it DERIVES from
+    // tfs — the token stream tokenizes and aggregates once, and both
+    // consumers ride tfs' one exchange (runtime ReusedExchange). The
+    // `tfc >= 1` filter is true by construction (group counts are
+    // positive) but unprovable, pinning the count buffer into this
+    // side so pruning cannot drop it below the shared exchange and
+    // break canonical subtree equality.
+    val dfs = tfs.filter(col("tfc") >= 1)
+      .groupBy(col("token")).agg(count(lit(1)).as("dfc"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("w_ppm").desc, col("token").asc)
     tfs.join(broadcast(dfs), Seq("token"))

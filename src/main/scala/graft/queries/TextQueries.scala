@@ -197,8 +197,20 @@ object TextQueries {
     * construction this replaces with group-and-window primitives. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.SpanIndex
+    // ONE materialized gram stream: the index aggregate (summarize)
+    // and the join-back (spans) both consume the gram projection —
+    // tokenize + n-gram + per-gram md5, the expensive part — so they
+    // must ride a single explicit gh exchange, reused at runtime.
+    // The `pos >= 1` pin (true by construction — positions are
+    // 1-based — but unprovable) sits on the SHARED frame, not the
+    // aggregate branch: a branch-side filter would push below the
+    // exchange on that branch alone and de-synchronize the subtrees;
+    // on the shared frame it pushes below identically everywhere and
+    // keeps `pos` in every copy's column set. Plan-audited.
     val grams = SpanIndex.grams(
       Tables.spread(Tables.documents(spark, dir)), SpanK)
+      .filter(col("pos") >= 1)
+      .repartition(col("gh"))
     val dup = SpanIndex.dupGrams(SpanIndex.summarize(grams))
     SpanIndex.spans(grams, dup, SpanK)
   }

@@ -582,4 +582,37 @@ class PlanAuditSpec extends SparkSpec {
         s"$name materialized its bucketing scan more than once:\n$finalPlan")
     }
   }
+
+  test("token-stream model queries: model aggregates DERIVE from the " +
+      "shared per-doc aggregate and ride its exchange (runtime reuse)") {
+    // tf_idf/bm25: df-from-tf with the count buffer pinned; dsir and
+    // ngram_lm: three consumers (two model sides + probe) of one
+    // per-doc aggregate, grouping-key filters blocked from pushing
+    // below it by the `|| cnt < 0` disjunct, join-key isnotnull
+    // inference neutralized by pre-filtering the shared base. The
+    // expected reuse count is per-query: one shared pair for
+    // tf_idf/bm25, two reused references for dsir/ngram_lm.
+    for ((name, minReuse) <- Seq("tf_idf" -> 1, "bm25_rank" -> 1,
+        "dsir_weights" -> 2, "ngram_lm_score" -> 2)) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.treeString.split("== Initial Plan ==")(0)
+      assert(countOf(finalPlan, "ReusedExchange") >= minReuse,
+        s"$name re-tokenizes instead of reusing its aggregate exchange " +
+          s"(expected >= $minReuse ReusedExchange):\n$finalPlan")
+    }
+  }
+
+  test("span_dedup: the gram stream (tokenize + n-gram + md5) " +
+      "materializes once — index aggregate and join-back share it") {
+    val df = SparkEntry.queries("span_dedup")(spark, "/root/testdata/sf0.01")
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val finalPlan = qe.executedPlan.treeString.split("== Initial Plan ==")(0)
+    val materialized = countOf(finalPlan, "REPARTITION_BY_COL") -
+      countOf(finalPlan, "ReusedExchange")
+    assert(materialized <= 1 && countOf(finalPlan, "ReusedExchange") >= 1,
+      s"span_dedup materialized the gram stream more than once:\n$finalPlan")
+  }
 }
