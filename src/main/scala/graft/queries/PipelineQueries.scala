@@ -336,14 +336,24 @@ object PipelineQueries {
     * Docs with no trigram (< 3 tokens) are excluded (rate undefined). */
   def oovRate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
-    val grams = docs.select(col("doc_id"),
-      explode(TF.wordNgrams(TF.tokens(col("text")), 3)).as("g"))
-    val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    // All three consumers (top-gram model, hit counts, gram totals)
+    // DERIVE from one per-(doc, gram) aggregate, so the 3-gram
+    // explode materializes once and rides a single reused exchange
+    // (sums of per-doc counts == direct counts; grouping keys are
+    // not prunable and cnt is consumed by every side). The null
+    // pre-filters neutralize join-key isnotnull inference that
+    // would otherwise push into one branch's copy alone (ids and
+    // grams are never null; values unchanged). Plan-audited.
+    val perDocGram = docs.select(col("doc_id"),
+        explode(TF.wordNgrams(TF.tokens(col("text")), 3)).as("g"))
+      .filter(col("doc_id").isNotNull && col("g").isNotNull)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+    val top = perDocGram.groupBy(col("g")).agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("g").asc).limit(OovTopK)
       .select(col("g"))
-    val perDoc = grams.join(broadcast(top), Seq("g"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-    grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val perDoc = perDocGram.join(broadcast(top), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_hit"))
+    perDocGram.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         floor((col("n_grams") - coalesce(col("n_hit"), lit(0L)))

@@ -593,7 +593,8 @@ class PlanAuditSpec extends SparkSpec {
     // expected reuse count is per-query: one shared pair for
     // tf_idf/bm25, two reused references for dsir/ngram_lm.
     for ((name, minReuse) <- Seq("tf_idf" -> 1, "bm25_rank" -> 1,
-        "dsir_weights" -> 2, "ngram_lm_score" -> 2)) {
+        "dsir_weights" -> 2, "ngram_lm_score" -> 2, "oov_rate" -> 2,
+        "line_dedup" -> 1)) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       val qe = df.queryExecution
       qe.toRdd.count()
