@@ -231,18 +231,24 @@ object Similarity {
 
   /** (id, vec, nrm, band, bkt) — one row per vector per band, bucket =
     * the band's `planes` projection sign bits. A pure projection over
-    * literal hyperplanes: no training pass, no shuffle. */
+    * literal hyperplanes: no training pass, no shuffle — and ONE scan:
+    * every band's bucket is computed in the same pass and exploded to
+    * (band, bkt) rows, instead of unioning one corpus scan per band
+    * (the pre-round-11 form read the corpus `bands` times; same rows,
+    * bit for bit — the per-band sign arithmetic is unchanged). */
   def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
       salt: String): DataFrame = {
     require(planes <= 62, "bucket bits must fit a long")
-    val vn = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    (0 until bands).map { b =>
-      val bucket = (0 until planes).map { p =>
+    val bandBkts = array((0 until bands).map { b =>
+      (0 until planes).map { p =>
         val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
         when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      vn.withColumn("band", lit(b)).withColumn("bkt", bucket)
-    }.reduce(_ unionByName _)
+    }: _*)
+    vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
+        posexplode(bandBkts).as(Seq("band", "bkt")))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("band").cast("int").as("band"), col("bkt"))
   }
 
   /** Banded signed-random-projection LSH near-duplicate pairs — the
