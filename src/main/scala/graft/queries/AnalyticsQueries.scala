@@ -941,26 +941,45 @@ object AnalyticsQueries {
   /** Ordered conversion funnel over the event stream: users reaching
     * view -> click(after view) -> purchase(after click). The strictly-
     * increasing-timestamp contract ("after") is the part a naive
-    * per-type count gets wrong. Three aggregates all keyed on
-    * user_id — same hash partitioning throughout, so the exchanges
-    * line up and the step joins stay co-partitioned; each step's
-    * input is filtered to one event type BEFORE its exchange. */
+    * per-type count gets wrong.
+    *
+    * ONE event scan and ONE shuffle: a running-min window chain over
+    * (user, ts-order) marks each row's step qualification in a single
+    * pass — `v` = min view ts seen so far, so a click qualifies iff
+    * `v < ts` (strict "after"; an equal-ts view yields v = ts, which
+    * strict < correctly rejects regardless of tie order); `c` = min
+    * QUALIFIED click ts so far, so a purchase qualifies iff `c < ts`.
+    * This replaces the textbook per-step aggregate+join ladder, which
+    * read the event table once per step and shuffled three times —
+    * events is the 100 TB table here, so scan count dominates. The
+    * two Window ops and the per-user aggregate all share the one
+    * hash-by-user exchange (same partitioning; plan-audited). */
   def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    def first(tpe: String) = ev.filter(col("event_type") === tpe)
-      .groupBy(col("user_id"))
-    val s1 = first("view").agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "click")
-      .join(s1, "user_id").filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
-      .join(s2, "user_id").filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    s1.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("step"), col("n_users"))
-      .unionByName(s2.agg(count(lit(1)).as("n_users"))
-        .select(lit("2_click").as("step"), col("n_users")))
-      .unionByName(s3.agg(count(lit(1)).as("n_users"))
-        .select(lit("3_purchase").as("step"), col("n_users")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perUser = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("v") < col("ts"), col("ts"))).over(w))
+      .groupBy(col("user_id")).agg(
+        max(col("event_type") === "view").as("r1"),
+        max(col("event_type") === "click" &&
+          col("v") < col("ts")).as("r2"),
+        max(col("event_type") === "purchase" &&
+          col("c") < col("ts")).as("r3"))
+    perUser.agg(
+        count(when(col("r1"), 1)).as("n1"),
+        count(when(col("r2"), 1)).as("n2"),
+        count(when(col("r3"), 1)).as("n3"))
+      .select(explode(array(
+        struct(lit("1_view").as("step"), col("n1").as("n_users")),
+        struct(lit("2_click").as("step"), col("n2").as("n_users")),
+        struct(lit("3_purchase").as("step"), col("n3").as("n_users"))))
+        .as("s"))
+      .select(col("s.step").as("step"), col("s.n_users").as("n_users"))
   }
 
   /** Equi-width histogram via `width_bucket` — the numeric-profiling

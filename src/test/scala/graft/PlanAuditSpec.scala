@@ -114,6 +114,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("funnel_steps: ONE event scan, ONE hash exchange — the window " +
+      "chain and per-user aggregate share the hash-by-user partitioning") {
+    val p = queryPlan("funnel_steps")
+    assert(countOf(p, "FileScan") == 1,
+      s"funnel must read the event table exactly once:\n$p")
+    assert(countOf(p, "Exchange hashpartitioning") == 1,
+      s"window chain + per-user agg must share one exchange:\n$p")
+  }
+
   private def queryPlan(name: String): String =
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
