@@ -17,6 +17,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   private def boolLit(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, BooleanType) => v
     case other =>
@@ -49,6 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_srp_buckets"),
+      new ExpressionInfo(classOf[SrpBucketsExpr].getName, "graft_srp_buckets"),
+      (children: Seq[Expression]) =>
+        SrpBucketsExpr(children.head, strLit(children(1), "salt"),
+          intLit(children(2), "bands"), intLit(children(3), "planes"),
+          intLit(children(4), "dim"))))
     ext.injectFunction((
       new FunctionIdentifier("graft_top_centers"),
       new ExpressionInfo(classOf[TopCentersExpr].getName, "graft_top_centers"),

@@ -542,3 +542,113 @@ case class TwoLevelCentersExpr(vec: Expression, nrm: Expression,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(vec = newChildren(0), nrm = newChildren(1))
 }
+
+/** `graft_srp_buckets(vec array<float>, salt, bands, planes, dim)` —
+  * ALL `bands` SRP band buckets of one vector in a single expression
+  * eval: bit p of band b is `dot(vec, signs(salt, b, p)) > 0`, the
+  * exact construction [[graft.sim.Similarity.srpBuckets]] previously
+  * composed from bands x planes separate [[DotExpr]] columns.
+  *
+  * Why one expression: the composed form inlines every dot's 64-wide
+  * loop plus its CASE chain into ONE generated method; past ~2 bands
+  * the method exceeds the JVM's huge-method JIT limit and the whole
+  * projection drops to the bytecode INTERPRETER (measured 17x on the
+  * sf1 corpus: 16.5 s vs 0.9 s for the bucketing scan alone, same
+  * dot-product count — AbSrpScan). Same cure as [[TopCentersExpr]]:
+  * a CodegenFallback boundary once per row into tight compiled Scala
+  * loops is noise compared to an interpreted 36-loop method body.
+  *
+  * Bit-identical to the composed form, including its edge semantics:
+  * a null vec, a vec whose length differs from `dim`, or a null
+  * element made every per-plane dot NULL, and `when(null > 0, bit)
+  * .otherwise(0)` contributed 0 — i.e. bucket 0 in every band. The
+  * hyperplane signs are regenerated from (salt, band, plane, dim) via
+  * the same md5 rule a SQL oracle replays relationally, stored as
+  * ±1.0 DOUBLE so each product `(double) vec(i) * sign` and the
+  * ascending-index accumulation are IEEE-identical to [[DotExpr]]'s.
+  */
+case class SrpBucketsExpr(vec: Expression, salt: String, bands: Int,
+    planes: Int, dim: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes() = {
+    val vecOk = vec.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (vecOk && bands >= 1 && planes >= 1 && planes <= 62 && dim >= 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_srp_buckets expects (array<float>) with 1<=planes<=62, got ${vec.dataType}, bands=$bands, planes=$planes, dim=$dim")
+  }
+
+  // Flat [band][plane][dim] sign matrix, ±1.0 double. Built once per
+  // task (transient lazy), never shipped as a plan literal.
+  @transient private lazy val signs: Array[Double] = {
+    val out = new Array[Double](bands * planes * dim)
+    var b = 0
+    while (b < bands) {
+      var p = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dim) {
+          out((b * planes + p) * dim + i) =
+            graft.sim.Similarity.srpSign(salt, b, p, i).toDouble
+          i += 1
+        }
+        p += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val out = new Array[Long](bands)
+    val v = vec.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() == dim && !hasNullElem(a)) {
+        val x = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { x(i) = a.getFloat(i).toDouble; i += 1 }
+        var b = 0
+        var off = 0
+        while (b < bands) {
+          var bkt = 0L
+          var p = 0
+          while (p < planes) {
+            var acc = 0d
+            var i2 = 0
+            while (i2 < dim) { acc += x(i2) * signs(off + i2); i2 += 1 }
+            if (acc > 0d) bkt |= 1L << p
+            p += 1
+            off += dim
+          }
+          out(b) = bkt
+          b += 1
+        }
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  private def hasNullElem(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0))
+}

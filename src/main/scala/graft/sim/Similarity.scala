@@ -236,19 +236,38 @@ object Similarity {
     * (band, bkt) rows, instead of unioning one corpus scan per band
     * (the pre-round-11 form read the corpus `bands` times; same rows,
     * bit for bit — the per-band sign arithmetic is unchanged). */
+  /** A/B knob for the two srpBuckets physical forms (same rows, bit
+    * for bit): one-pass array+posexplode vs one corpus scan per band
+    * unioned. Flipped only by [[graft.tools.AbSrp]] measurement runs;
+    * production default is the measured winner. */
+  @volatile private[graft] var srpOnePass: Boolean = true
+
   def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
       salt: String): DataFrame = {
     require(planes <= 62, "bucket bits must fit a long")
-    val bandBkts = array((0 until bands).map { b =>
-      (0 until planes).map { p =>
-        val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
-        when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
-    vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"),
-        posexplode(bandBkts).as(Seq("band", "bkt")))
-      .select(col("id"), col("vec"), col("nrm"),
-        col("band").cast("int").as("band"), col("bkt"))
+    def bandBucket(b: Int) = (0 until planes).map { p =>
+      val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
+      when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    if (srpOnePass) {
+      // ONE corpus scan; all band buckets from a single expression
+      // eval per row (SrpBucketsExpr — the composed bands x planes
+      // DotExpr columns blew the JIT's huge-method limit and ran
+      // interpreted, 17x slower; see the expression's scaladoc).
+      // nrm is computed BELOW the Generate, once per input row.
+      val bandBkts = call_function("graft_srp_buckets", col("vec"),
+        lit(salt), lit(bands), lit(planes), lit(dim))
+      vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+        .select(col("id"), col("vec"), col("nrm"),
+          posexplode(bandBkts).as(Seq("band", "bkt")))
+        .select(col("id"), col("vec"), col("nrm"),
+          col("band").cast("int").as("band"), col("bkt"))
+    } else {
+      val vn = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+      (0 until bands).map { b =>
+        vn.withColumn("band", lit(b)).withColumn("bkt", bandBucket(b))
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Banded signed-random-projection LSH near-duplicate pairs — the

@@ -370,4 +370,29 @@ class SimilaritySpec extends SparkSpec {
       whole.exceptAll(split).count() == 0,
       "cell splitting changed results — it must be partitioning-only")
   }
+
+  test("srpBuckets: one-pass SrpBucketsExpr form is bit-identical to the " +
+      "per-band union form, including null/short-vec edge rows") {
+    // Real embeddings plus the edge rows the composed form's
+    // when(null > 0, bit).otherwise(0) semantics defined: a NULL vec
+    // and a WRONG-LENGTH vec both land in bucket 0 of every band.
+    val base = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val edges = Seq(
+      (100000L, null.asInstanceOf[Array[Float]]),
+      (100001L, Array(1f, -2f, 3f))).toDF("id", "vec")
+    val v = base.unionByName(edges)
+    def run(op: Boolean) = {
+      Similarity.srpOnePass = op
+      try Similarity.srpBuckets(v, 64, 4, 7, "srp").collect().toSet
+      finally Similarity.srpOnePass = true
+    }
+    val onePass = run(true)
+    val union = run(false)
+    assert(onePass == union,
+      s"forms diverge: onlyOnePass=${(onePass -- union).take(3)} " +
+        s"onlyUnion=${(union -- onePass).take(3)}")
+    assert(onePass.exists(r => r.getLong(0) == 100000L && r.getLong(4) == 0L),
+      "null vec must land in bucket 0 (composed-form edge semantics)")
+  }
 }
