@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.sim.{KMeans, Pca, Similarity}
+import graft.sim.{KMeans, Pca, Pq, Similarity}
 
 /** Oracle-checked ANN queries over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -34,6 +34,12 @@ object SimQueries {
   /** Fixed centroid count for the fixed-k trained queries — a
     * user-chosen index parameter, independent of corpus size. */
   private val TrainedK = 32
+
+  /** PQ geometry (mirror of [[Pq]]'s defaults — index parameters,
+    * corpus-independent). */
+  private val PqM = Pq.M
+  private val PqSubDim = Pq.SubDim
+  private val PqKs = Pq.Ks
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.spread(Tables.embeddings(spark, dir))
@@ -321,6 +327,38 @@ object SimQueries {
     Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K)
   }
 
+  /** Per-vector PQ reconstruction quality ([[Pq.reconScores]]): pins
+    * the whole train/encode/decode chain — per-subspace Lloyd
+    * training from named init rows, argmin encoding, LUT norms — to
+    * the oracle row by row. The VALUE also documents the honest
+    * price of 32x compression on this corpus (scaled cosine of
+    * vector vs reconstruction; 1e6 would be lossless). */
+  def pqReconError(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Pq.reconScores(v, Pq.fitCodebooks(v))
+  }
+
+  /** ADC search ([[Pq.adcTopK]]): float queries against the
+    * PQ-compressed corpus — compression's effect on RANKING,
+    * oracle-visible in isolation (same query slice and K as
+    * [[annTopK]], so the two rows diff directly). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    Pq.adcTopK(v.filter(col("id") < 8), v, Pq.fitCodebooks(v), K)
+  }
+
+  /** IVFPQ kNN graph ([[Similarity.knnGraphTopKPq]]): the same
+    * trained sqrt(n) cells and probes as [[knnGraphIvf]], but the
+    * bucket exchange carries PQ codes instead of float vectors and
+    * in-cell pairs score via the broadcast LUT — the compressed-index
+    * member of the graph family (exact / trained IVF / two-level /
+    * SRP / IVFPQ). */
+  def knnGraphIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    Similarity.knnGraphTopKPq(v, centers, Pq.fitCodebooks(v), K, nprobe = 2)
+  }
+
   /** Deterministic CLUSTERED corpus for the registered recall row:
     * 40 base embeddings (vec_id < 40) each expanded to a 5-member
     * cluster — member j perturbs every coordinate by ±0.02·j with the
@@ -423,6 +461,9 @@ object SimQueries {
     "knn_graph_ivf"   -> (knnGraphIvf _),
     "knn_graph_ivf2"  -> (knnGraphIvf2 _),
     "ann_recall_clustered" -> (annRecallClustered _),
+    "pq_recon_error"  -> (pqReconError _),
+    "ann_pq"          -> (annPq _),
+    "knn_graph_ivfpq" -> (knnGraphIvfPq _),
     "knn_graph_srp"   -> (knnGraphSrp _),
     "knn_graph_srp_scaled" -> (knnGraphSrpScaled _),
     "knn_graph_srp_auto" -> (knnGraphSrpAuto _)
@@ -434,6 +475,75 @@ object SimQueries {
   private def dotSql(a: String, b: String) =
     s"""list_reduce(list_transform(generate_series(1, len($a)),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  /** The PER-SUBSPACE-GROUPED PQ dot (mirror of
+    * [[graft.expressions.PqAdcDotExpr]]/[[graft.expressions.PqSdcDotExpr]]'s
+    * grouping): an ascending-index fold within each subspace, partials
+    * summed ascending-s. Works for any two full-dim lists (float query
+    * x reconstruction, or reconstruction x reconstruction). */
+  private def pqDotSql(a: String, b: String,
+      m: Int = PqM, subDim: Int = PqSubDim) =
+    s"""list_reduce(list_transform(generate_series(0, ${m - 1}),
+       |  s -> list_reduce(list_transform(generate_series(1, $subDim),
+       |         i -> CAST($a[s*$subDim+i] AS DOUBLE) * CAST($b[s*$subDim+i] AS DOUBLE)),
+       |       (x, y) -> x + y)),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /** Scaled cosine over the grouped PQ dot (mirror of
+    * `scaledFromParts(pq dot, na, nb)`). */
+  private def pqScaledSql(a: String, b: String, na: String, nb: String) =
+    s"CAST(floor(${pqDotSql(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
+
+  /** SQL replay of [[Pq.fitCodebooks]] (one Lloyd iteration) +
+    * encode + reconstruct — the PQ mirror of [[trainedCentersSql]]:
+    *
+    *  1. `psub`: every vector sliced into its m subvectors;
+    *  2. `pq0`: init codes = subvectors of the rows with id < ks;
+    *  3. `pasg0`: argmin-L2 assignment via the exact expansion
+    *     `floor((c.c - 2 x.c) * 1e6 + 0.5)` (x.x constant, dropped),
+    *     ties to the smaller code id — [[graft.expressions.PqEncodeExpr]]'s
+    *     rule verbatim;
+    *  4. `pel`/`pmm`/`pcb`: per-(subspace, code, position) member
+    *     mean via the exact integer-sum formula, CAST to FLOAT;
+    *  5. `penc`: re-encode against the refined codes;
+    *  6. `prec`: reconstruction = code vectors flattened in subspace
+    *     order; `rnrm` = sqrt of the ascending-s sum of per-subspace
+    *     self-dots ([[graft.expressions.PqNormExpr]]'s grouping).
+    *
+    * Emits `prec(id, rvec, rnrm)`; expects a prior CTE
+    * `vn(id, vec, nrm)`. */
+  private def pqCodebookSql(ks: Int = PqKs, m: Int = PqM,
+      subDim: Int = PqSubDim): String =
+    s"""psub AS (SELECT id, s, list_slice(vec, s*$subDim+1, (s+1)*$subDim) AS x
+       |         FROM vn CROSS JOIN generate_series(0, ${m - 1}) AS pgs(s)),
+       |pq0 AS (SELECT s, CAST(id AS INTEGER) AS code, x AS c
+       |        FROM psub WHERE id < $ks),
+       |pasg0 AS (SELECT id, s, code FROM (
+       |  SELECT psub.id, psub.s, pq0.code,
+       |         row_number() OVER (PARTITION BY psub.id, psub.s
+       |           ORDER BY CAST(floor((${dotSql("pq0.c", "pq0.c")} - 2*${dotSql("psub.x", "pq0.c")}) * 1e6 + 0.5) AS BIGINT) ASC,
+       |                    pq0.code ASC) AS rn
+       |  FROM psub JOIN pq0 ON psub.s = pq0.s) WHERE rn = 1),
+       |pel AS (SELECT a.s, a.code, unnest(generate_series(1, len(p.x))) AS pos,
+       |               unnest(p.x) AS e
+       |        FROM pasg0 a JOIN psub p ON a.id = p.id AND a.s = p.s),
+       |pmm AS (SELECT s, code, pos,
+       |          CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |            / 1e9 / count(*) AS mv
+       |        FROM pel GROUP BY s, code, pos),
+       |pcb AS (SELECT s, code, list(CAST(mv AS FLOAT) ORDER BY pos ASC) AS c
+       |        FROM pmm GROUP BY s, code),
+       |penc AS (SELECT id, s, code FROM (
+       |  SELECT psub.id, psub.s, pcb.code,
+       |         row_number() OVER (PARTITION BY psub.id, psub.s
+       |           ORDER BY CAST(floor((${dotSql("pcb.c", "pcb.c")} - 2*${dotSql("psub.x", "pcb.c")}) * 1e6 + 0.5) AS BIGINT) ASC,
+       |                    pcb.code ASC) AS rn
+       |  FROM psub JOIN pcb ON psub.s = pcb.s) WHERE rn = 1),
+       |prec AS (SELECT e.id, flatten(list(p.c ORDER BY e.s ASC)) AS rvec,
+       |                sqrt(list_reduce(list(${dotSql("p.c", "p.c")} ORDER BY e.s ASC),
+       |                  (x, y) -> x + y)) AS rnrm
+       |         FROM penc e JOIN pcb p ON e.s = p.s AND e.code = p.code
+       |         GROUP BY e.id)""".stripMargin
 
   private def cosScaledSql(a: String, b: String) =
     s"""CAST(floor(${dotSql(a, b)} /
@@ -951,6 +1061,49 @@ object SimQueries {
         |       CAST(floor(count(a.q_id) * 1e6 / count(*)) AS BIGINT) AS recall_ppm
         |FROM truth t LEFT JOIN ann a
         |  ON t.q_id = a.q_id AND t.n_id = a.n_id""".stripMargin,
+    "pq_recon_error" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${pqCodebookSql()}
+        |SELECT vn.id, ${pqScaledSql("vn.vec", "r.rvec", "vn.nrm", "r.rnrm")} AS score_c
+        |FROM vn JOIN prec r ON vn.id = r.id""".stripMargin,
+    "ann_pq" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${pqCodebookSql()},
+        |q AS (SELECT id AS q_id, vec AS q_vec, nrm AS q_nrm FROM vn WHERE id < 8),
+        |scored AS (
+        |  SELECT q.q_id, r.id AS n_id,
+        |         ${pqScaledSql("q.q_vec", "r.rvec", "q.q_nrm", "r.rnrm")} AS score_c
+        |  FROM q JOIN prec r ON q.q_id <> r.id
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    "knn_graph_ivfpq" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
+        |${pqCodebookSql()},
+        |passign AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
+        |pprobe AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id),
+        |scored AS (
+        |  SELECT p.id AS q_id, a.id AS n_id,
+        |         ${pqScaledSql("p.rvec", "a.rvec", "p.rnrm", "a.rnrm")} AS score_c
+        |  FROM pprobe p JOIN passign a
+        |    ON p.bucket = a.bucket AND p.id <> a.id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
     "knn_graph_srp" ->
       s"""WITH $augmentedSql,
         |$vnSql,

@@ -52,7 +52,7 @@ object Similarity {
     df.select(col("id").as(s"${prefix}id"), col("vec").as(s"${prefix}vec"),
       norm(col("vec")).as(s"${prefix}nrm"))
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[sim] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_c").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -116,7 +116,7 @@ object Similarity {
     * [[LiteralCentersMax]] ship as a broadcast variable
     * ([[graft.expressions.BroadcastCentersExpr]]) so plan size stays
     * O(1) in |centers|. Both paths produce bit-identical rows. */
-  private def rankedCells(vectors: DataFrame,
+  private[sim] def rankedCells(vectors: DataFrame,
       centers: Array[(Long, Array[Float])], nearest: Int): DataFrame =
     if (centers.length <= LiteralCentersMax)
       rankedCellsLit(vectors, centers, nearest)
@@ -452,6 +452,23 @@ object Similarity {
     * corpus. Results are bit-identical either way (partitioning
     * only; differential-tested with a forced tiny cap). */
   private[graft] def knnFromRanked(rankedRaw: DataFrame, k: Int,
+      cellCap: Int = CellSplitCap): DataFrame =
+    knnFromRankedPayload(rankedRaw, k, Seq("vec", "nrm"), joined => joined
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c")),
+      cellCap)
+
+  /** Payload-generic form of [[knnFromRanked]]: `rankedRaw` carries
+    * (id, payload..., bucket, __rn), probe/resident sides rename the
+    * payload to `q_`/`n_` prefixes, and `scoreJoined` turns the
+    * joined pair frame into (q_id, n_id, score_c). The float-vector
+    * tail passes ("vec", "nrm") + cosine; the PQ tail passes
+    * ("codes", "rnrm") + the LUT scorer — same exchange, same skew
+    * routing, column sets differ only in the payload. */
+  private[sim] def knnFromRankedPayload(rankedRaw: DataFrame, k: Int,
+      payload: Seq[String], scoreJoined: DataFrame => DataFrame,
       cellCap: Int = CellSplitCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // greatest(..., 1): a cell can attract probe rows while owning
@@ -463,11 +480,10 @@ object Similarity {
           .over(Window.partitionBy(col("bucket")))
           .cast("double") / cellCap).cast("int"), lit(1)))
 
-    def pairScore(joined: DataFrame): DataFrame = joined
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        scaledFromParts(dot(col("q_vec"), col("n_vec")),
-          col("q_nrm"), col("n_nrm")).as("score_c"))
+    def qCols: Seq[Column] =
+      col("id").as("q_id") +: payload.map(c => col(c).as(s"q_$c"))
+    def nCols: Seq[Column] =
+      col("id").as("n_id") +: payload.map(c => col(c).as(s"n_$c"))
 
     // Exchange reuse keys on canonical subtree equality, and column
     // pruning breaks it silently: the cells side consumes __rn (the
@@ -485,29 +501,23 @@ object Similarity {
     // Cold path: both sides are filters over the shared bucket
     // exchange — zero additional shuffle.
     val cold = col("__s") === 1
-    val coldScored = pairScore(
+    val coldScored = scoreJoined(
       probeRows.filter(cold)
-        .select(col("bucket"), col("id").as("q_id"),
-          col("vec").as("q_vec"), col("nrm").as("q_nrm"))
+        .select(col("bucket") +: qCols: _*)
         .join(withS.filter(cold && col("__rn") === 1)
-          .select(col("bucket"), col("id").as("n_id"),
-            col("vec").as("n_vec"), col("nrm").as("n_nrm")),
+          .select(col("bucket") +: nCols: _*),
           Seq("bucket")))
 
     // Hot path: over-cap cells only (a small row subset).
     val hot = col("__s") > 1
-    val hotScored = pairScore(
+    val hotScored = scoreJoined(
       probeRows.filter(hot)
-        .select(col("bucket"),
-          explode(sequence(lit(0), col("__s") - 1)).as("__part"),
-          col("id").as("q_id"), col("vec").as("q_vec"),
-          col("nrm").as("q_nrm"))
+        .select(col("bucket") +:
+          explode(sequence(lit(0), col("__s") - 1)).as("__part") +: qCols: _*)
         .join(withS.filter(hot && col("__rn") === 1)
-          .select(col("bucket"),
+          .select(col("bucket") +:
             pmod(xxhash64(col("id")), col("__s").cast("long")).cast("int")
-              .as("__part"),
-            col("id").as("n_id"), col("vec").as("n_vec"),
-            col("nrm").as("n_nrm")),
+              .as("__part") +: nCols: _*),
           Seq("bucket", "__part")))
 
     topK(coldScored.unionByName(hotScored), k)
@@ -633,6 +643,39 @@ object Similarity {
     knnFromRanked(
       rankedCellsTwoLevel(corpus, buildTwoLevelIndex(fineCenters, coarseK),
         nprobe), k)
+
+  /** Self-kNN via IVF cells with PQ-COMPRESSED pair scoring — the
+    * FAISS IVFPQ composition: cell assignment ranks the original
+    * float vectors (same trained centers, same probes as
+    * [[knnGraphTopK]]), but the SAME pre-exchange projection also
+    * PQ-encodes each vector and the float vector is then DROPPED —
+    * the bucket exchange carries (id, m code ints, recon norm)
+    * instead of (id, dim floats, norm), and in-cell pairs score via
+    * the broadcast LUT (m lookups + adds per pair, zero multiplies).
+    *
+    * Scale story, concretely: at m=8 over 64-dim floats the shuffle
+    * payload narrows ~6x and pair scoring drops 8x in FLOPs — the
+    * two costs that dominate the IVF graph at 100 TB. The price is
+    * quantization error in the SCORES (ranking quality is a measured
+    * recall property, like every blocked-ANN approximation here);
+    * the score rule itself stays exact and the oracle replays
+    * training + encoding + LUT scoring bit-for-bit. */
+  def knnGraphTopKPq(corpus: DataFrame,
+      centers: Array[(Long, Array[Float])],
+      cb: graft.expressions.PqCodebook, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val bc = Pq.broadcastCodebook(corpus, cb)
+    val ranked = rankedCells(corpus, centers, nprobe)
+      .withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select(col("id"), col("codes"), col("rnrm"),
+        col("bucket"), col("__rn"))
+    knnFromRankedPayload(ranked, k, Seq("codes", "rnrm"), joined => joined
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(Pq.sdcDotCol("q_codes", "n_codes", bc),
+          col("q_rnrm"), col("n_rnrm")).as("score_c")))
+  }
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid
     * buckets. `nprobe = 1` searches only the query's own cell; larger

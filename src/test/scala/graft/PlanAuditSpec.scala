@@ -530,7 +530,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2")) {
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       val widths = df.queryExecution.optimizedPlan.collect { case node =>
         node.expressions.flatMap(_.collect {
@@ -559,7 +559,10 @@ class PlanAuditSpec extends SparkSpec {
     // probes' pinned `__rn >= 1` filter). Asserted on the
     // POST-EXECUTION adaptive plan: AQE reuse is a runtime stage
     // decision, invisible in the static plan.
-    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2")) {
+    // knn_graph_ivfpq rides the same tail with the PQ payload: its
+    // below-exchange projection (scan + ranking + encode + LUT norm,
+    // float vec DROPPED) must likewise materialize exactly once.
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       val qe = df.queryExecution
       qe.toRdd.count()
@@ -569,6 +572,31 @@ class PlanAuditSpec extends SparkSpec {
         countOf(finalPlan, "ReusedExchange")
       assert(materialized <= 1 && countOf(finalPlan, "ReusedExchange") >= 1,
         s"$name materialized the ranking scan more than once:\n$finalPlan")
+    }
+  }
+
+  test("knn_graph_ivfpq: no exchange carries a float vector — the " +
+      "corpus shuffles as PQ codes") {
+    // The point of the compressed index: the float embedding is
+    // consumed by assignment + encoding BELOW the bucket exchange and
+    // dropped, so every shuffle in the plan moves (codes, rnrm) or
+    // scored ids — never array<float>. A regression that reorders the
+    // projection above the repartition would silently re-widen the
+    // exchange ~6x at scale; this pins it at the optimized plan.
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = SparkEntry.queries("knn_graph_ivfpq")(spark, "/root/testdata/sf0.01")
+    val reparts = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression => r
+    }
+    assert(reparts.nonEmpty, "expected the explicit bucket exchange")
+    reparts.foreach { r =>
+      val floatArrays = r.output.filter(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      assert(floatArrays.isEmpty,
+        s"bucket exchange carries float vectors: $floatArrays")
     }
   }
 

@@ -51,8 +51,12 @@ class RegistrySpec extends SparkSpec {
     //    baseline (pure-theta broadcast, same as ann_topk) over a
     //    fixture FIXED at 200 vectors regardless of SF — the exact
     //    pass is the recall denominator, bounded by construction.
+    //  - ann_pq is the brute form of ADC search (same pure-theta
+    //    broadcast query slice as ann_topk, deliberately unblocked so
+    //    compression's effect on ranking is oracle-visible in
+    //    isolation); its blocked sibling is knn_graph_ivfpq.
     val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref",
-      "freq_items_band", "ann_recall_clustered")
+      "freq_items_band", "ann_recall_clustered", "ann_pq")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => boundedByDesign.contains(q._1))
       .collect { case (name, fn) =>
