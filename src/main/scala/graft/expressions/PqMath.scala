@@ -48,16 +48,23 @@ case class PqCodebook(m: Int, subDim: Int,
 
   def dim: Int = m * subDim
 
-  /** Position of code `id` in subspace `s` (id-ascending arrays are
-    * tiny — linear scan), or -1. */
-  def idx(s: Int, id: Int): Int = {
-    val ids = codeIds(s)
-    var i = 0
-    while (i < ids.length) {
-      if (ids(i) == id) return i
-      i += 1
+  /** Per-subspace id -> position table (ids are small ints — the
+    * named init-row ids — so a direct array beats scanning): built
+    * once per deserialized codebook, sized max-id+1, -1 for unknown.
+    * This is the hot-loop lookup — [[PqSdcDotExpr]] runs it 2m times
+    * PER PAIR, where a linear scan would cost m·ks/2 compares. */
+  @transient private lazy val posById: Array[Array[Int]] =
+    codeIds.map { ids =>
+      val t = Array.fill(ids.foldLeft(0)(math.max) + 1)(-1)
+      var i = 0
+      while (i < ids.length) { t(ids(i)) = i; i += 1 }
+      t
     }
-    -1
+
+  /** Position of code `id` in subspace `s`, or -1. */
+  def idx(s: Int, id: Int): Int = {
+    val t = posById(s)
+    if (id < 0 || id >= t.length) -1 else t(id)
   }
 }
 
@@ -326,14 +333,19 @@ case class PqSdcDotExpr(codesA: Expression, codesB: Expression,
     val a = codesA.eval(input)
     val b = codesB.eval(input)
     if (a == null || b == null) return null
-    val pa = codePositions(a.asInstanceOf[ArrayData])
-    val pb = codePositions(b.asInstanceOf[ArrayData])
-    if (pa == null || pb == null) return null
+    // Fused allocation-free loop: this runs once per CANDIDATE PAIR
+    // (the quadratic stage), so no intermediate position arrays.
+    val pa = a.asInstanceOf[ArrayData]
+    val pb = b.asInstanceOf[ArrayData]
+    if (pa.numElements() != cb.m || pb.numElements() != cb.m) return null
     var total = 0d
     var s = 0
     while (s < cb.m) {
-      val k = cb.codeIds(s).length
-      total += cb.lut(s)(pa(s) * k + pb(s))
+      if (pa.isNullAt(s) || pb.isNullAt(s)) return null
+      val ia = cb.idx(s, pa.getInt(s))
+      val ib = cb.idx(s, pb.getInt(s))
+      if (ia < 0 || ib < 0) return null
+      total += cb.lut(s)(ia * cb.codeIds(s).length + ib)
       s += 1
     }
     total

@@ -127,10 +127,18 @@ object SimQueries {
     * broadcast-or-shuffle equi-join. The DuckDB oracle replays the
     * k-means training relationally and closes the clusters with a
     * recursive CTE — the hash proves cluster labels AND keep set. */
-  def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vectors(spark, dir)
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOver(vectors(spark, dir))
+
+  private[graft] def semDedupOver(v: DataFrame): DataFrame = {
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
     val pairs = dedupPairs(Similarity.assignByCenters(v, centers))
+    semDedupTail(v, pairs)
+  }
+
+  /** Shared verdict tail: components over the verified pair set, one
+    * deterministic keeper (min id) per cluster, singletons pass. */
+  private def semDedupTail(v: DataFrame, pairs: DataFrame): DataFrame = {
     val comps = graft.text.Components.connected(pairs, "id_a", "id_b")
     v.select(col("id")).join(comps, Seq("id"), "left")
       .select(col("id"),
@@ -347,6 +355,34 @@ object SimQueries {
     Pq.adcTopK(v.filter(col("id") < 8), v, Pq.fitCodebooks(v), K)
   }
 
+  /** IVFADC search ([[Similarity.ivfTopKByCentersPq]]): trained-cell
+    * blocking + asymmetric ADC scoring — float queries against the
+    * coded corpus, the production search mode of an IVFPQ index.
+    * Same query slice, K, and fixed-k cells as [[annIvf]], so the
+    * three rows (exact [[annTopK]] / IVF [[annIvf]] / IVFADC) diff
+    * the blocking loss and the compression loss separately. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    Similarity.ivfTopKByCentersPq(v.filter(col("id") < 8), v, centers,
+      Pq.fitCodebooks(v), K, nprobe = 2)
+  }
+
+  /** Two-stage compressed search ([[Similarity.rerankExact]] over an
+    * IVFADC shortlist): ADC retrieves 4K candidates in code space,
+    * the float re-rank keeps the true top-K — the deployment-mode
+    * answer to quantization collapsing near-ties (cluster members
+    * that code identically re-separate under the exact cosine). The
+    * float corpus is touched for |q| x 4K rows only. */
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 8)
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val shortlist = Similarity.ivfTopKByCentersPq(q, v, centers,
+      Pq.fitCodebooks(v), K * 4, nprobe = 2)
+    Similarity.rerankExact(shortlist, q, v, K)
+  }
+
   /** IVFPQ kNN graph ([[Similarity.knnGraphTopKPq]]): the same
     * trained sqrt(n) cells and probes as [[knnGraphIvf]], but the
     * bucket exchange carries PQ codes instead of float vectors and
@@ -357,6 +393,60 @@ object SimQueries {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
     Similarity.knnGraphTopKPq(v, centers, Pq.fitCodebooks(v), K, nprobe = 2)
+  }
+
+  /** SDC prefilter threshold for [[semDedupPq]]: the candidate gate
+    * sits a margin BELOW the 400000 verify threshold to absorb
+    * quantization error in the code-space scores (an index recall
+    * parameter, not a correctness one — the oracle replays the same
+    * gate, so the row is hash-exact for any margin; what the margin
+    * buys is fewer true pairs lost to compression). */
+  private val SdcPrefilterC = 300000L
+
+  /** SemDeDup with a PQ-compressed pair stage — the 100 TB form of
+    * [[semDedup]]: the in-cell pair exchange carries (id, codes,
+    * rnrm) — m small ints and a double per vector instead of dim
+    * floats (~6x narrower at m=8/dim=64) — candidates are gated by
+    * the cheap SDC lookup score at [[SdcPrefilterC]], and only the
+    * SURVIVORS join back to the float corpus for the exact cosine >=
+    * 0.4 verify. Components and the keep rule then run over verified
+    * pairs exactly as in [[semDedup]].
+    *
+    * Scale shape: pair work dominates SemDeDup's cost (O(n^1.5) with
+    * sqrt(n) cells) and every candidate costs m LUT lookups instead
+    * of dim multiply-adds; the exact verify touches only the
+    * candidate set, so the wide float rows never enter the quadratic
+    * stage. The join-back is id-keyed — cardinality |candidates|,
+    * not |pairs|. */
+  def semDedupPq(spark: SparkSession, dir: String): DataFrame =
+    semDedupPqOver(vectors(spark, dir))
+
+  private[graft] def semDedupPqOver(v: DataFrame): DataFrame = {
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val bc = Pq.broadcastCodebook(v, Pq.fitCodebooks(v))
+    val coded = Similarity.assignByCenters(v, centers)
+      .withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select(col("bucket"), col("id"), col("codes"), col("rnrm"))
+    val cand = graft.etl.Skew.selfPairsByBucket(coded, Seq("bucket"),
+        Seq("id", "codes", "rnrm"), Similarity.CellSplitCap)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.scaledFromParts(Pq.sdcDotCol("codes_a", "codes_b", bc),
+          col("rnrm_a"), col("rnrm_b")).as("sdc_c"))
+      .filter(col("sdc_c") >= SdcPrefilterC)
+      .select(col("id_a"), col("id_b"))
+    val vn = v.withColumn("nrm", Similarity.norm(col("vec")))
+    val pairs = cand
+      .join(vn.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vn.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .filter(Similarity.scaledFromParts(
+        Similarity.dot(col("vec_a"), col("vec_b")),
+        col("nrm_a"), col("nrm_b")) >= 400000L)
+      .select(col("id_a"), col("id_b"))
+    semDedupTail(v, pairs)
   }
 
   /** Deterministic CLUSTERED corpus for the registered recall row:
@@ -456,6 +546,7 @@ object SimQueries {
     "embedding_dedup_incr" -> (embeddingDedupIncr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "semdedup"        -> (semDedup _),
+    "semdedup_pq"     -> (semDedupPq _),
     "ann_srp" -> (annSrp _),
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
@@ -463,6 +554,8 @@ object SimQueries {
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
+    "ann_ivfpq"       -> (annIvfPq _),
+    "ann_pq_rerank"   -> (annPqRerank _),
     "knn_graph_ivfpq" -> (knnGraphIvfPq _),
     "knn_graph_srp"   -> (knnGraphSrp _),
     "knn_graph_srp_scaled" -> (knnGraphSrpScaled _),
@@ -983,6 +1076,41 @@ object SimQueries {
         |       CAST(CASE WHEN c.comp IS NULL OR c.comp = v.id
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM v LEFT JOIN comps c ON v.id = c.id""".stripMargin,
+    // SemDeDup with the PQ pair stage: candidates are in-cell pairs
+    // whose SDC score over reconstructions clears the prefilter, then
+    // the float verify, recursive closure, and keep rule run exactly
+    // as in the semdedup oracle.
+    "semdedup_pq" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |${pqCodebookSql()},
+        |passign AS (
+        |  SELECT a.id, a.bucket, r.rvec, r.rnrm
+        |  FROM assign a JOIN prec r ON a.id = r.id),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM passign a JOIN passign b
+        |    ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= $SdcPrefilterC
+        |), pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
+        |  WHERE ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} >= 400000
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs
+        |), reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id
+        |), comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+        |SELECT v.id, coalesce(c.comp, v.id) AS cluster,
+        |       CAST(CASE WHEN c.comp IS NULL OR c.comp = v.id
+        |            THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM v LEFT JOIN comps c ON v.id = c.id""".stripMargin,
     // Full SRP replay: the hyperplanes are regenerated from the same
     // md5 construction, the projection is the same ordered left-fold
     // dot, and candidates are in-bucket pairs per band, deduped.
@@ -1082,6 +1210,60 @@ object SimQueries {
         |  FROM scored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin,
+    // IVFADC: queries probe their 2 ranked cells with FLOAT vectors;
+    // candidates are rank-1 residents joined to their reconstructions;
+    // the score is the asymmetric grouped PQ dot.
+    "ann_ivfpq" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 2)},
+        |${pqCodebookSql()},
+        |passign AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
+        |q AS (SELECT id AS q_id, vec AS q_vec, nrm AS q_nrm, bucket
+        |      FROM ranked_assign WHERE id < 8),
+        |scored AS (
+        |  SELECT q.q_id, a.id AS n_id,
+        |         ${pqScaledSql("q.q_vec", "a.rvec", "q.q_nrm", "a.rnrm")} AS score_c
+        |  FROM q JOIN passign a ON q.bucket = a.bucket AND q.q_id <> a.id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    // Two-stage: the IVFADC shortlist (rank <= 4K in code space) is
+    // re-scored with the exact float cosine and re-ranked to top-K.
+    "ann_pq_rerank" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 2)},
+        |${pqCodebookSql()},
+        |passign AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
+        |q AS (SELECT id AS q_id, vec AS q_vec, nrm AS q_nrm, bucket
+        |      FROM ranked_assign WHERE id < 8),
+        |pq_scored AS (
+        |  SELECT q.q_id, a.id AS n_id,
+        |         ${pqScaledSql("q.q_vec", "a.rvec", "q.q_nrm", "a.rnrm")} AS score_c
+        |  FROM q JOIN passign a ON q.bucket = a.bucket AND q.q_id <> a.id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score_c DESC, n_id ASC) AS rank
+        |    FROM pq_scored) WHERE rank <= ${K * 4}),
+        |rescored AS (
+        |  SELECT s.q_id, s.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM short s JOIN vn x ON s.q_id = x.id JOIN vn y ON s.n_id = y.id),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM rr WHERE rank <= $K""".stripMargin,
     "knn_graph_ivfpq" ->
       s"""WITH $augmentedSql,
         |$vnSql,

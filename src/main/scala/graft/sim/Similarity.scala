@@ -47,10 +47,12 @@ object Similarity {
   def scaledFromParts(dotC: Column, normA: Column, normB: Column): Column =
     floor(dotC / (normA * normB) * 1e6 + 0.5d)
 
-  /** Attach the precomputed norm: (prefix_id, prefix_vec, prefix_nrm). */
-  private def withNorm(df: DataFrame, prefix: String): DataFrame =
-    df.select(col("id").as(s"${prefix}id"), col("vec").as(s"${prefix}vec"),
-      norm(col("vec")).as(s"${prefix}nrm"))
+  /** Attach the precomputed norm: (prefix_id, prefix_vec, prefix_nrm),
+    * plus any `carry` columns passed through unprefixed. */
+  private def withNorm(df: DataFrame, prefix: String,
+      carry: Seq[String] = Nil): DataFrame =
+    df.select(Seq(col("id").as(s"${prefix}id"), col("vec").as(s"${prefix}vec"),
+      norm(col("vec")).as(s"${prefix}nrm")) ++ carry.map(col): _*)
 
   private[sim] def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -117,13 +119,15 @@ object Similarity {
     * ([[graft.expressions.BroadcastCentersExpr]]) so plan size stays
     * O(1) in |centers|. Both paths produce bit-identical rows. */
   private[sim] def rankedCells(vectors: DataFrame,
-      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame =
+      centers: Array[(Long, Array[Float])], nearest: Int,
+      carry: Seq[String] = Nil): DataFrame =
     if (centers.length <= LiteralCentersMax)
-      rankedCellsLit(vectors, centers, nearest)
-    else rankedCellsBroadcast(vectors, centers, nearest)
+      rankedCellsLit(vectors, centers, nearest, carry)
+    else rankedCellsBroadcast(vectors, centers, nearest, carry)
 
   private[graft] def rankedCellsLit(vectors: DataFrame,
-      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame = {
+      centers: Array[(Long, Array[Float])], nearest: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     // All k center scores in ONE native expression eval per row
     // (TopCentersExpr); an array() of k per-center score columns
     // generated k inlined dot loops whose code size kicked the stage
@@ -133,14 +137,15 @@ object Similarity {
     val sorted = centers.sortBy(_._1)
     val centersLit = typedlit(sorted.map(_._2.toSeq).toSeq)
     val idsLit = typedlit(sorted.map(_._1).toSeq)
-    withNorm(vectors, "")
+    val carryCols = carry.map(col)
+    withNorm(vectors, "", carry)
       .withColumn("__top", call_function("graft_top_centers",
         col("vec"), col("nrm"), centersLit, lit(nearest)))
-      .select(col("id"), col("vec"), col("nrm"),
-        posexplode(col("__top")).as(Seq("__pos", "__idx")))
-      .select(col("id"), col("vec"), col("nrm"),
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols :+
+        posexplode(col("__top")).as(Seq("__pos", "__idx")): _*)
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols ++ Seq(
         element_at(idsLit, col("__idx").cast("int") + 1).as("bucket"),
-        (col("__pos") + 1).as("__rn"))
+        (col("__pos") + 1).as("__rn")): _*)
   }
 
   /** The broadcast-handle variant of [[rankedCellsLit]] — same rows,
@@ -149,18 +154,20 @@ object Similarity {
     * as a plan literal. The expression returns center IDS directly
     * (the set carries them), so no element_at translation step. */
   private[graft] def rankedCellsBroadcast(vectors: DataFrame,
-      centers: Array[(Long, Array[Float])], nearest: Int): DataFrame = {
+      centers: Array[(Long, Array[Float])], nearest: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val bc = vectors.sparkSession.sparkContext.broadcast(
       graft.expressions.CenterSet(centers))
-    withNorm(vectors, "")
+    val carryCols = carry.map(col)
+    withNorm(vectors, "", carry)
       .withColumn("__top", org.apache.spark.sql.graft.Bridge.column(
         graft.expressions.BroadcastCentersExpr(
           UnresolvedAttribute("vec"), UnresolvedAttribute("nrm"), bc, nearest)))
-      .select(col("id"), col("vec"), col("nrm"),
-        posexplode(col("__top")).as(Seq("__pos", "bucket")))
-      .select(col("id"), col("vec"), col("nrm"), col("bucket"),
-        (col("__pos") + 1).as("__rn"))
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols :+
+        posexplode(col("__top")).as(Seq("__pos", "bucket")): _*)
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols ++ Seq(
+        col("bucket"), (col("__pos") + 1).as("__rn")): _*)
   }
 
   /** Nearest-center assignment from driver-side centers: (id, vec,
@@ -189,6 +196,56 @@ object Similarity {
         col("nrm").as("q_nrm"))
     val scored = broadcast(qB).join(cB, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+    topK(scored, k)
+  }
+
+  /** [[ivfTopKByCenters]] with a PQ-compressed corpus side — the
+    * full IVFADC search mode (Jegou et al. 2011): queries stay FLOAT
+    * (they are few and precision matters on the query side), the
+    * corpus side joins as (bucket, id, codes, rnrm) — never a float
+    * vector — and candidates score via the asymmetric ADC kernel.
+    * At scale this is the memory story of a deployed IVF index: the
+    * resident corpus side is ~m ints per vector instead of dim
+    * floats, so ~6x more index fits the same executors. */
+  def ivfTopKByCentersPq(queries: DataFrame, corpus: DataFrame,
+      centers: Array[(Long, Array[Float])],
+      cb: graft.expressions.PqCodebook, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val bc = Pq.broadcastCodebook(corpus, cb)
+    val cB = assignByCenters(corpus, centers)
+      .withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select(col("bucket"), col("id").as("n_id"),
+        col("codes").as("n_codes"), col("rnrm").as("n_rnrm"))
+    val qB = rankedCells(queries, centers, nprobe)
+      .select(col("bucket"), col("id").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = broadcast(qB).join(cB, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(Pq.adcDotCol("q_vec", "n_codes", bc),
+          col("q_nrm"), col("n_rnrm")).as("score_c"))
+    topK(scored, k)
+  }
+
+  /** Exact re-rank of an ANN shortlist — the second stage of the
+    * classic two-stage compressed search (ADC shortlist of k' >> k,
+    * then float cosine over the survivors): `shortlist` carries
+    * (q_id, n_id); queries broadcast; the float corpus is touched
+    * only for |q| x k' candidate rows, never in the quadratic stage.
+    * This recovers the ranking precision quantization collapses —
+    * near-tied candidates (e.g. a tight cluster) score identically
+    * in code space, and the exact pass breaks those ties with the
+    * true cosine. */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(withNorm(queries, "q_"))
+    val pairs = broadcast(shortlist.select(col("q_id"), col("n_id"))
+      .join(q, Seq("q_id")))
+    val scored = withNorm(corpus, "n_").join(pairs, Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         scaledFromParts(dot(col("q_vec"), col("n_vec")),
           col("q_nrm"), col("n_nrm")).as("score_c"))
@@ -665,9 +722,14 @@ object Similarity {
       cb: graft.expressions.PqCodebook, k: Int,
       nprobe: Int = 1): DataFrame = {
     val bc = Pq.broadcastCodebook(corpus, cb)
-    val ranked = rankedCells(corpus, centers, nprobe)
-      .withColumn("codes", Pq.encodeCol("vec", bc))
+    // Encode BEFORE the probe fan-out: codes depend only on vec, so
+    // computing them under the posexplode would run the m·ks argmin
+    // nprobe times per vector. The carry slot threads them through
+    // the ranking projection instead.
+    val coded = corpus.withColumn("codes", Pq.encodeCol("vec", bc))
       .withColumn("rnrm", Pq.normCol("codes", bc))
+    val ranked = rankedCells(coded, centers, nprobe,
+        carry = Seq("codes", "rnrm"))
       .select(col("id"), col("codes"), col("rnrm"),
         col("bucket"), col("__rn"))
     knnFromRankedPayload(ranked, k, Seq("codes", "rnrm"), joined => joined

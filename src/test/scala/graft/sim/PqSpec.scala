@@ -147,6 +147,41 @@ class PqSpec extends SparkSpec {
     assert(mean > 300000d, s"mean recon cosine ${mean / 1e6} below 0.3")
   }
 
+  test("two-stage ADC shortlist + exact rerank recovers >= 0.8 of exact " +
+      "top-K on the clustered corpus (and never scores below plain ADC)") {
+    val v = graft.queries.SimQueries.clusteredCorpus(spark, "/root/testdata/sf0.001")
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    val cb = Pq.fitCodebooks(v)
+    val k = 3
+    val exact = Similarity.bruteForceTopK(v, v, k)
+    val adc = Similarity.ivfTopKByCentersPq(v, v, centers, cb, k, nprobe = 2)
+    val rr = Similarity.rerankExact(
+      Similarity.ivfTopKByCentersPq(v, v, centers, cb, k * 4, nprobe = 2),
+      v, v, k)
+    val adcRecall = graft.tools.RecallProbe.recallAt(exact, adc)
+    val rrRecall = graft.tools.RecallProbe.recallAt(exact, rr)
+    info(f"clustered recall: plain ADC $adcRecall%.3f, ADC+rerank $rrRecall%.3f")
+    // Cluster members code near-identically, so plain ADC collapses
+    // in-cluster ranking; the exact rerank must restore it.
+    assert(rrRecall >= 0.8, s"rerank recall $rrRecall")
+    assert(rrRecall >= adcRecall,
+      s"rerank ($rrRecall) must not lose to plain ADC ($adcRecall)")
+  }
+
+  test("semdedup_pq reaches the same clusters and keep set as semdedup " +
+      "on the clustered corpus (the prefilter margin loses nothing)") {
+    val v = graft.queries.SimQueries.clusteredCorpus(spark, "/root/testdata/sf0.001")
+    val full = graft.queries.SimQueries.semDedupOver(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val pq = graft.queries.SimQueries.semDedupPqOver(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // In-cluster cosines sit ~0.99 — far above both the 0.3 SDC gate
+    // and the 0.4 verify — so compression must not change verdicts.
+    assert(pq.length == full.length)
+    assert(pq.sameElements(full),
+      s"verdicts diverge: ${pq.zip(full).filter(p => p._1 != p._2).take(5).toSeq}")
+  }
+
   test("knnGraphTopKPq emits well-formed ranked rows with PQ-scored pairs") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id".as("id"), $"embedding".as("vec"))
