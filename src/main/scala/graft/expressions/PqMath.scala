@@ -3,7 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -66,6 +67,110 @@ case class PqCodebook(m: Int, subDim: Int,
     val t = posById(s)
     if (id < 0 || id >= t.length) -1 else t(id)
   }
+
+  // ---- fused kernels (shared by interpreted eval AND generated code)
+  //
+  // Each PQ expression's doGenCode emits ONE call into these compiled
+  // methods — the whole-stage-generated join/projection code never
+  // crosses an interpreted-eval boundary (the [[DotExpr]] lesson: the
+  // fallback boundary costs ~6 µs/row, ~100x the arithmetic). Invalid
+  // input signals via NaN (unreachable as a true dot — LUT entries
+  // are finite sums of finite products) or a null array.
+
+  /** Symmetric coded dot: m LUT lookups, ascending-s. NaN if either
+    * side is malformed or carries an unknown code id. */
+  def sdcDotOrNaN(a: ArrayData, b: ArrayData): Double = {
+    if (a.numElements() != m || b.numElements() != m) return Double.NaN
+    var total = 0d
+    var s = 0
+    while (s < m) {
+      if (a.isNullAt(s) || b.isNullAt(s)) return Double.NaN
+      val ia = idx(s, a.getInt(s))
+      val ib = idx(s, b.getInt(s))
+      if (ia < 0 || ib < 0) return Double.NaN
+      total += lut(s)(ia * codeIds(s).length + ib)
+      s += 1
+    }
+    total
+  }
+
+  /** Asymmetric float-query x coded dot: per-subspace ascending folds
+    * of `q` against the code vectors, partials summed ascending-s. */
+  def adcDotOrNaN(q: ArrayData, c: ArrayData): Double = {
+    if (q.numElements() != dim || c.numElements() != m) return Double.NaN
+    var total = 0d
+    var s = 0
+    while (s < m) {
+      if (c.isNullAt(s)) return Double.NaN
+      val p = idx(s, c.getInt(s))
+      if (p < 0) return Double.NaN
+      val cv = codeVecs(s)(p)
+      val off = s * subDim
+      var acc = 0d
+      var i = 0
+      while (i < subDim) {
+        if (q.isNullAt(off + i)) return Double.NaN
+        acc += q.getFloat(off + i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      total += acc
+      s += 1
+    }
+    total
+  }
+
+  /** Reconstruction norm: sqrt of the ascending-s sum of per-subspace
+    * self-dots (LUT diagonal). */
+  def normOrNaN(c: ArrayData): Double = {
+    if (c.numElements() != m) return Double.NaN
+    var total = 0d
+    var s = 0
+    while (s < m) {
+      if (c.isNullAt(s)) return Double.NaN
+      val p = idx(s, c.getInt(s))
+      if (p < 0) return Double.NaN
+      total += selfDots(s)(p)
+      s += 1
+    }
+    math.sqrt(total)
+  }
+
+  /** Argmin-L2 encoding (exact `floor((c.c - 2 x.c) * 1e6 + 0.5)`
+    * expansion, ties to the smaller code id), or null for a
+    * malformed vector. */
+  def encodeOrNull(v: ArrayData): ArrayData = {
+    if (v.numElements() != dim) return null
+    val x = new Array[Float](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      x(j) = v.getFloat(j)
+      j += 1
+    }
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val codes = codeVecs(s)
+      val self = selfDots(s)
+      val off = s * subDim
+      var best = -1
+      var bestScore = Double.PositiveInfinity
+      var ci = 0
+      while (ci < codes.length) {
+        val c = codes(ci)
+        var acc = 0d
+        var i = 0
+        while (i < subDim) { acc += x(off + i).toDouble * c(i).toDouble; i += 1 }
+        val score = math.floor((self(ci) - 2d * acc) * 1e6 + 0.5)
+        if (score < bestScore) { bestScore = score; best = ci }
+        ci += 1
+      }
+      if (best < 0) return null
+      out(s) = codeIds(s)(best)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object PqCodebook {
@@ -123,19 +228,34 @@ object PqCodebook {
   }
 }
 
-/** Shared shape/eval plumbing for the PQ expressions: all are
-  * CodegenFallback (one boundary per row into tight compiled loops —
-  * the [[TopCentersExpr]]/[[SrpBucketsExpr]] lesson: composing this
-  * from per-subspace builtin columns would blow the JIT's huge-method
-  * limit the moment m grows) and all carry the codebook as a
-  * `Broadcast` stub, never a plan literal (codebook size is an index
-  * parameter; at real scale m x ks x subDim floats stay KBs, but the
-  * LUT is m x ks^2 doubles and plan literals are the wrong place for
-  * either). Built via `Bridge.column` — the broadcast constructor arg
-  * cannot come through the children-only `injectFunction` factory. */
-trait PqExpr extends CodegenFallback { self: Expression =>
+/** Shared shape/eval plumbing for the PQ expressions. The hot ones
+  * (encode, SDC, ADC, norm) generate REAL code — one call per row
+  * into the [[PqCodebook]] kernels, inlined into the surrounding
+  * whole-stage span (the [[DotExpr]] lesson: a CodegenFallback
+  * boundary costs ~6 µs/row, ~100x the arithmetic — ruinous in the
+  * per-PAIR SDC path). Composing from per-subspace builtin columns
+  * instead would blow the JIT's huge-method limit the moment m grows
+  * (the [[TopCentersExpr]]/[[SrpBucketsExpr]] lesson). All carry the
+  * codebook as a `Broadcast` stub, never a plan literal (codebook
+  * size is an index parameter; at real scale m x ks x subDim floats
+  * stay KBs, but the LUT is m x ks^2 doubles and plan literals are
+  * the wrong place for either). Built via `Bridge.column` — the
+  * broadcast constructor arg cannot come through the children-only
+  * `injectFunction` factory. */
+trait PqExpr { self: Expression =>
   def bc: org.apache.spark.broadcast.Broadcast[PqCodebook]
   @transient protected lazy val cb: PqCodebook = bc.value
+
+  /** Per-stage codebook variable for generated code: the Broadcast
+    * stub rides the references array; `.value()` resolves once per
+    * task at stage init, not per row. */
+  protected def cbVar(ctx: CodegenContext): String = {
+    val cbCls = classOf[PqCodebook].getName
+    val bcRef = ctx.addReferenceObj("pqbc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    ctx.addMutableState(cbCls, "pqcb",
+      v => s"$v = ($cbCls) $bcRef.value();")
+  }
 
   protected def floatArray(a: ArrayData, n: Int): Array[Float] = {
     val out = new Array[Float](n)
@@ -187,34 +307,21 @@ case class PqEncodeExpr(vec: Expression,
 
   override def eval(input: InternalRow): Any = {
     val v = vec.eval(input)
-    if (v == null) return null
-    val a = v.asInstanceOf[ArrayData]
-    if (a.numElements() != cb.dim) return null
-    val x = floatArray(a, cb.dim)
-    if (x == null) return null
-    val out = new Array[Int](cb.m)
-    var s = 0
-    while (s < cb.m) {
-      val codes = cb.codeVecs(s)
-      val self = cb.selfDots(s)
-      val off = s * cb.subDim
-      var best = -1
-      var bestScore = Double.PositiveInfinity
-      var ci = 0
-      while (ci < codes.length) {
-        val c = codes(ci)
-        var acc = 0d
-        var i = 0
-        while (i < cb.subDim) { acc += x(off + i).toDouble * c(i).toDouble; i += 1 }
-        val score = math.floor((self(ci) - 2d * acc) * 1e6 + 0.5)
-        if (score < bestScore) { bestScore = score; best = ci }
-        ci += 1
-      }
-      if (best < 0) return null
-      out(s) = cb.codeIds(s)(best)
-      s += 1
-    }
-    new GenericArrayData(out)
+    if (v == null) null else cb.encodeOrNull(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val child = vec.genCode(ctx)
+    val cbv = cbVar(ctx)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${child.code}
+      boolean ${ev.isNull} = true;
+      $ad ${ev.value} = null;
+      if (!${child.isNull}) {
+        ${ev.value} = $cbv.encodeOrNull(${child.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -227,7 +334,7 @@ case class PqEncodeExpr(vec: Expression,
   * unknown id -> null. */
 case class PqDecodeExpr(codes: Expression,
     bc: org.apache.spark.broadcast.Broadcast[PqCodebook])
-    extends Expression with PqExpr {
+    extends Expression with PqExpr with CodegenFallback {
 
   override def children: Seq[Expression] = Seq(codes)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
@@ -283,24 +390,24 @@ case class PqAdcDotExpr(qvec: Expression, codes: Expression,
     val q = qvec.eval(input)
     val c = codes.eval(input)
     if (q == null || c == null) return null
-    val qa = q.asInstanceOf[ArrayData]
-    if (qa.numElements() != cb.dim) return null
-    val x = floatArray(qa, cb.dim)
-    if (x == null) return null
-    val pos = codePositions(c.asInstanceOf[ArrayData])
-    if (pos == null) return null
-    var total = 0d
-    var s = 0
-    while (s < cb.m) {
-      val cv = cb.codeVecs(s)(pos(s))
-      val off = s * cb.subDim
-      var acc = 0d
-      var i = 0
-      while (i < cb.subDim) { acc += x(off + i).toDouble * cv(i).toDouble; i += 1 }
-      total += acc
-      s += 1
-    }
-    total
+    val d = cb.adcDotOrNaN(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(d)) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qGen = qvec.genCode(ctx)
+    val cGen = codes.genCode(ctx)
+    val cbv = cbVar(ctx)
+    val d = ctx.freshName("adc")
+    ev.copy(code = code"""
+      ${qGen.code}
+      ${cGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${qGen.isNull} && !${cGen.isNull}) {
+        double $d = $cbv.adcDotOrNaN(${qGen.value}, ${cGen.value});
+        if (!Double.isNaN($d)) { ${ev.isNull} = false; ${ev.value} = $d; }
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -333,22 +440,24 @@ case class PqSdcDotExpr(codesA: Expression, codesB: Expression,
     val a = codesA.eval(input)
     val b = codesB.eval(input)
     if (a == null || b == null) return null
-    // Fused allocation-free loop: this runs once per CANDIDATE PAIR
-    // (the quadratic stage), so no intermediate position arrays.
-    val pa = a.asInstanceOf[ArrayData]
-    val pb = b.asInstanceOf[ArrayData]
-    if (pa.numElements() != cb.m || pb.numElements() != cb.m) return null
-    var total = 0d
-    var s = 0
-    while (s < cb.m) {
-      if (pa.isNullAt(s) || pb.isNullAt(s)) return null
-      val ia = cb.idx(s, pa.getInt(s))
-      val ib = cb.idx(s, pb.getInt(s))
-      if (ia < 0 || ib < 0) return null
-      total += cb.lut(s)(ia * cb.codeIds(s).length + ib)
-      s += 1
-    }
-    total
+    val d = cb.sdcDotOrNaN(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(d)) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGen = codesA.genCode(ctx)
+    val bGen = codesB.genCode(ctx)
+    val cbv = cbVar(ctx)
+    val d = ctx.freshName("sdc")
+    ev.copy(code = code"""
+      ${aGen.code}
+      ${bGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${aGen.isNull} && !${bGen.isNull}) {
+        double $d = $cbv.sdcDotOrNaN(${aGen.value}, ${bGen.value});
+        if (!Double.isNaN($d)) { ${ev.isNull} = false; ${ev.value} = $d; }
+      }""")
   }
 
   override protected def withNewChildrenInternal(
@@ -377,12 +486,22 @@ case class PqNormExpr(codes: Expression,
   override def eval(input: InternalRow): Any = {
     val c = codes.eval(input)
     if (c == null) return null
-    val pos = codePositions(c.asInstanceOf[ArrayData])
-    if (pos == null) return null
-    var total = 0d
-    var s = 0
-    while (s < cb.m) { total += cb.selfDots(s)(pos(s)); s += 1 }
-    math.sqrt(total)
+    val d = cb.normOrNaN(c.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(d)) null else d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cGen = codes.genCode(ctx)
+    val cbv = cbVar(ctx)
+    val d = ctx.freshName("pqn")
+    ev.copy(code = code"""
+      ${cGen.code}
+      boolean ${ev.isNull} = true;
+      double ${ev.value} = 0.0;
+      if (!${cGen.isNull}) {
+        double $d = $cbv.normOrNaN(${cGen.value});
+        if (!Double.isNaN($d)) { ${ev.isNull} = false; ${ev.value} = $d; }
+      }""")
   }
 
   override protected def withNewChildrenInternal(

@@ -421,14 +421,18 @@ object SimQueries {
   def semDedupPq(spark: SparkSession, dir: String): DataFrame =
     semDedupPqOver(vectors(spark, dir))
 
-  private[graft] def semDedupPqOver(v: DataFrame): DataFrame = {
+  /** The code-space candidate stage of [[semDedupPqOver]], exposed so
+    * the plan audit can pin its exchange width (the registered query
+    * checkpoints components, which cuts this stage out of the final
+    * plan). */
+  private[graft] def semDedupPqCandidates(v: DataFrame): DataFrame = {
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
     val bc = Pq.broadcastCodebook(v, Pq.fitCodebooks(v))
     val coded = Similarity.assignByCenters(v, centers)
       .withColumn("codes", Pq.encodeCol("vec", bc))
       .withColumn("rnrm", Pq.normCol("codes", bc))
       .select(col("bucket"), col("id"), col("codes"), col("rnrm"))
-    val cand = graft.etl.Skew.selfPairsByBucket(coded, Seq("bucket"),
+    graft.etl.Skew.selfPairsByBucket(coded, Seq("bucket"),
         Seq("id", "codes", "rnrm"), Similarity.CellSplitCap)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -436,6 +440,10 @@ object SimQueries {
           col("rnrm_a"), col("rnrm_b")).as("sdc_c"))
       .filter(col("sdc_c") >= SdcPrefilterC)
       .select(col("id_a"), col("id_b"))
+  }
+
+  private[graft] def semDedupPqOver(v: DataFrame): DataFrame = {
+    val cand = semDedupPqCandidates(v)
     val vn = v.withColumn("nrm", Similarity.norm(col("vec")))
     val pairs = cand
       .join(vn.select(col("id").as("id_a"), col("vec").as("vec_a"),

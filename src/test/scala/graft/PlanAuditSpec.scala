@@ -583,20 +583,32 @@ class PlanAuditSpec extends SparkSpec {
     // scored ids — never array<float>. A regression that reorders the
     // projection above the repartition would silently re-widen the
     // exchange ~6x at scale; this pins it at the optimized plan.
+    // semdedup_pq makes the same promise for its pair stage: the only
+    // explicit repartition in its plan is the cell exchange, and it
+    // must carry codes — the float corpus re-enters only through the
+    // id-keyed verify join-back (candidate cardinality, not pairs).
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val df = SparkEntry.queries("knn_graph_ivfpq")(spark, "/root/testdata/sf0.01")
-    val reparts = df.queryExecution.optimizedPlan.collect {
-      case r: RepartitionByExpression => r
-    }
-    assert(reparts.nonEmpty, "expected the explicit bucket exchange")
-    reparts.foreach { r =>
-      val floatArrays = r.output.filter(_.dataType match {
-        case ArrayType(FloatType, _) => true
-        case _ => false
-      })
-      assert(floatArrays.isEmpty,
-        s"bucket exchange carries float vectors: $floatArrays")
+    val semdedupPqCand = graft.queries.SimQueries.semDedupPqCandidates(
+      graft.Tables.spread(graft.Tables.embeddings(spark, "/root/testdata/sf0.01"))
+        .selectExpr("vec_id AS id", "embedding AS vec"))
+    val audited = Seq(
+      "knn_graph_ivfpq" ->
+        SparkEntry.queries("knn_graph_ivfpq")(spark, "/root/testdata/sf0.01"),
+      "semdedup_pq candidate stage" -> semdedupPqCand)
+    for ((name, df) <- audited) {
+      val reparts = df.queryExecution.optimizedPlan.collect {
+        case r: RepartitionByExpression => r
+      }
+      assert(reparts.nonEmpty, s"$name: expected the explicit bucket exchange")
+      reparts.foreach { r =>
+        val floatArrays = r.output.filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+        assert(floatArrays.isEmpty,
+          s"$name: bucket exchange carries float vectors: $floatArrays")
+      }
     }
   }
 
