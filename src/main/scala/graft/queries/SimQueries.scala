@@ -544,6 +544,12 @@ object SimQueries {
           + lit(0.5)).as("pc1_c"))
   }
 
+  // NOTE: construction is NOT lazy for the trained-index queries —
+  // KMeans.fitCenters and Pq.fitCodebooks run their (small, driver-
+  // collected) training jobs at DataFrame-construction time, and the
+  // semdedup family's component closure checkpoints eagerly. Same
+  // declared envelope as cms_freq/avgdl (see CurationQueries): plan
+  // inspection is not free for these entries.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pca_project"     -> (pcaProject _),
     "ann_topk"        -> (annTopK _),
