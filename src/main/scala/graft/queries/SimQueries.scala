@@ -658,12 +658,12 @@ object SimQueries {
 
   /** Scaled cosine from a precomputed dot + norms — the SQL mirror of
     * [[Similarity.scaledFromParts]]. */
-  private def scaledPartsSql(a: String, b: String, na: String, nb: String) =
+  private[queries] def scaledPartsSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(floor(${dotSql(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
 
   /** CTE attaching the precomputed norm: vn(id, vec, nrm) over a
     * source CTE `v(id, vec)`. */
-  private def vnSql =
+  private[queries] def vnSql: String =
     s"vn AS (SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm FROM v)"
 
   /** CTE chain ending in `bkt(id, band, bkt)` — the SQL replay of
@@ -771,7 +771,7 @@ object SimQueries {
     *
     * Emits CTE `ranked_assign(id, vec, nrm, bucket, rn)`; expects a
     * prior CTE `vn(id, vec, nrm)`. */
-  private def trainedAssignSql(cellsSql: String, nprobe: Int,
+  private[queries] def trainedAssignSql(cellsSql: String, nprobe: Int,
       trainSrc: String = "vn"): String =
     s"""${trainedCentersSql(cellsSql, trainSrc)},
        |ranked_assign AS (

@@ -246,6 +246,68 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The streaming probe frame of [[streamEmbeddingDedupFiles]],
+    * exposed separately so the stateless-plan claim is spec-checkable
+    * (`IncrementalStreamSpec` asserts zero state operators). */
+  private[graft] def embeddingProbeStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.sim.{KMeans, Similarity}
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") % 10 < 8)
+    val centers = KMeans.fitCenters(base,
+      0L until SimQueries.sqrtCells(base), iters = 1)
+    val baseA = Similarity.assignByCenters(base, centers)
+      .select(col("bucket"), col("id").as("base_id"),
+        col("vec").as("b_vec"), col("nrm").as("b_nrm"))
+    val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+        reader.parquet(s"$dir/embeddings.parquet")
+      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val delta = src.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") % 10 >= 8)
+    Similarity.assignByCenters(delta, centers)
+      .select(col("bucket"), col("id").as("delta_id"),
+        col("vec").as("d_vec"), col("nrm").as("d_nrm"))
+      .join(baseA, Seq("bucket"))
+      .select(col("delta_id"), col("base_id"),
+        Similarity.scaledFromParts(Similarity.dot(col("d_vec"), col("b_vec")),
+          col("d_nrm"), col("b_nrm")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
+  /** Streaming near-dup ingestion against a DEPLOYED embedding index —
+    * the streaming member of the embedding-dedup family
+    * (`embedding_dedup_incr` is its batch sibling): centers train on
+    * the resident base corpus (id % 10 < 8) BEFORE the stream starts
+    * (the production contract of a deployed IVF index), the delta
+    * slice arrives through the file source, and each streamed vector
+    * is cell-assigned by the same shuffle-free projection and probed
+    * against the base residents of its cell via a STREAM-STATIC
+    * equi-join on the cell id. Emits every (delta, base) pair with
+    * cosine >= 0.4.
+    *
+    * Scale shape: the whole pipeline is STATELESS streaming — no
+    * watermark, no state store (spec-asserted): assignment is a
+    * projection against driver-side centers, and the static side of
+    * the join is the cell-bucketed base index, so a micro-batch costs
+    * O(|batch| x cell population) exactly like the incremental batch
+    * path — unbounded streams carry zero state growth. The oracle is
+    * the batch replay: assign everything by base-trained centers and
+    * keep the delta x base in-cell pairs. */
+  def streamEmbeddingDedupFiles(spark: SparkSession, dir: String): DataFrame = {
+    val matched = embeddingProbeStream(spark, dir)
+    val name = s"stream_emb_dedup_${runId.incrementAndGet()}"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+  }
+
   /** CMS geometry + probes for [[streamCmsFiles]] — the five live
     * event types plus one guaranteed-absent probe (collision-noise
     * branch). Width 64 with 5 distinct values means rows are
@@ -295,6 +357,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_cms_files" -> (streamCmsFiles _),
     "stream_dedup_files" -> (streamDedupFiles _),
+    "stream_embedding_dedup_files" -> (streamEmbeddingDedupFiles _),
     "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
@@ -324,6 +387,23 @@ object StreamingQueries {
         |  CAST('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR) || ':'
         |       || p.term), 1, 15) AS BIGINT) % $StreamCmsWidth
         |GROUP BY p.term""".stripMargin,
+    // Batch truth for the streamed index probe: assign every vector
+    // by the BASE-trained centers (the deployed-index contract) and
+    // keep the delta x base in-cell pairs at cosine >= 0.4 — the
+    // stream-static join loses and invents nothing vs this replay.
+    "stream_embedding_dedup_files" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |${SimQueries.vnSql},
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${SimQueries.trainedAssignSql(
+            "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+            nprobe = 1, trainSrc = "vb")},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1)
+        |SELECT d.id AS delta_id, b.id AS base_id,
+        |       ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} AS score_c
+        |FROM assign d JOIN assign b ON d.bucket = b.bucket
+        | AND d.id % 10 >= 8 AND b.id % 10 < 8
+        |WHERE ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} >= 400000""".stripMargin,
     // Batch truth for the streamed dedup of the doubled stream: each
     // event exactly once -> the plain per-type counts.
     "stream_dedup_files" ->

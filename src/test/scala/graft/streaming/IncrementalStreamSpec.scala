@@ -401,4 +401,55 @@ class IncrementalStreamSpec extends SparkSpec {
     assert(all == phase1 ++ Set((1L, 5L, "c"), (3L, 1L, "q")),
       s"restart fabricated or lost episodes: $all")
   }
+
+  test("embedding index probe is STATELESS streaming: zero state " +
+      "operators, and the stream matches its batch replay") {
+    // The scale claim of stream_embedding_dedup_files: center
+    // assignment is a projection and the index side is static, so an
+    // unbounded stream carries NO state growth — the progress report
+    // must show zero state operators.
+    val dir = "/root/testdata/sf0.001"
+    val matched = graft.queries.StreamingQueries
+      .embeddingProbeStream(spark, dir)
+    val name = "probe_stateless_test"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val progress = q.lastProgress
+    assert(progress != null && progress.stateOperators.isEmpty,
+      s"expected stateless plan, got ${progress.stateOperators.mkString(",")}")
+    assert(spark.table(name).columns.toSeq ==
+      Seq("delta_id", "base_id", "score_c"))
+    // Stream-vs-batch differential: the same probe computed entirely
+    // in batch (same centers, same assignment code, same join) must
+    // produce the identical pair set — streaming delivery loses and
+    // invents nothing. (The DuckDB oracle replays this relationally;
+    // this test pins the Spark-side equivalence in-JVM.)
+    import graft.sim.{KMeans, Similarity}
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = all.filter(col("id") % 10 < 8)
+    val centers = KMeans.fitCenters(base,
+      0L until graft.queries.SimQueries.sqrtCells(base), iters = 1)
+    def side(df: org.apache.spark.sql.DataFrame, p: String) =
+      Similarity.assignByCenters(df, centers)
+        .select(col("bucket"), col("id").as(s"${p}_id"),
+          col("vec").as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"))
+    val batchTruth = side(all.filter(col("id") % 10 >= 8), "delta")
+      .join(side(base, "base"), Seq("bucket"))
+      .select(col("delta_id"), col("base_id"),
+        Similarity.scaledFromParts(
+          Similarity.dot(col("delta_vec"), col("base_vec")),
+          col("delta_nrm"), col("base_nrm")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchTruth,
+      s"stream/batch diverge: stream-only ${streamed -- batchTruth}, " +
+        s"batch-only ${batchTruth -- streamed}")
+  }
 }
