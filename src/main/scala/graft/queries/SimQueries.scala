@@ -189,6 +189,68 @@ object SimQueries {
     prior.unionByName(fresh).distinct()
   }
 
+  /** INCREMENTAL PQ index maintenance — the compressed member of the
+    * incremental family (`embedding_dedup_incr` is its float sibling):
+    * centers AND codebook train on the resident BASE corpus before
+    * the delta arrives (the deployed-IVFPQ contract — ingest never
+    * retrains), the delta batch is cell-assigned and ENCODED by the
+    * existing index, candidate pairs gate on the cheap SDC score at
+    * [[SdcPrefilterC]], and only survivors join back to the float
+    * corpus for the exact cosine >= 0.4 verify. prior ∪ fresh is
+    * IDENTICAL to the full-batch run under the base-trained index
+    * (cells partition under fixed centers; codes depend only on the
+    * fixed codebook), which is exactly what the oracle replays — the
+    * hash proves the maintenance path loses and invents nothing.
+    * Scale shape: the delta pairs only within its cells, in code
+    * space; the float corpus is touched at candidate cardinality. */
+  def embeddingDedupPqIncr(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val base = all.filter(col("id") % 10 < 8)
+    val delta = all.filter(col("id") % 10 >= 8)
+    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
+    val bc = Pq.broadcastCodebook(all, Pq.fitCodebooks(base))
+    def coded(df: DataFrame): DataFrame =
+      Similarity.assignByCenters(df, centers)
+        .withColumn("codes", Pq.encodeCol("vec", bc))
+        .withColumn("rnrm", Pq.normCol("codes", bc))
+        .select(col("bucket"), col("id"), col("codes"), col("rnrm"))
+    val baseC = coded(base)
+    val deltaC = coded(delta)
+    val prior = graft.etl.Skew.selfPairsByBucket(baseC, Seq("bucket"),
+        Seq("id", "codes", "rnrm"), Similarity.CellSplitCap)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.scaledFromParts(Pq.sdcDotCol("codes_a", "codes_b", bc),
+          col("rnrm_a"), col("rnrm_b")).as("sdc_c"))
+      .filter(col("sdc_c") >= SdcPrefilterC)
+      .select(col("id_a"), col("id_b"))
+    val residents = baseC.unionByName(deltaC)
+    val fresh = deltaC
+      .select(col("bucket").as("bkd"), col("id").as("did"),
+        col("codes").as("dcodes"), col("rnrm").as("drnrm"))
+      .join(residents, col("bkd") === col("bucket") && col("did") =!= col("id"))
+      .select(least(col("did"), col("id")).as("id_a"),
+        greatest(col("did"), col("id")).as("id_b"),
+        // The LUT entry is a termwise-commutative fold, so scoring
+        // (delta, resident) is bit-equal to the id-ordered (a, b).
+        Similarity.scaledFromParts(Pq.sdcDotCol("dcodes", "codes", bc),
+          col("drnrm"), col("rnrm")).as("sdc_c"))
+      .distinct()
+      .filter(col("sdc_c") >= SdcPrefilterC)
+      .select(col("id_a"), col("id_b"))
+    val vn = all.withColumn("nrm", Similarity.norm(col("vec")))
+    prior.unionByName(fresh).distinct()
+      .join(vn.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(vn.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.scaledFromParts(
+          Similarity.dot(col("vec_a"), col("vec_b")),
+          col("nrm_a"), col("nrm_b")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
     * (precision); more bands -> more chances to collide (recall). */
@@ -558,6 +620,7 @@ object SimQueries {
     "embedding_dedup" -> (embeddingDedup _),
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_incr" -> (embeddingDedupIncr _),
+    "embedding_dedup_pq_incr" -> (embeddingDedupPqIncr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "semdedup"        -> (semDedup _),
     "semdedup_pq"     -> (semDedupPq _),
@@ -620,11 +683,12 @@ object SimQueries {
     * Emits `prec(id, rvec, rnrm)`; expects a prior CTE
     * `vn(id, vec, nrm)`. */
   private def pqCodebookSql(ks: Int = PqKs, m: Int = PqM,
-      subDim: Int = PqSubDim): String =
+      subDim: Int = PqSubDim,
+      trainPred: String => String = _ => "TRUE"): String =
     s"""psub AS (SELECT id, s, list_slice(vec, s*$subDim+1, (s+1)*$subDim) AS x
        |         FROM vn CROSS JOIN generate_series(0, ${m - 1}) AS pgs(s)),
        |pq0 AS (SELECT s, CAST(id AS INTEGER) AS code, x AS c
-       |        FROM psub WHERE id < $ks),
+       |        FROM psub WHERE id < $ks AND ${trainPred("id")}),
        |pasg0 AS (SELECT id, s, code FROM (
        |  SELECT psub.id, psub.s, pq0.code,
        |         row_number() OVER (PARTITION BY psub.id, psub.s
@@ -633,7 +697,8 @@ object SimQueries {
        |  FROM psub JOIN pq0 ON psub.s = pq0.s) WHERE rn = 1),
        |pel AS (SELECT a.s, a.code, unnest(generate_series(1, len(p.x))) AS pos,
        |               unnest(p.x) AS e
-       |        FROM pasg0 a JOIN psub p ON a.id = p.id AND a.s = p.s),
+       |        FROM pasg0 a JOIN psub p ON a.id = p.id AND a.s = p.s
+       |        WHERE ${trainPred("a.id")}),
        |pmm AS (SELECT s, code, pos,
        |          CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
        |            / 1e9 / count(*) AS mv
@@ -1090,6 +1155,34 @@ object SimQueries {
         |       CAST(CASE WHEN c.comp IS NULL OR c.comp = v.id
         |            THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM v LEFT JOIN comps c ON v.id = c.id""".stripMargin,
+    // Incremental PQ maintenance replayed as the equivalent full
+    // batch: centers AND codebook train on the BASE subset only
+    // (the trainPred threads the id % 10 < 8 restriction through
+    // init rows and member means), every vector is assigned and
+    // encoded by them, in-cell pairs gate on the SDC prefilter and
+    // verify exactly — identical to prior ∪ fresh because cells
+    // partition under fixed centers and codes under a fixed codebook.
+    "embedding_dedup_pq_incr" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${trainedAssignSql(
+          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+          nprobe = 1, trainSrc = "vb")},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |${pqCodebookSql(trainPred = c => s"$c % 10 < 8")},
+        |pcode AS (
+        |  SELECT a.id, a.bucket, r.rvec, r.rnrm
+        |  FROM assign a JOIN prec r ON a.id = r.id),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM pcode a JOIN pcode b
+        |    ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= $SdcPrefilterC)
+        |SELECT c.id_a, c.id_b,
+        |       ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
+        |WHERE ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} >= 400000""".stripMargin,
     // SemDeDup with the PQ pair stage: candidates are in-cell pairs
     // whose SDC score over reconstructions clears the prefilter, then
     // the float verify, recursive closure, and keep rule run exactly
