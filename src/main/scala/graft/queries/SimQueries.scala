@@ -194,8 +194,8 @@ object SimQueries {
     * centers AND codebook train on the resident BASE corpus before
     * the delta arrives (the deployed-IVFPQ contract — ingest never
     * retrains), the delta batch is cell-assigned and ENCODED by the
-    * existing index, candidate pairs gate on the cheap SDC score at
-    * [[SdcPrefilterC]], and only survivors join back to the float
+    * existing index, candidate pairs gate on the cheap SDC score at the
+    * engine-chosen [[sdcGateFor]] gate, and only survivors join back to the float
     * corpus for the exact cosine >= 0.4 verify. prior ∪ fresh is
     * IDENTICAL to the full-batch run under the base-trained index
     * (cells partition under fixed centers; codes depend only on the
@@ -208,7 +208,9 @@ object SimQueries {
     val base = all.filter(col("id") % 10 < 8)
     val delta = all.filter(col("id") % 10 >= 8)
     val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
-    val bc = Pq.broadcastCodebook(all, Pq.fitCodebooks(base))
+    val cb = Pq.fitCodebooks(base)
+    val gate = sdcGateFor(base, cb)
+    val bc = Pq.broadcastCodebook(all, cb)
     def coded(df: DataFrame): DataFrame =
       Similarity.assignByCenters(df, centers)
         .withColumn("codes", Pq.encodeCol("vec", bc))
@@ -222,7 +224,7 @@ object SimQueries {
       .select(col("id_a"), col("id_b"),
         Similarity.scaledFromParts(Pq.sdcDotCol("codes_a", "codes_b", bc),
           col("rnrm_a"), col("rnrm_b")).as("sdc_c"))
-      .filter(col("sdc_c") >= SdcPrefilterC)
+      .filter(col("sdc_c") >= gate)
       .select(col("id_a"), col("id_b"))
     val residents = baseC.unionByName(deltaC)
     val fresh = deltaC
@@ -236,7 +238,7 @@ object SimQueries {
         Similarity.scaledFromParts(Pq.sdcDotCol("dcodes", "codes", bc),
           col("drnrm"), col("rnrm")).as("sdc_c"))
       .distinct()
-      .filter(col("sdc_c") >= SdcPrefilterC)
+      .filter(col("sdc_c") >= gate)
       .select(col("id_a"), col("id_b"))
     val vn = all.withColumn("nrm", Similarity.norm(col("vec")))
     prior.unionByName(fresh).distinct()
@@ -457,20 +459,34 @@ object SimQueries {
     Similarity.knnGraphTopKPq(v, centers, Pq.fitCodebooks(v), K, nprobe = 2)
   }
 
-  /** SDC prefilter threshold for [[semDedupPq]]: the candidate gate
-    * sits a margin BELOW the 400000 verify threshold to absorb
-    * quantization error in the code-space scores (an index recall
-    * parameter, not a correctness one — the oracle replays the same
-    * gate, so the row is hash-exact for any margin; what the margin
-    * buys is fewer true pairs lost to compression). */
-  private val SdcPrefilterC = 300000L
+  /** ENGINE-CHOSEN SDC prefilter gate (the [[Similarity.planesFor]]
+    * pattern — no hand-pinned constant): the 400000 verify threshold
+    * deflated by the measured mean reconstruction cosine of the
+    * TRAINING corpus, squared (both pair sides quantize, so a true
+    * pair's code-space score deflates ~recon² in expectation). A
+    * high-fidelity codebook keeps the gate tight (few wasted exact
+    * verifies); a lossy one opens it so true pairs are not lost to
+    * compression — the fixed 0.3 gate this replaces kept only 3 of
+    * the float path's 15 pairs on the recon≈0.63 i.i.d. corpus. An
+    * index recall parameter, not a correctness one: the oracle
+    * replays the SAME measurement (exact integer score sum, IEEE
+    * double mean/square, floor), so the row stays hash-exact. One
+    * extra aggregate pass at construction (the declared eager
+    * envelope of the trained-index queries). */
+  private[graft] def sdcGateFor(train: DataFrame,
+      cb: graft.expressions.PqCodebook): Long = {
+    val r = Pq.reconScores(train, cb)
+      .agg(sum(col("score_c")).as("s"), count(lit(1)).as("n")).head()
+    val m = r.getLong(0).toDouble / r.getLong(1).toDouble / 1e6
+    math.floor(400000d * m * m).toLong
+  }
 
   /** SemDeDup with a PQ-compressed pair stage — the 100 TB form of
     * [[semDedup]]: the in-cell pair exchange carries (id, codes,
     * rnrm) — m small ints and a double per vector instead of dim
     * floats (~6x narrower at m=8/dim=64) — candidates are gated by
-    * the cheap SDC lookup score at [[SdcPrefilterC]], and only the
-    * SURVIVORS join back to the float corpus for the exact cosine >=
+    * the cheap SDC lookup score at the engine-chosen [[sdcGateFor]]
+    * gate, and only the SURVIVORS join back to the float corpus for the exact cosine >=
     * 0.4 verify. Components and the keep rule then run over verified
     * pairs exactly as in [[semDedup]].
     *
@@ -489,7 +505,9 @@ object SimQueries {
     * plan). */
   private[graft] def semDedupPqCandidates(v: DataFrame): DataFrame = {
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    val bc = Pq.broadcastCodebook(v, Pq.fitCodebooks(v))
+    val cb = Pq.fitCodebooks(v)
+    val gate = sdcGateFor(v, cb)
+    val bc = Pq.broadcastCodebook(v, cb)
     val coded = Similarity.assignByCenters(v, centers)
       .withColumn("codes", Pq.encodeCol("vec", bc))
       .withColumn("rnrm", Pq.normCol("codes", bc))
@@ -500,7 +518,7 @@ object SimQueries {
       .select(col("id_a"), col("id_b"),
         Similarity.scaledFromParts(Pq.sdcDotCol("codes_a", "codes_b", bc),
           col("rnrm_a"), col("rnrm_b")).as("sdc_c"))
-      .filter(col("sdc_c") >= SdcPrefilterC)
+      .filter(col("sdc_c") >= gate)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -658,6 +676,19 @@ object SimQueries {
        |         i -> CAST($a[s*$subDim+i] AS DOUBLE) * CAST($b[s*$subDim+i] AS DOUBLE)),
        |       (x, y) -> x + y)),
        |  (x, y) -> x + y)""".stripMargin
+
+  /** SQL replay of [[sdcGateFor]]: exact BIGINT recon-score sum,
+    * IEEE double mean and square, floor — emitted as `pgate(g)`.
+    * Expects `vn` and `prec`; `pred` restricts the measurement to
+    * the training slice. */
+  private def pqGateSql(pred: String = "TRUE"): String =
+    s"""pgate AS (
+       |  SELECT CAST(floor(400000.0
+       |           * (CAST(sum(sc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6)
+       |           * (CAST(sum(sc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6))
+       |         AS BIGINT) AS g
+       |  FROM (SELECT ${pqScaledSql("vn.vec", "r.rvec", "vn.nrm", "r.rnrm")} AS sc
+       |        FROM vn JOIN prec r ON vn.id = r.id WHERE $pred) _rs)""".stripMargin
 
   /** Scaled cosine over the grouped PQ dot (mirror of
     * `scaledFromParts(pq dot, na, nb)`). */
@@ -1171,6 +1202,7 @@ object SimQueries {
           nprobe = 1, trainSrc = "vb")},
         |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
         |${pqCodebookSql(trainPred = c => s"$c % 10 < 8")},
+        |${pqGateSql(pred = "vn.id % 10 < 8")},
         |pcode AS (
         |  SELECT a.id, a.bucket, r.rvec, r.rnrm
         |  FROM assign a JOIN prec r ON a.id = r.id),
@@ -1178,7 +1210,7 @@ object SimQueries {
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM pcode a JOIN pcode b
         |    ON a.bucket = b.bucket AND a.id < b.id
-        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= $SdcPrefilterC)
+        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= (SELECT g FROM pgate))
         |SELECT c.id_a, c.id_b,
         |       ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
         |FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
@@ -1193,6 +1225,7 @@ object SimQueries {
         |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 1)},
         |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
         |${pqCodebookSql()},
+        |${pqGateSql()},
         |passign AS (
         |  SELECT a.id, a.bucket, r.rvec, r.rnrm
         |  FROM assign a JOIN prec r ON a.id = r.id),
@@ -1200,7 +1233,7 @@ object SimQueries {
         |  SELECT a.id AS id_a, b.id AS id_b
         |  FROM passign a JOIN passign b
         |    ON a.bucket = b.bucket AND a.id < b.id
-        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= $SdcPrefilterC
+        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= (SELECT g FROM pgate)
         |), pairs AS (
         |  SELECT c.id_a, c.id_b
         |  FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
