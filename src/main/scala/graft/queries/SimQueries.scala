@@ -537,6 +537,21 @@ object SimQueries {
     semDedupTail(v, pairs)
   }
 
+  /** Two-stage compressed kNN GRAPH ([[Similarity.rerankExactGraph]]
+    * over the IVFPQ shortlist): every vector's 4K code-space
+    * candidates re-score exactly and re-rank to top-K. The graph
+    * sibling of [[annPqRerank]] — same quantization-collapse cure,
+    * but the query side is the corpus, so the float fetches are
+    * id-keyed equi-joins (|V|·4K rows, linear in the corpus), never
+    * a broadcast of a corpus-sized shortlist. */
+  def knnGraphIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val shortlist = Similarity.knnGraphTopKPq(v, centers,
+      Pq.fitCodebooks(v), K * 4, nprobe = 2)
+    Similarity.rerankExactGraph(shortlist, v, K)
+  }
+
   /** Deterministic CLUSTERED corpus for the registered recall row:
     * 40 base embeddings (vec_id < 40) each expanded to a 5-member
     * cluster — member j perturbs every coordinate by ±0.02·j with the
@@ -652,6 +667,7 @@ object SimQueries {
     "ann_ivfpq"       -> (annIvfPq _),
     "ann_pq_rerank"   -> (annPqRerank _),
     "knn_graph_ivfpq" -> (knnGraphIvfPq _),
+    "knn_graph_ivfpq_rerank" -> (knnGraphIvfPqRerank _),
     "knn_graph_srp"   -> (knnGraphSrp _),
     "knn_graph_srp_scaled" -> (knnGraphSrpScaled _),
     "knn_graph_srp_auto" -> (knnGraphSrpAuto _)
@@ -1426,6 +1442,39 @@ object SimQueries {
         |  FROM scored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin,
+    // Graph two-stage: the IVFPQ code-space ranking keeps 4K per
+    // query, the float cosine re-scores those rows, top-K re-ranks.
+    "knn_graph_ivfpq_rerank" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
+        |${pqCodebookSql()},
+        |passign AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
+        |pprobe AS (
+        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id),
+        |pq_scored AS (
+        |  SELECT p.id AS q_id, a.id AS n_id,
+        |         ${pqScaledSql("p.rvec", "a.rvec", "p.rnrm", "a.rnrm")} AS score_c
+        |  FROM pprobe p JOIN passign a
+        |    ON p.bucket = a.bucket AND p.id <> a.id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score_c DESC, n_id ASC) AS rank
+        |    FROM pq_scored) WHERE rank <= ${K * 4}),
+        |rescored AS (
+        |  SELECT s.q_id, s.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM short s JOIN vn x ON s.q_id = x.id JOIN vn y ON s.n_id = y.id),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM rr WHERE rank <= $K""".stripMargin,
     "knn_graph_srp" ->
       s"""WITH $augmentedSql,
         |$vnSql,

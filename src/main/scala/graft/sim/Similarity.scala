@@ -252,6 +252,25 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** The GRAPH form of [[rerankExact]]: when the query side is the
+    * whole corpus (kNN graph), the shortlist is corpus-sized and must
+    * NOT broadcast — both float fetches are id-keyed equi-joins
+    * (|V|·k' rows, linear) and the final top-k window partitions by
+    * q_id (corpus-cardinality keys — no hot partition). */
+  def rerankExactGraph(shortlist: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val vn = withNorm(corpus, "")
+    val scored = shortlist.select(col("q_id"), col("n_id"))
+      .join(vn.select(col("id").as("q_id"), col("vec").as("q_vec"),
+        col("nrm").as("q_nrm")), Seq("q_id"))
+      .join(vn.select(col("id").as("n_id"), col("vec").as("n_vec"),
+        col("nrm").as("n_nrm")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(dot(col("q_vec"), col("n_vec")),
+          col("q_nrm"), col("n_nrm")).as("score_c"))
+    topK(scored, k)
+  }
+
   /** Deterministic ±1 hyperplane component for [[srpNearDuplicates]],
     * derived from the same md5 construction as
     * [[graft.text.TextFunctions.portableHash]] (md5 is identical in

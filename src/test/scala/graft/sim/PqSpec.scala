@@ -166,6 +166,13 @@ class PqSpec extends SparkSpec {
     assert(rrRecall >= 0.8, s"rerank recall $rrRecall")
     assert(rrRecall >= adcRecall,
       s"rerank ($rrRecall) must not lose to plain ADC ($adcRecall)")
+    // The GRAPH rerank (join-back instead of broadcast) makes the
+    // same promise over the whole-corpus query side.
+    val graphRr = Similarity.rerankExactGraph(
+      Similarity.knnGraphTopKPq(v, centers, cb, k * 4, nprobe = 2), v, k)
+    val graphRrRecall = graft.tools.RecallProbe.recallAt(exact, graphRr)
+    info(f"clustered graph rerank recall: $graphRrRecall%.3f")
+    assert(graphRrRecall >= 0.8, s"graph rerank recall $graphRrRecall")
   }
 
   test("semdedup_pq reaches the same clusters and keep set as semdedup " +
