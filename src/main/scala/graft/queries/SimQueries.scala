@@ -253,6 +253,51 @@ object SimQueries {
       .filter(col("score_c") >= 400000L)
   }
 
+  /** INCREMENTAL maintenance of the TWO-LEVEL index — the coarse→fine
+    * member of the incremental family ([[embeddingDedupIncr]] is the
+    * flat sibling, [[embeddingDedupPqIncr]] the compressed one): the
+    * fine centers train on the resident BASE corpus and the coarse
+    * quantizer is built over them ONCE ([[Similarity.buildTwoLevelIndex]],
+    * n^(1/4) sizing) before the delta arrives; the delta batch is then
+    * assigned coarse-then-fine by the EXISTING index — no retraining
+    * at either level, the deployed-index contract — and pairs only
+    * against same-cell residents. prior ∪ fresh is IDENTICAL to the
+    * full-batch run under the base-trained index, because rank-1
+    * two-level assignment is a deterministic partition of the corpus
+    * under a fixed index (every vector lands in exactly one fine
+    * cell) — which is exactly what the oracle replays, so the hash
+    * proves the maintenance path loses and invents nothing at BOTH
+    * assignment levels. Scale shape: the delta pays
+    * O((coarseK + |fine|/coarseK)·dim) assignment per row — the
+    * two-level constant, not the flat |fine|·dim — then
+    * O(|delta| · cell population) pair work. */
+  def embeddingDedupIvf2Incr(spark: SparkSession, dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val base = all.filter(col("id") % 10 < 8)
+    val delta = all.filter(col("id") % 10 >= 8)
+    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
+    val index = Similarity.buildTwoLevelIndex(centers,
+      Similarity.coarseKFor(centers.length))
+    val baseA = Similarity.assignByTwoLevel(base, index)
+    val deltaA = Similarity.assignByTwoLevel(delta, index)
+    val prior = dedupPairs(baseA)
+    val residents = baseA.unionByName(deltaA)
+      .select(col("bucket"), col("id"), col("vec"), col("nrm"))
+    val fresh = deltaA
+      .select(col("bucket").as("bkd"), col("id").as("did"),
+        col("vec").as("dvec"), col("nrm").as("dnrm"))
+      .join(residents, col("bkd") === col("bucket") && col("did") =!= col("id"))
+      .select(least(col("did"), col("id")).as("id_a"),
+        greatest(col("did"), col("id")).as("id_b"),
+        // Symmetric fold: (delta, resident) scores bit-equal to the
+        // oracle's id-ordered (a, b).
+        Similarity.scaledFromParts(Similarity.dot(col("dvec"), col("vec")),
+          col("dnrm"), col("nrm")).as("score_c"))
+      .distinct()
+      .filter(col("score_c") >= 400000L)
+    prior.unionByName(fresh).distinct()
+  }
+
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
     * (precision); more bands -> more chances to collide (recall). */
@@ -356,8 +401,25 @@ object SimQueries {
   def knnGraphIvf2(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    val coarseK = math.max(4, math.sqrt(centers.length.toDouble).round.toInt)
-    Similarity.knnGraphTopKTwoLevel(v, centers, coarseK, K, nprobe = 2)
+    Similarity.knnGraphTopKTwoLevel(v, centers,
+      Similarity.coarseKFor(centers.length), K, nprobe = 2)
+  }
+
+  /** The FULL composed index — two-level assignment x PQ payload
+    * ([[Similarity.knnGraphTopKTwoLevelPq]]): the FAISS
+    * IVFPQ-with-coarse-quantizer shape a real 10⁵-center deployment
+    * runs. Same trained sqrt(n) fine centers, n^(1/4) coarse sizing
+    * and probes as [[knnGraphIvf2]]; same codebook and codes-only
+    * bucket exchange as [[knnGraphIvfPq]] — so this row diffs
+    * directly against BOTH parents: assignment rule vs ivfpq,
+    * payload vs ivf2. The oracle composes the two proven replays
+    * (two-level assignment CTEs + PQ codebook CTEs + SDC tail). */
+  def knnGraphIvf2Pq(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    Similarity.knnGraphTopKTwoLevelPq(v, centers,
+      Similarity.coarseKFor(centers.length), Pq.fitCodebooks(v), K,
+      nprobe = 2)
   }
 
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
@@ -654,6 +716,7 @@ object SimQueries {
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_incr" -> (embeddingDedupIncr _),
     "embedding_dedup_pq_incr" -> (embeddingDedupPqIncr _),
+    "embedding_dedup_ivf2_incr" -> (embeddingDedupIvf2Incr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "semdedup"        -> (semDedup _),
     "semdedup_pq"     -> (semDedupPq _),
@@ -661,6 +724,7 @@ object SimQueries {
     "knn_graph_brute" -> (knnGraphBrute _),
     "knn_graph_ivf"   -> (knnGraphIvf _),
     "knn_graph_ivf2"  -> (knnGraphIvf2 _),
+    "knn_graph_ivf2pq" -> (knnGraphIvf2Pq _),
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
@@ -1005,6 +1069,32 @@ object SimQueries {
        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
        |FROM ranked WHERE rank <= $K""".stripMargin
 
+  /** PQ self-kNN tail over `ranked_assign` + `prec`: probes and
+    * rank-1 residents both join their reconstructions, in-cell pairs
+    * score via the grouped PQ (SDC) dot, exact top-K per query — the
+    * shared tail of the compressed kNN-graph oracles (mirror of
+    * `Similarity.knnFromRankedPayload` with the LUT scorer), reused
+    * by the flat (`knn_graph_ivfpq`) and two-level
+    * (`knn_graph_ivf2pq`) assignments unchanged. */
+  private def pqSelfKnnTailSql: String =
+    s"""passign AS (
+       |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+       |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
+       |pprobe AS (
+       |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
+       |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id),
+       |scored AS (
+       |  SELECT p.id AS q_id, a.id AS n_id,
+       |         ${pqScaledSql("p.rvec", "a.rvec", "p.rnrm", "a.rnrm")} AS score_c
+       |  FROM pprobe p JOIN passign a
+       |    ON p.bucket = a.bucket AND p.id <> a.id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_c DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+       |FROM ranked WHERE rank <= $K""".stripMargin
+
   /** In-cell near-dup pairs over `ranked_assign` (mirror of
     * [[dedupPairs]]). */
   private def dedupPairsSql: String =
@@ -1176,6 +1266,22 @@ object SimQueries {
         |${trainedAssignSql(
           "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
           nprobe = 1, trainSrc = "vb")},
+        |$dedupPairsSql""".stripMargin,
+    // Two-level incremental maintenance replayed as the equivalent
+    // full batch: fine centers train on the BASE subset only, the
+    // coarse quantizer is built over them (ckv counts cn — the same
+    // n^(1/4) rule as coarseKFor), every vector (base + delta) is
+    // assigned coarse-then-fine by that fixed index, in-cell pairs
+    // verified — identical to prior ∪ fresh because rank-1 two-level
+    // assignment partitions the corpus under a fixed index.
+    "embedding_dedup_ivf2_incr" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${trainedCentersSql(
+          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+          src = "vb")},
+        |${twoLevelAssignSql(nprobe = 1)},
         |$dedupPairsSql""".stripMargin,
     // SemDeDup: trained-cell pairs closed into clusters by a recursive
     // CTE (min reachable id = the component label, matching the
@@ -1425,23 +1531,18 @@ object SimQueries {
         |$vnSql,
         |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
         |${pqCodebookSql()},
-        |passign AS (
-        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
-        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id WHERE r.rn = 1),
-        |pprobe AS (
-        |  SELECT r.id, r.bucket, rc.rvec, rc.rnrm
-        |  FROM ranked_assign r JOIN prec rc ON r.id = rc.id),
-        |scored AS (
-        |  SELECT p.id AS q_id, a.id AS n_id,
-        |         ${pqScaledSql("p.rvec", "a.rvec", "p.rnrm", "a.rnrm")} AS score_c
-        |  FROM pprobe p JOIN passign a
-        |    ON p.bucket = a.bucket AND p.id <> a.id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY score_c DESC, n_id ASC) AS rank
-        |  FROM scored)
-        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
-        |FROM ranked WHERE rank <= $K""".stripMargin,
+        |$pqSelfKnnTailSql""".stripMargin,
+    // The composed index: two-level assignment CTEs replace the flat
+    // ranking, the PQ codebook + SDC tail are byte-identical to
+    // knn_graph_ivfpq's — each half is proven elsewhere in isolation,
+    // this row proves the composition.
+    "knn_graph_ivf2pq" ->
+      s"""WITH $augmentedSql,
+        |$vnSql,
+        |${trainedCentersSql(s"($sqrtCellsSql)")},
+        |${twoLevelAssignSql(nprobe = 2)},
+        |${pqCodebookSql()},
+        |$pqSelfKnnTailSql""".stripMargin,
     // Graph two-stage: the IVFPQ code-space ranking keeps 4K per
     // query, the float cosine re-scores those rows, top-K re-ranks.
     "knn_graph_ivfpq_rerank" ->

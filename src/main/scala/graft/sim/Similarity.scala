@@ -695,20 +695,34 @@ object Similarity {
     * O((coarseK + |fine|/coarseK)·dim) and the index ships as ONE
     * broadcast stub. Approximate near coarse boundaries (see
     * [[graft.expressions.TwoLevelIndex]]); a vector whose coarse group
-    * is empty emits no rows. */
+    * is empty emits no rows. `carry` columns ride through unprefixed
+    * (the same carry-slot contract as [[rankedCells]] — the IVFPQ
+    * composition threads precomputed codes through it so encoding is
+    * not re-run per probe). */
   private[graft] def rankedCellsTwoLevel(vectors: DataFrame,
-      index: graft.expressions.TwoLevelIndex, nearest: Int): DataFrame = {
+      index: graft.expressions.TwoLevelIndex, nearest: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val bc = vectors.sparkSession.sparkContext.broadcast(index)
-    withNorm(vectors, "")
+    val carryCols = carry.map(col)
+    withNorm(vectors, "", carry)
       .withColumn("__top", org.apache.spark.sql.graft.Bridge.column(
         graft.expressions.TwoLevelCentersExpr(
           UnresolvedAttribute("vec"), UnresolvedAttribute("nrm"), bc, nearest)))
-      .select(col("id"), col("vec"), col("nrm"),
-        posexplode(col("__top")).as(Seq("__pos", "bucket")))
-      .select(col("id"), col("vec"), col("nrm"), col("bucket"),
-        (col("__pos") + 1).as("__rn"))
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols :+
+        posexplode(col("__top")).as(Seq("__pos", "bucket")): _*)
+      .select(Seq(col("id"), col("vec"), col("nrm")) ++ carryCols ++ Seq(
+        col("bucket"), (col("__pos") + 1).as("__rn")): _*)
   }
+
+  /** Rank-1 two-level assignment: (id, vec, nrm, bucket), one row per
+    * vector — the two-level sibling of [[assignByCenters]], for index
+    * maintenance paths that pair a delta batch against the deployed
+    * coarse→fine index without retraining. */
+  def assignByTwoLevel(vectors: DataFrame,
+      index: graft.expressions.TwoLevelIndex): DataFrame =
+    rankedCellsTwoLevel(vectors, index, 1)
+      .select(col("id"), col("vec"), col("nrm"), col("bucket"))
 
   /** Self-kNN via the two-level index: identical tail to
     * [[knnGraphTopK]] (one bucket exchange, reused by both join
@@ -757,6 +771,75 @@ object Similarity {
         scaledFromParts(Pq.sdcDotCol("q_codes", "n_codes", bc),
           col("q_rnrm"), col("n_rnrm")).as("score_c")))
   }
+
+  /** The FULL FAISS-style composition — two-level (coarse→fine)
+    * assignment x PQ-compressed payload: [[knnGraphTopKPq]]'s
+    * codes-only exchange riding [[rankedCellsTwoLevel]]'s
+    * O((coarseK + |fine|/coarseK)·dim)-per-row assignment. This is the
+    * shape a real 10⁵-center deployed index needs BOTH halves of: flat
+    * assignment is corpus-dependent work per row (1e5 dots at 1e5
+    * centers — the 37x AssignBench gap), and a float-vector exchange
+    * is ~6x the bytes of the code exchange at m=8/dim=64. Encoding
+    * happens ONCE before the probe fan-out (the carry-slot contract);
+    * the float vector is consumed by assignment + encoding below the
+    * bucket exchange and dropped — plan-audited like [[knnGraphTopKPq]].
+    * Same skew routing, same oracle scheme (two-level assignment rule
+    * + SDC LUT scoring, both replayed relationally). */
+  def knnGraphTopKTwoLevelPq(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], coarseK: Int,
+      cb: graft.expressions.PqCodebook, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val bc = Pq.broadcastCodebook(corpus, cb)
+    val coded = corpus.withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+    val ranked = rankedCellsTwoLevel(coded,
+        buildTwoLevelIndex(fineCenters, coarseK), nprobe,
+        carry = Seq("codes", "rnrm"))
+      .select(col("id"), col("codes"), col("rnrm"),
+        col("bucket"), col("__rn"))
+    knnFromRankedPayload(ranked, k, Seq("codes", "rnrm"), joined => joined
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        scaledFromParts(Pq.sdcDotCol("q_codes", "n_codes", bc),
+          col("q_rnrm"), col("n_rnrm")).as("score_c")))
+  }
+
+  /** The flat↔two-level assignment crossover, ENGINE-CHOSEN (the
+    * [[LiteralCentersMax]] / [[planesFor]] / `sdcGateFor` pattern —
+    * a measured constant, not a per-query human choice). Measured by
+    * `tools/AssignBench` over an 800k-row corpus (SCALE.md): flat
+    * broadcast ranking wins while |centers| ≲ 10³ (it is one dot per
+    * center with zero indirection); two-level is 37x ahead at 10⁴
+    * (128.2 s vs 3.5 s assignment-only). The geometric midpoint of
+    * the two measured regimes is ~3.2k; 2048 sits just below it —
+    * biased toward flat because flat is EXACT nearest-center
+    * assignment while two-level is approximate near coarse
+    * boundaries, so the engine should not pay a recall price before
+    * the asymptotic win is real. */
+  private[graft] val FlatCentersMax = 2048
+
+  /** Self-kNN with the assignment STRATEGY chosen by the engine from
+    * |centers| ([[FlatCentersMax]]): the sqrt(n)-sized center sets of
+    * every bench SF stay on the exact flat path; past the measured
+    * crossover the coarse quantizer takes over (coarseK = √|fine|,
+    * the n^(1/4) rule). The dispatch is deterministic in the index
+    * parameter alone — same inputs, same plan, same rows — and each
+    * branch is the corresponding registered operator, so both
+    * branches stay independently oracle-checked. Differential-tested
+    * on both sides of the bound. */
+  def knnGraphTopKAuto(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
+      flatMax: Int = FlatCentersMax): DataFrame =
+    if (fineCenters.length <= flatMax) knnGraphTopK(corpus, fineCenters, k, nprobe)
+    else knnGraphTopKTwoLevel(corpus, fineCenters,
+      coarseKFor(fineCenters.length), k, nprobe)
+
+  /** The n^(1/4) coarse-quantizer sizing: coarseK = √|fine| (floored
+    * at 4) minimizes per-row assignment cost coarseK + |fine|/coarseK.
+    * One place, so the dispatcher and the registered ivf2 queries
+    * cannot drift apart. */
+  def coarseKFor(fineCount: Int): Int =
+    math.max(4, math.sqrt(fineCount.toDouble).round.toInt)
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid
     * buckets. `nprobe = 1` searches only the query's own cell; larger

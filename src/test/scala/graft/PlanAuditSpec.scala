@@ -530,7 +530,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq")) {
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq",
+        "knn_graph_ivf2pq")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       val widths = df.queryExecution.optimizedPlan.collect { case node =>
         node.expressions.flatMap(_.collect {
@@ -562,7 +563,8 @@ class PlanAuditSpec extends SparkSpec {
     // knn_graph_ivfpq rides the same tail with the PQ payload: its
     // below-exchange projection (scan + ranking + encode + LUT norm,
     // float vec DROPPED) must likewise materialize exactly once.
-    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq")) {
+    for (name <- Seq("knn_graph_ivf", "knn_graph_ivf2", "knn_graph_ivfpq",
+        "knn_graph_ivf2pq")) {
       val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
       val qe = df.queryExecution
       qe.toRdd.count()
@@ -595,6 +597,11 @@ class PlanAuditSpec extends SparkSpec {
     val audited = Seq(
       "knn_graph_ivfpq" ->
         SparkEntry.queries("knn_graph_ivfpq")(spark, "/root/testdata/sf0.01"),
+      // The composed two-level x PQ index makes the same promise: the
+      // float vector is consumed by coarse→fine assignment + encoding
+      // below the bucket exchange and dropped.
+      "knn_graph_ivf2pq" ->
+        SparkEntry.queries("knn_graph_ivf2pq")(spark, "/root/testdata/sf0.01"),
       "semdedup_pq candidate stage" -> semdedupPqCand)
     for ((name, df) <- audited) {
       val reparts = df.queryExecution.optimizedPlan.collect {
@@ -610,6 +617,30 @@ class PlanAuditSpec extends SparkSpec {
           s"$name: bucket exchange carries float vectors: $floatArrays")
       }
     }
+  }
+
+  test("two-level assignment has no hub cell: in-cell pair work (sum of " +
+      "pop^2) stays within 1.5x of the flat assignment's") {
+    // The first two-level draft made each coarse center a hub for its
+    // own fine group (SCALE.md: sumsq 1.81x flat at sf0.1, 4x pair
+    // blowup at sf10); the refined-group-mean coarse quantizer
+    // dissolved it (measured 1.06x at sf0.1, 1.05x at sf0.01). The
+    // composed ivf2pq index inherits whichever partition this
+    // produces, so the guard pins the FIX, with headroom below the
+    // broken construction's 1.81x.
+    import org.apache.spark.sql.functions._
+    val v = graft.queries.SimQueries.augmentedVectors(spark, "/root/testdata/sf0.01")
+    val centers = graft.sim.KMeans.fitCenters(v,
+      0L until graft.queries.SimQueries.sqrtCells(v), iters = 1)
+    def sumsq(assigned: org.apache.spark.sql.DataFrame): Long =
+      assigned.groupBy(col("bucket")).agg(count(lit(1)).as("p"))
+        .agg(sum(col("p") * col("p"))).head().getLong(0)
+    val flat = sumsq(graft.sim.Similarity.assignByCenters(v, centers))
+    val idx = graft.sim.Similarity.buildTwoLevelIndex(centers,
+      graft.sim.Similarity.coarseKFor(centers.length))
+    val twoLevel = sumsq(graft.sim.Similarity.assignByTwoLevel(v, idx))
+    assert(twoLevel.toDouble <= 1.5 * flat,
+      s"two-level hub cells: sum(pop^2) $twoLevel vs flat $flat")
   }
 
   test("symmetric pair families (trained-cell dedup, SRP graph) also " +

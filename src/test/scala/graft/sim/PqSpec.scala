@@ -189,6 +189,42 @@ class PqSpec extends SparkSpec {
       s"verdicts diverge: ${pq.zip(full).filter(p => p._1 != p._2).take(5).toSeq}")
   }
 
+  test("knnGraphTopKTwoLevelPq is bit-identical to the naive two-level x " +
+      "PQ composition (carry slot + skew routing are plumbing only)") {
+    // The composed index's moving parts — codes threaded through the
+    // two-level ranking's carry slot, the float vector dropped before
+    // the exchange, hot/cold skew routing — must not change a single
+    // row vs the obvious composition: float two-level assignment,
+    // codes joined back by id, plain bucket self-join, SDC scoring.
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    val coarseK = Similarity.coarseKFor(centers.length)
+    val cb = Pq.fitCodebooks(v)
+    val out = Similarity.knnGraphTopKTwoLevelPq(v, centers, coarseK, cb, 3,
+      nprobe = 2)
+    val bc = Pq.broadcastCodebook(v, cb)
+    val idx = Similarity.buildTwoLevelIndex(centers, coarseK)
+    val coded = v.withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select($"id".as("cid"), $"codes", $"rnrm")
+    val ranked = Similarity.rankedCellsTwoLevel(v, idx, 2)
+      .join(coded, $"id" === $"cid")
+    val probe = ranked.select($"bucket", $"id".as("q_id"),
+      $"codes".as("q_codes"), $"rnrm".as("q_rnrm"))
+    val res = ranked.filter($"__rn" === 1).select($"bucket",
+      $"id".as("n_id"), $"codes".as("n_codes"), $"rnrm".as("n_rnrm"))
+    val scored = probe.join(res, Seq("bucket"))
+      .filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id",
+        Similarity.scaledFromParts(Pq.sdcDotCol("q_codes", "n_codes", bc),
+          $"q_rnrm", $"n_rnrm").as("score_c"))
+    val ref = Similarity.topK(scored, 3)
+    assert(out.count() == ref.count() && out.count() > 0)
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0,
+      "composed ivf2pq diverged from the naive composition")
+  }
+
   test("knnGraphTopKPq emits well-formed ranked rows with PQ-scored pairs") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id".as("id"), $"embedding".as("vec"))

@@ -315,6 +315,29 @@ class SimilaritySpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("knnGraphTopKAuto: engine-chosen dispatch is exactly the flat path " +
+      "below FlatCentersMax and exactly the two-level path past a forced " +
+      "bound — deterministic in |centers| alone") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() == b.count() && a.count() > 0, what)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: dispatch changed rows")
+    }
+    // |centers| = 16 <= 2048: the engine must pick the exact flat path.
+    same(Similarity.knnGraphTopKAuto(v, centers, 3, nprobe = 2),
+      Similarity.knnGraphTopK(v, centers, 3, nprobe = 2), "flat side")
+    // Forced bound 8 < 16: the engine must pick the two-level path
+    // with the shared n^(1/4) coarse sizing.
+    same(Similarity.knnGraphTopKAuto(v, centers, 3, nprobe = 2, flatMax = 8),
+      Similarity.knnGraphTopKTwoLevel(v, centers,
+        Similarity.coarseKFor(centers.length), 3, nprobe = 2),
+      "two-level side")
+  }
+
   test("selfPairsByBucket: forced tiny cap is bit-identical to the unsplit " +
       "self-join (ordered pairs, self-pairs included, no dup/loss)") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
