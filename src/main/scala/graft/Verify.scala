@@ -42,9 +42,27 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet)
+    // A SUBSET run merges its entries over any manifest already in
+    // outDir instead of replacing it: before round 14 a local
+    // `SPARK_GRAFT_VERIFY_QUERIES=a,b` iteration overwrote the full
+    // oracle_sql.json with a two-entry file, silently shrinking what a
+    // later selfcheck.py pass in the same dir would verify. Driver
+    // runs (no subset) still write the complete manifest fresh.
+    val fresh: Map[String, String] =
+      SparkEntry.oracleSql.view.filterKeys(selected.keySet).toMap
+    val manifestPath = Paths.get(s"$outDir/oracle_sql.json")
+    val merged: Map[String, String] =
+      if (sys.env.contains("SPARK_GRAFT_VERIFY_QUERIES") &&
+          Files.exists(manifestPath)) {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prior = om.readValue(manifestPath.toFile,
+          classOf[java.util.Map[String, String]])
+        import scala.jdk.CollectionConverters._
+        prior.asScala.toMap ++ fresh
+      } else fresh
+    val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(manifestPath, json)
     spark.stop()
   }
 }

@@ -56,13 +56,26 @@ object Bucketing {
   /** Register `dir` for recursive deletion at JVM exit (idempotent per
     * dir). `DROP TABLE` on an EXTERNAL table does not delete its data,
     * so without this every application would leave its bucket layout
-    * in tmpdir forever. */
+    * in tmpdir forever.
+    *
+    * Registered through Hadoop's ShutdownHookManager at a priority
+    * BELOW both Spark's hook chain (installed at
+    * FileSystem.SHUTDOWN_HOOK_PRIORITY + 30) and the FileSystem cache
+    * closer (priority 10): Hadoop runs hooks in DESCENDING priority,
+    * so the delete is ordered strictly AFTER SparkContext shutdown and
+    * filesystem close instead of racing them from an unordered
+    * `Runtime` hook (a concurrent delete under a task still flushing
+    * its bucket files could turn a clean exit into a spurious IO
+    * error). */
   def deleteOnExit(dir: String): Unit =
     if (cleanupRegistered.putIfAbsent(dir, java.lang.Boolean.TRUE) == null) {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(dir))))
+      org.apache.hadoop.util.ShutdownHookManager.get()
+        .addShutdownHook(new Runnable {
+          override def run(): Unit = rm(new java.io.File(dir))
+        }, 5)
     }
 }

@@ -163,13 +163,33 @@ object SimQueries {
     * convention). Scale shape: the delta never touches out-of-cell
     * residents, so a daily delta costs O(|delta| · cell population),
     * not a corpus re-pair. */
-  def embeddingDedupIncr(spark: SparkSession, dir: String): DataFrame = {
-    val all = vectors(spark, dir)
+  def embeddingDedupIncr(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOver(vectors(spark, dir), base => {
+      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
+        iters = 1)
+      df => Similarity.assignByCenters(df, centers)
+    })
+
+  /** Shared body of the FLOAT-path incremental maintenance family
+    * ([[embeddingDedupIncr]] flat, [[embeddingDedupIvf2Incr]]
+    * two-level; [[embeddingDedupPqIncr]] is the compressed sibling
+    * with its own SDC-gated candidate stage): base/delta split by
+    * `id % 10` (the family convention), `assignFor(base)` builds the
+    * deployed index FROM THE BASE CORPUS ONLY and returns the rank-1
+    * assignment projection — the one thing the variants vary — then
+    * prior pairs come from the base residents, fresh pairs from the
+    * delta against same-cell residents (base + delta), and the union
+    * is emitted. The in-cell fresh join, symmetric-fold scoring
+    * (scoring (delta, resident) is bit-equal to the oracle's
+    * id-ordered (a, b) because the ascending-index products commute
+    * termwise), and the >= 0.4 verify exist once, here. */
+  private def incrementalDedupOver(all: DataFrame,
+      assignFor: DataFrame => (DataFrame => DataFrame)): DataFrame = {
     val base = all.filter(col("id") % 10 < 8)
     val delta = all.filter(col("id") % 10 >= 8)
-    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
-    val baseA = Similarity.assignByCenters(base, centers)
-    val deltaA = Similarity.assignByCenters(delta, centers)
+    val assigned = assignFor(base)
+    val baseA = assigned(base)
+    val deltaA = assigned(delta)
     val prior = dedupPairs(baseA)
     val residents = baseA.unionByName(deltaA)
       .select(col("bucket"), col("id"), col("vec"), col("nrm"))
@@ -179,9 +199,6 @@ object SimQueries {
       .join(residents, col("bkd") === col("bucket") && col("did") =!= col("id"))
       .select(least(col("did"), col("id")).as("id_a"),
         greatest(col("did"), col("id")).as("id_b"),
-        // The fold is symmetric (ascending-index products commute
-        // termwise), so scoring (delta, resident) is bit-equal to the
-        // oracle's id-ordered (a, b).
         Similarity.scaledFromParts(Similarity.dot(col("dvec"), col("vec")),
           col("dnrm"), col("nrm")).as("score_c"))
       .distinct()
@@ -271,32 +288,14 @@ object SimQueries {
     * O((coarseK + |fine|/coarseK)·dim) assignment per row — the
     * two-level constant, not the flat |fine|·dim — then
     * O(|delta| · cell population) pair work. */
-  def embeddingDedupIvf2Incr(spark: SparkSession, dir: String): DataFrame = {
-    val all = vectors(spark, dir)
-    val base = all.filter(col("id") % 10 < 8)
-    val delta = all.filter(col("id") % 10 >= 8)
-    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
-    val index = Similarity.buildTwoLevelIndex(centers,
-      Similarity.coarseKFor(centers.length))
-    val baseA = Similarity.assignByTwoLevel(base, index)
-    val deltaA = Similarity.assignByTwoLevel(delta, index)
-    val prior = dedupPairs(baseA)
-    val residents = baseA.unionByName(deltaA)
-      .select(col("bucket"), col("id"), col("vec"), col("nrm"))
-    val fresh = deltaA
-      .select(col("bucket").as("bkd"), col("id").as("did"),
-        col("vec").as("dvec"), col("nrm").as("dnrm"))
-      .join(residents, col("bkd") === col("bucket") && col("did") =!= col("id"))
-      .select(least(col("did"), col("id")).as("id_a"),
-        greatest(col("did"), col("id")).as("id_b"),
-        // Symmetric fold: (delta, resident) scores bit-equal to the
-        // oracle's id-ordered (a, b).
-        Similarity.scaledFromParts(Similarity.dot(col("dvec"), col("vec")),
-          col("dnrm"), col("nrm")).as("score_c"))
-      .distinct()
-      .filter(col("score_c") >= 400000L)
-    prior.unionByName(fresh).distinct()
-  }
+  def embeddingDedupIvf2Incr(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOver(vectors(spark, dir), base => {
+      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
+        iters = 1)
+      val index = Similarity.buildTwoLevelIndex(centers,
+        Similarity.coarseKFor(centers.length))
+      df => Similarity.assignByTwoLevel(df, index)
+    })
 
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
@@ -422,12 +421,41 @@ object SimQueries {
       nprobe = 2)
   }
 
+  /** The engine-chosen flat↔two-level dispatch as a REGISTERED row
+    * ([[Similarity.knnGraphTopKAuto]]): same trained sqrt(n) fine
+    * centers, K and probes as [[knnGraphIvf]]/[[knnGraphIvf2]], with
+    * the assignment strategy picked by the engine from |centers|
+    * alone against the measured [[Similarity.FlatCentersMax]]
+    * crossover — the deployment entry point, where no human chooses
+    * flat vs coarse-quantized per corpus. At every bench SF the
+    * sqrt(n) center count sits below the crossover, so the dispatcher
+    * deterministically takes the EXACT flat branch and the oracle is
+    * the flat replay (the `knn_graph_ivf` SQL verbatim); the
+    * two-level branch keeps its own oracle-checked row
+    * (`knn_graph_ivf2`) and `SimilaritySpec` differential-tests the
+    * dispatch on BOTH sides of the bound, so each branch stays
+    * independently proven while this row proves the dispatch call
+    * itself. */
+  def knnGraphAuto(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    Similarity.knnGraphTopKAuto(v, centers, K, nprobe = 2)
+  }
+
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
     * of the graph family (exact baseline / trained IVF / zero-training
     * SRP), same 4-band tables as [[annSrp]]. */
   def knnGraphSrp(spark: SparkSession, dir: String): DataFrame =
+    knnGraphSrpOp(spark, dir, onePass = true)
+
+  /** [[knnGraphSrp]] with the physical-form knob exposed — the
+    * [[graft.tools.AbSrp]] A/B entry point (`onePass` is a threaded
+    * parameter, not a global; the registered query pins the
+    * production form). */
+  private[graft] def knnGraphSrpOp(spark: SparkSession, dir: String,
+      onePass: Boolean): DataFrame =
     Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
-      bands = 4, planes = SrpPlanes, k = K)
+      bands = 4, planes = SrpPlanes, k = K, onePass = onePass)
 
   /** The measured scale lever for SRP banding (SCALE.md): bucket count
     * must track corpus size — occupancy n/2^planes is what the
@@ -441,8 +469,12 @@ object SimQueries {
   private val SrpPlanesScaled = 10
 
   def knnGraphSrpScaled(spark: SparkSession, dir: String): DataFrame =
+    knnGraphSrpScaledOp(spark, dir, onePass = true)
+
+  private[graft] def knnGraphSrpScaledOp(spark: SparkSession, dir: String,
+      onePass: Boolean): DataFrame =
     Similarity.srpKnnGraph(augmentedVectors(spark, dir), dim = 64,
-      bands = 4, planes = SrpPlanesScaled, k = K)
+      bands = 4, planes = SrpPlanesScaled, k = K, onePass = onePass)
 
   /** The banding constant chosen BY THE ENGINE
     * ([[Similarity.planesFor]]): one count of the corpus sizes the
@@ -455,10 +487,15 @@ object SimQueries {
     * integer rule from count(*) and the construction from the chosen
     * width, so a green hash proves the engine's choice, not a pinned
     * constant. */
-  def knnGraphSrpAuto(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraphSrpAuto(spark: SparkSession, dir: String): DataFrame =
+    knnGraphSrpAutoOp(spark, dir, onePass = true)
+
+  private[graft] def knnGraphSrpAutoOp(spark: SparkSession, dir: String,
+      onePass: Boolean): DataFrame = {
     val v = augmentedVectors(spark, dir)
     val planes = Similarity.planesFor(v.count())
-    Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K)
+    Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K,
+      onePass = onePass)
   }
 
   /** Per-vector PQ reconstruction quality ([[Pq.reconScores]]): pins
@@ -725,6 +762,7 @@ object SimQueries {
     "knn_graph_ivf"   -> (knnGraphIvf _),
     "knn_graph_ivf2"  -> (knnGraphIvf2 _),
     "knn_graph_ivf2pq" -> (knnGraphIvf2Pq _),
+    "knn_graph_auto"  -> (knnGraphAuto _),
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
@@ -761,7 +799,7 @@ object SimQueries {
     * IEEE double mean and square, floor — emitted as `pgate(g)`.
     * Expects `vn` and `prec`; `pred` restricts the measurement to
     * the training slice. */
-  private def pqGateSql(pred: String = "TRUE"): String =
+  private[queries] def pqGateSql(pred: String = "TRUE"): String =
     s"""pgate AS (
        |  SELECT CAST(floor(400000.0
        |           * (CAST(sum(sc) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6)
@@ -772,7 +810,7 @@ object SimQueries {
 
   /** Scaled cosine over the grouped PQ dot (mirror of
     * `scaledFromParts(pq dot, na, nb)`). */
-  private def pqScaledSql(a: String, b: String, na: String, nb: String) =
+  private[queries] def pqScaledSql(a: String, b: String, na: String, nb: String) =
     s"CAST(floor(${pqDotSql(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
 
   /** SQL replay of [[Pq.fitCodebooks]] (one Lloyd iteration) +
@@ -793,7 +831,7 @@ object SimQueries {
     *
     * Emits `prec(id, rvec, rnrm)`; expects a prior CTE
     * `vn(id, vec, nrm)`. */
-  private def pqCodebookSql(ks: Int = PqKs, m: Int = PqM,
+  private[queries] def pqCodebookSql(ks: Int = PqKs, m: Int = PqM,
       subDim: Int = PqSubDim,
       trainPred: String => String = _ => "TRUE"): String =
     s"""psub AS (SELECT id, s, list_slice(vec, s*$subDim+1, (s+1)*$subDim) AS x
@@ -1208,6 +1246,16 @@ object SimQueries {
       |       AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS pc1_c
       |FROM f CROSS JOIN md""".stripMargin
 
+  /** Flat trained-IVF self-kNN replay — the batch truth of BOTH
+    * `knn_graph_ivf` (the explicit flat operator) and
+    * `knn_graph_auto` (the engine-chosen dispatch, which provably
+    * takes the flat branch at every bench SF — see [[knnGraphAuto]]). */
+  private val knnGraphIvfOracle: String =
+    s"""WITH $augmentedSql,
+      |$vnSql,
+      |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
+      |$selfKnnTailSql""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pca_project" -> pcaProjectSql,
     "knn_graph_brute" ->
@@ -1408,11 +1456,13 @@ object SimQueries {
         |  FROM scored)
         |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
         |FROM ranked WHERE rank <= $K""".stripMargin,
-    "knn_graph_ivf" ->
-      s"""WITH $augmentedSql,
-        |$vnSql,
-        |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
-        |$selfKnnTailSql""".stripMargin,
+    "knn_graph_ivf" -> knnGraphIvfOracle,
+    // The dispatcher row: at every bench SF |centers| = sqrt(4n) sits
+    // below FlatCentersMax, so knnGraphTopKAuto deterministically
+    // takes the exact flat branch — its batch truth IS the flat
+    // replay, shared verbatim with knn_graph_ivf (the two-level
+    // branch's truth is the knn_graph_ivf2 row).
+    "knn_graph_auto" -> knnGraphIvfOracle,
     "knn_graph_ivf2" ->
       s"""WITH $augmentedSql,
         |$vnSql,

@@ -312,20 +312,21 @@ object Similarity {
     * (band, bkt) rows, instead of unioning one corpus scan per band
     * (the pre-round-11 form read the corpus `bands` times; same rows,
     * bit for bit — the per-band sign arithmetic is unchanged). */
-  /** A/B knob for the two srpBuckets physical forms (same rows, bit
-    * for bit): one-pass array+posexplode vs one corpus scan per band
-    * unioned. Flipped only by [[graft.tools.AbSrp]] measurement runs;
-    * production default is the measured winner. */
-  @volatile private[graft] var srpOnePass: Boolean = true
-
+  /** `onePass` selects between the two srpBuckets physical forms
+    * (same rows, bit for bit): one-pass array+posexplode (production
+    * default — the measured winner) vs one corpus scan per band
+    * unioned. Passed explicitly by the [[graft.tools.AbSrp]] family's
+    * measurement runs; a parameter rather than the pre-round-14
+    * `@volatile var` global, so an A/B run cannot leave the production
+    * form flipped and two concurrent plans cannot race the knob. */
   def srpBuckets(vectors: DataFrame, dim: Int, bands: Int, planes: Int,
-      salt: String): DataFrame = {
+      salt: String, onePass: Boolean = true): DataFrame = {
     require(planes <= 62, "bucket bits must fit a long")
     def bandBucket(b: Int) = (0 until planes).map { p =>
       val signs = typedlit((0 until dim).map(i => srpSign(salt, b, p, i)))
       when(dot(col("vec"), signs) > 0d, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    if (srpOnePass) {
+    if (onePass) {
       // ONE corpus scan; all band buckets from a single expression
       // eval per row (SrpBucketsExpr — the composed bands x planes
       // DotExpr columns blew the JIT's huge-method limit and ran
@@ -421,9 +422,10 @@ object Similarity {
     * whose buckets hold no other vector emits no rows (blocked-ANN
     * recall honesty; [[knnGraphExact]] is the exact baseline). */
   def srpKnnGraph(corpus: DataFrame, dim: Int, bands: Int, planes: Int,
-      k: Int, salt: String = "srp"): DataFrame = {
+      k: Int, salt: String = "srp", onePass: Boolean = true): DataFrame = {
     val scored = selfPairsByBucket(
-        srpBuckets(corpus, dim, bands, planes, salt), Seq("band", "bkt"))
+        srpBuckets(corpus, dim, bands, planes, salt, onePass),
+        Seq("band", "bkt"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a").as("q_id"), col("id_b").as("n_id"),
         scaledFromParts(dot(col("vec_a"), col("vec_b")),
@@ -753,16 +755,28 @@ object Similarity {
   def knnGraphTopKPq(corpus: DataFrame,
       centers: Array[(Long, Array[Float])],
       cb: graft.expressions.PqCodebook, k: Int,
-      nprobe: Int = 1): DataFrame = {
+      nprobe: Int = 1): DataFrame =
+    knnGraphPqOver(corpus, cb, k, (coded, carry) =>
+      rankedCells(coded, centers, nprobe, carry))
+
+  /** Shared tail of the PQ graph family ([[knnGraphTopKPq]] /
+    * [[knnGraphTopKTwoLevelPq]]): encode ONCE before the probe
+    * fan-out (codes depend only on vec, so computing them under the
+    * posexplode would run the m·ks argmin nprobe times per vector —
+    * the carry slot threads them through the ranking projection
+    * instead), drop the float vector below the bucket exchange, and
+    * score in-cell pairs via the broadcast SDC LUT. `rankCoded` is
+    * the only thing the two compositions vary: the ranked-cells
+    * projection (flat broadcast centers vs coarse→fine index) over
+    * the coded frame, given the carry column list. The PQ scorer and
+    * payload column list exist exactly once, here. */
+  private def knnGraphPqOver(corpus: DataFrame,
+      cb: graft.expressions.PqCodebook, k: Int,
+      rankCoded: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
     val bc = Pq.broadcastCodebook(corpus, cb)
-    // Encode BEFORE the probe fan-out: codes depend only on vec, so
-    // computing them under the posexplode would run the m·ks argmin
-    // nprobe times per vector. The carry slot threads them through
-    // the ranking projection instead.
     val coded = corpus.withColumn("codes", Pq.encodeCol("vec", bc))
       .withColumn("rnrm", Pq.normCol("codes", bc))
-    val ranked = rankedCells(coded, centers, nprobe,
-        carry = Seq("codes", "rnrm"))
+    val ranked = rankCoded(coded, Seq("codes", "rnrm"))
       .select(col("id"), col("codes"), col("rnrm"),
         col("bucket"), col("__rn"))
     knnFromRankedPayload(ranked, k, Seq("codes", "rnrm"), joined => joined
@@ -788,21 +802,10 @@ object Similarity {
   def knnGraphTopKTwoLevelPq(corpus: DataFrame,
       fineCenters: Array[(Long, Array[Float])], coarseK: Int,
       cb: graft.expressions.PqCodebook, k: Int,
-      nprobe: Int = 1): DataFrame = {
-    val bc = Pq.broadcastCodebook(corpus, cb)
-    val coded = corpus.withColumn("codes", Pq.encodeCol("vec", bc))
-      .withColumn("rnrm", Pq.normCol("codes", bc))
-    val ranked = rankedCellsTwoLevel(coded,
-        buildTwoLevelIndex(fineCenters, coarseK), nprobe,
-        carry = Seq("codes", "rnrm"))
-      .select(col("id"), col("codes"), col("rnrm"),
-        col("bucket"), col("__rn"))
-    knnFromRankedPayload(ranked, k, Seq("codes", "rnrm"), joined => joined
-      .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        scaledFromParts(Pq.sdcDotCol("q_codes", "n_codes", bc),
-          col("q_rnrm"), col("n_rnrm")).as("score_c")))
-  }
+      nprobe: Int = 1): DataFrame =
+    knnGraphPqOver(corpus, cb, k, (coded, carry) =>
+      rankedCellsTwoLevel(coded, buildTwoLevelIndex(fineCenters, coarseK),
+        nprobe, carry))
 
   /** The flat↔two-level assignment crossover, ENGINE-CHOSEN (the
     * [[LiteralCentersMax]] / [[planesFor]] / `sdcGateFor` pattern —

@@ -20,12 +20,10 @@ object AbSrpPlan {
     import graft.sim.Similarity
     val v = SimQueries.augmentedVectors(spark, sfDir)
     for (op <- Seq(true, false)) {
-      Similarity.srpOnePass = op
-      val df = Similarity.srpBuckets(v, 64, 4, 9, "srp")
+      val df = Similarity.srpBuckets(v, 64, 4, 9, "srp", onePass = op)
       println(s"===== onePass=$op =====")
       println(df.queryExecution.executedPlan.toString.take(8000))
     }
-    Similarity.srpOnePass = true
     spark.stop()
   }
 }

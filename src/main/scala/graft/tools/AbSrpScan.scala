@@ -28,11 +28,10 @@ object AbSrpScan {
     val planes = Similarity.planesFor(n)
     println(s"""{"n":$n,"planes":$planes,"corpusPartitions":${v.rdd.getNumPartitions}}""")
 
-    def bkts() = Similarity.srpBuckets(v, 64, 4, planes, "srp")
     def time(op: Boolean): Double = {
-      Similarity.srpOnePass = op
       val t0 = System.nanoTime()
-      bkts().write.format("noop").mode("overwrite").save()
+      Similarity.srpBuckets(v, 64, 4, planes, "srp", onePass = op)
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     for (op <- Seq(true, false)) time(op) // codegen warm-up
@@ -40,7 +39,6 @@ object AbSrpScan {
       val t = time(op)
       println(f"""{"pass":$pass,"onePass":$op,"bucketScanOnly":$t%.3f}""")
     }
-    Similarity.srpOnePass = true
     spark.stop()
   }
 }

@@ -405,11 +405,8 @@ class SimilaritySpec extends SparkSpec {
       (100000L, null.asInstanceOf[Array[Float]]),
       (100001L, Array(1f, -2f, 3f))).toDF("id", "vec")
     val v = base.unionByName(edges)
-    def run(op: Boolean) = {
-      Similarity.srpOnePass = op
-      try Similarity.srpBuckets(v, 64, 4, 7, "srp").collect().toSet
-      finally Similarity.srpOnePass = true
-    }
+    def run(op: Boolean) =
+      Similarity.srpBuckets(v, 64, 4, 7, "srp", onePass = op).collect().toSet
     val onePass = run(true)
     val union = run(false)
     assert(onePass == union,
