@@ -96,7 +96,14 @@ object Bench {
     // artifact-traceable even when stdout is clipped.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL_LATEST.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    // Persistence is best-effort: the JSON line is already on stdout, so
+    // a read-only cwd (or full disk) must not abort the exit path —
+    // spark.stop() below still has to run.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

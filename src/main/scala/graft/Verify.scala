@@ -58,7 +58,18 @@ object Verify {
         val prior = om.readValue(manifestPath.toFile,
           classOf[java.util.Map[String, String]])
         import scala.jdk.CollectionConverters._
-        prior.asScala.toMap ++ fresh
+        // Keep prior entries only for queries that still exist in the
+        // current build, and refresh every surviving key's SQL from the
+        // current SparkEntry.oracleSql: a renamed/removed query (or SQL
+        // edited since the prior dump) would otherwise persist stale in
+        // the manifest indefinitely and a later selfcheck pass could
+        // verify against a query with no parquet output or outdated SQL.
+        val stillRegistered = prior.asScala.toMap.view
+          .filterKeys(SparkEntry.queries.keySet).toMap
+        val refreshed = stillRegistered.map { case (k, v) =>
+          k -> SparkEntry.oracleSql.getOrElse(k, v)
+        }
+        refreshed ++ fresh
       } else fresh
     val json = merged
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

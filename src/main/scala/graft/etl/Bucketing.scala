@@ -73,9 +73,14 @@ object Bucketing {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
+      // Explicit 10-minute timeout: Hadoop caps hooks without one at
+      // hadoop.service.shutdown.timeout (default ~30 s), which a large
+      // bucket layout's recursive delete can exceed — the old unbounded
+      // Runtime hook would have finished where the default budget
+      // truncates mid-tree.
       org.apache.hadoop.util.ShutdownHookManager.get()
         .addShutdownHook(new Runnable {
           override def run(): Unit = rm(new java.io.File(dir))
-        }, 5)
+        }, 5, 10, java.util.concurrent.TimeUnit.MINUTES)
     }
 }

@@ -32,7 +32,7 @@ object CurationQueries {
     * n_words) — consecutive [[LineLen]]-token windows, 1-based pos.
     * Empty documents produce no lines (guards Spark's descending
     * `sequence(1, 0)` gotcha). */
-  private def lines(docs: DataFrame): DataFrame =
+  private[queries] def lines(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("pos",

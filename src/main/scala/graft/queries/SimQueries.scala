@@ -439,7 +439,46 @@ object SimQueries {
   def knnGraphAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    // The registered oracle is hard-pinned to the flat replay, which is
+    // only the branch the dispatcher takes while sqrt(4n) centers stay
+    // within FlatCentersMax (~1M base vectors). Past that the two-level
+    // branch is correct engine behavior but a DIFFERENT row set than
+    // this oracle — fail loudly here instead of surfacing as a hash
+    // mismatch in the driver's compare.
+    require(centers.length <= Similarity.FlatCentersMax,
+      s"knn_graph_auto's flat-replay oracle only covers the flat branch: " +
+        s"${centers.length} centers > FlatCentersMax=" +
+        s"${Similarity.FlatCentersMax}; at this scale verify the dispatch " +
+        s"via knn_graph_ivf2's own oracle instead")
     Similarity.knnGraphTopKAuto(v, centers, K, nprobe = 2)
+  }
+
+  /** The engine-chosen float↔PQ PAYLOAD dispatch as a REGISTERED row
+    * ([[Similarity.knnGraphTopKPayloadAuto]]) — the byte-budget level
+    * of the engine-chosen family (`knn_graph_auto` picks the
+    * assignment strategy from |centers|; this picks what the bucket
+    * exchange carries from dim x corpus bytes). At every bench SF the
+    * float payload sits orders of magnitude under the 2 GiB
+    * [[Similarity.FloatPayloadBytesMax]] crossover, so the dispatcher
+    * deterministically takes the EXACT float branch and the oracle is
+    * the flat replay; the compressed branch keeps its own
+    * oracle-checked row (`knn_graph_ivfpq`) and `SimilaritySpec`
+    * differential-tests the dispatch on BOTH sides of a forced bound,
+    * so each branch stays independently proven while this row proves
+    * the dispatch call itself. The guard below turns the scale limit
+    * of the PINNED ORACLE into an explicit failure instead of a hash
+    * mismatch (the knn_graph_auto pattern). */
+  def knnGraphPayloadAuto(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val st = v.agg(count(lit(1)), max(size(col("vec")))).head()
+    val payload = st.getLong(0) * (if (st.isNullAt(1)) 0L else st.getInt(1).toLong) * 4L
+    require(payload <= Similarity.FloatPayloadBytesMax,
+      s"knn_graph_payload_auto's flat-replay oracle only covers the float " +
+        s"branch: payload $payload B > FloatPayloadBytesMax=" +
+        s"${Similarity.FloatPayloadBytesMax}; at this scale verify the " +
+        s"dispatch via knn_graph_ivfpq's own oracle instead")
+    Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2)
   }
 
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
@@ -763,6 +802,7 @@ object SimQueries {
     "knn_graph_ivf2"  -> (knnGraphIvf2 _),
     "knn_graph_ivf2pq" -> (knnGraphIvf2Pq _),
     "knn_graph_auto"  -> (knnGraphAuto _),
+    "knn_graph_payload_auto" -> (knnGraphPayloadAuto _),
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
@@ -1463,6 +1503,13 @@ object SimQueries {
     // replay, shared verbatim with knn_graph_ivf (the two-level
     // branch's truth is the knn_graph_ivf2 row).
     "knn_graph_auto" -> knnGraphIvfOracle,
+    // The payload-dispatcher row: at every bench SF the float payload
+    // (n x dim x 4 B) sits orders of magnitude under
+    // FloatPayloadBytesMax, so knnGraphTopKPayloadAuto
+    // deterministically keeps the exact float exchange — its batch
+    // truth IS the flat replay, shared verbatim with knn_graph_ivf
+    // (the compressed branch's truth is the knn_graph_ivfpq row).
+    "knn_graph_payload_auto" -> knnGraphIvfOracle,
     "knn_graph_ivf2" ->
       s"""WITH $augmentedSql,
         |$vnSql,

@@ -278,6 +278,83 @@ object StreamingQueries {
       .filter(col("score_c") >= 400000L)
   }
 
+  /** The PQ-COMPRESSED deployed-index probe plan ([[embeddingProbeStream]]
+    * with the resident side quantized): centers AND codebook train on the
+    * resident base corpus before the stream starts, the static side of the
+    * cell join carries (bucket, id, codes, rnrm) — m small ints and a
+    * double per resident instead of dim floats, the ~6x memory cut that
+    * matters most where the index is RESIDENT for the stream's lifetime —
+    * each streamed vector is cell-assigned and encoded by pure projections
+    * against the broadcast index, candidates gate on the cheap SDC lookup
+    * score at the engine-chosen [[SimQueries.sdcGateFor]] gate, and only
+    * survivors join back (id-keyed, candidate cardinality) to the float
+    * base for the exact cosine >= 0.4 verify. Both joins are STREAM-STATIC
+    * and everything else is projection: zero state operators
+    * (spec-asserted), zero state growth at any stream length. */
+  private[graft] def embeddingPqProbeStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.sim.{KMeans, Pq, Similarity}
+    val base = Tables.spread(Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") % 10 < 8)
+    val centers = KMeans.fitCenters(base,
+      0L until SimQueries.sqrtCells(base), iters = 1)
+    val cb = Pq.fitCodebooks(base)
+    val gate = SimQueries.sdcGateFor(base, cb)
+    val bc = Pq.broadcastCodebook(base, cb)
+    val baseCoded = Similarity.assignByCenters(base, centers)
+      .withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select(col("bucket"), col("id").as("base_id"),
+        col("codes").as("b_codes"), col("rnrm").as("b_rnrm"))
+    val baseFloat = base.select(col("id").as("base_id"),
+      col("vec").as("b_vec"), Similarity.norm(col("vec")).as("b_nrm"))
+    val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+        reader.parquet(s"$dir/embeddings.parquet")
+      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val delta = src.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .filter(col("id") % 10 >= 8)
+    Similarity.assignByCenters(delta, centers)
+      .withColumn("codes", Pq.encodeCol("vec", bc))
+      .withColumn("rnrm", Pq.normCol("codes", bc))
+      .select(col("bucket"), col("id").as("delta_id"),
+        col("vec").as("d_vec"), col("nrm").as("d_nrm"),
+        col("codes").as("d_codes"), col("rnrm").as("d_rnrm"))
+      .join(baseCoded, Seq("bucket"))
+      .filter(Similarity.scaledFromParts(
+        Pq.sdcDotCol("d_codes", "b_codes", bc),
+        col("d_rnrm"), col("b_rnrm")) >= gate)
+      .join(baseFloat, Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        Similarity.scaledFromParts(Similarity.dot(col("d_vec"), col("b_vec")),
+          col("d_nrm"), col("b_nrm")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+  }
+
+  /** Streaming near-dup ingestion against a DEPLOYED IVFADC index —
+    * the compressed sibling of [[streamEmbeddingDedupFiles]] (and the
+    * streaming member of the PQ family: `embedding_dedup_pq_incr` is
+    * its batch sibling): same base-trained/stream-probed contract, but
+    * the resident cell index the stream probes holds PQ codes, not
+    * float vectors. The oracle is the batch replay: base-trained
+    * centers + codebook over everything, in-cell delta x base pairs
+    * gated on SDC, survivors verified exactly — identical rows because
+    * cells partition under fixed centers and codes under a fixed
+    * codebook. */
+  def streamEmbeddingDedupPqFiles(spark: SparkSession, dir: String): DataFrame = {
+    val matched = embeddingPqProbeStream(spark, dir)
+    val name = s"stream_emb_dedup_pq_${runId.incrementAndGet()}"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+  }
+
   /** Streaming near-dup ingestion against a DEPLOYED embedding index —
     * the streaming member of the embedding-dedup family
     * (`embedding_dedup_incr` is its batch sibling): centers train on
@@ -358,6 +435,7 @@ object StreamingQueries {
     "stream_cms_files" -> (streamCmsFiles _),
     "stream_dedup_files" -> (streamDedupFiles _),
     "stream_embedding_dedup_files" -> (streamEmbeddingDedupFiles _),
+    "stream_embedding_dedup_pq_files" -> (streamEmbeddingDedupPqFiles _),
     "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
@@ -404,6 +482,35 @@ object StreamingQueries {
         |FROM assign d JOIN assign b ON d.bucket = b.bucket
         | AND d.id % 10 >= 8 AND b.id % 10 < 8
         |WHERE ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} >= 400000""".stripMargin,
+    // Batch truth for the streamed IVFADC probe: base-trained centers
+    // AND codebook (trainPred threads the id % 10 < 8 restriction),
+    // every vector assigned and encoded by them, delta x base in-cell
+    // pairs gated on the SDC reconstruction score at the replayed
+    // engine gate, survivors verified exactly — identical to the
+    // stream's emissions because cells partition under fixed centers
+    // and codes under a fixed codebook.
+    "stream_embedding_dedup_pq_files" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |${SimQueries.vnSql},
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${SimQueries.trainedAssignSql(
+            "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+            nprobe = 1, trainSrc = "vb")},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |${SimQueries.pqCodebookSql(trainPred = c => s"$c % 10 < 8")},
+        |${SimQueries.pqGateSql(pred = "vn.id % 10 < 8")},
+        |pcode AS (
+        |  SELECT a.id, a.bucket, r.rvec, r.rnrm
+        |  FROM assign a JOIN prec r ON a.id = r.id),
+        |cand AS (
+        |  SELECT d.id AS delta_id, b.id AS base_id
+        |  FROM pcode d JOIN pcode b ON d.bucket = b.bucket
+        |   AND d.id % 10 >= 8 AND b.id % 10 < 8
+        |  WHERE ${SimQueries.pqScaledSql("d.rvec", "b.rvec", "d.rnrm", "b.rnrm")} >= (SELECT g FROM pgate))
+        |SELECT c.delta_id, c.base_id,
+        |       ${SimQueries.scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |FROM cand c JOIN vn x ON c.delta_id = x.id JOIN vn y ON c.base_id = y.id
+        |WHERE ${SimQueries.scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} >= 400000""".stripMargin,
     // Batch truth for the streamed dedup of the doubled stream: each
     // event exactly once -> the plain per-type counts.
     "stream_dedup_files" ->

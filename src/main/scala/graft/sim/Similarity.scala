@@ -844,6 +844,49 @@ object Similarity {
   def coarseKFor(fineCount: Int): Int =
     math.max(4, math.sqrt(fineCount.toDouble).round.toInt)
 
+  /** The float↔PQ PAYLOAD crossover, ENGINE-CHOSEN — the byte-budget
+    * analogue of [[FlatCentersMax]], one level up: that constant picks
+    * the assignment STRATEGY from |centers|; this one picks what the
+    * bucket exchange CARRIES (exact float vectors vs PQ codes) from
+    * dim × corpus size. Float payload is n·dim·4 bytes; the code
+    * payload is ~(m + 8)·n (~6x narrower at m=8/dim=64, SCALE.md's
+    * measured exchange cut). The largest regime measured at parity on
+    * this box is the sf10 soak — 800k × 64-dim ≈ 205 MB of float
+    * payload, where BENCH_SF10_PQ records IVFPQ 99.4 s vs float IVF
+    * 98.8 s — i.e. under page-cached local exchange, compression is
+    * free but buys nothing, and the float side is EXACT scoring while
+    * PQ pays a measured recall price (PqSpec: ADC recall@3 0.867 until
+    * re-ranked). The budget is therefore biased toward float, exactly
+    * as [[FlatCentersMax]] is biased toward flat: 2 GiB = 10x the
+    * largest payload proven at parity. Past it (~8M vectors at
+    * dim=64), per-cell float frames (pop · dim · 4 in ONE O(p²) pair
+    * task) push toward the execution-memory guard the sf10 soak
+    * already brushed, and every byte the exchange doesn't move is the
+    * point at real-cluster scale — the engine flips the SAME trained
+    * cells to the codes-only exchange. */
+  private[graft] val FloatPayloadBytesMax: Long = 2L << 30
+
+  /** Self-kNN with the exchange PAYLOAD chosen by the engine from the
+    * corpus byte volume ([[FloatPayloadBytesMax]]): one count+dim
+    * aggregate at construction (the eager envelope every trained-index
+    * query already pays for center fitting), then either the exact
+    * float path ([[knnGraphTopK]]) or the PQ-compressed path
+    * ([[knnGraphTopKPq]], codebook fit on the same corpus) over the
+    * SAME fine centers. Deterministic in (n, dim) alone; each branch
+    * is the corresponding registered operator, so both stay
+    * independently oracle-checked. Differential-tested on both sides
+    * of the bound. */
+  def knnGraphTopKPayloadAuto(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
+      payloadMax: Long = FloatPayloadBytesMax): DataFrame = {
+    val r = corpus.agg(count(lit(1)).as("n"),
+      max(size(col("vec"))).as("dim")).head()
+    val n = r.getLong(0)
+    val dim = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+    if (n * dim * 4L <= payloadMax) knnGraphTopK(corpus, fineCenters, k, nprobe)
+    else knnGraphTopKPq(corpus, fineCenters, Pq.fitCodebooks(corpus), k, nprobe)
+  }
+
   /** IVF search: top-k within the query's `nprobe` nearest centroid
     * buckets. `nprobe = 1` searches only the query's own cell; larger
     * values trade proportional extra work for recall (the corpus side

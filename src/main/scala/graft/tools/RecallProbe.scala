@@ -47,6 +47,7 @@ object RecallProbe {
         val sqrtK = math.max(8L, math.sqrt(n.toDouble).round)
         val centers = KMeans.fitCenters(corpus, 0L until sqrtK, iters = 1)
         def sampled(df: DataFrame) = df.filter(col("q_id") % sampleStep === 0)
+        val cb = graft.sim.Pq.fitCodebooks(corpus)
         val variants = Seq(
           "knn_graph_srp_scaled" ->
             Similarity.srpKnnGraph(corpus, 64, bands = 4, planes = 10, k = k),
@@ -56,7 +57,18 @@ object RecallProbe {
           "knn_graph_ivf_probe1" ->
             Similarity.knnGraphTopK(corpus, centers, k, nprobe = 1),
           "knn_graph_ivf_probe2" ->
-            Similarity.knnGraphTopK(corpus, centers, k, nprobe = 2))
+            Similarity.knnGraphTopK(corpus, centers, k, nprobe = 2),
+          // The compressed graph pair: plain SDC ranking (quantization
+          // collapses in-cluster order — the measured recall price) vs
+          // the two-stage cure (4k code-space shortlist, exact float
+          // re-rank). Same centers/probes as the float rows above, so
+          // the delta isolates the payload choice.
+          "knn_graph_ivfpq" ->
+            Similarity.knnGraphTopKPq(corpus, centers, cb, k, nprobe = 2),
+          "knn_graph_ivfpq_rerank" ->
+            Similarity.rerankExactGraph(
+              Similarity.knnGraphTopKPq(corpus, centers, cb, k * 4,
+                nprobe = 2), corpus, k))
         (n, nSample,
           variants.map { case (name, df) => name -> recallAt(exact, sampled(df)) })
       } finally { exact.unpersist(); () }

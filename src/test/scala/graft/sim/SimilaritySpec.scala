@@ -338,6 +338,31 @@ class SimilaritySpec extends SparkSpec {
       "two-level side")
   }
 
+  test("knnGraphTopKPayloadAuto: engine-chosen payload is exactly the " +
+      "float path under FloatPayloadBytesMax and exactly the PQ path " +
+      "past a forced bound — deterministic in (n, dim) alone") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() == b.count() && a.count() > 0, what)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: dispatch changed rows")
+    }
+    // Fixture payload (n x dim x 4 B) is far under 2 GiB: the engine
+    // must keep the exact float exchange.
+    same(Similarity.knnGraphTopKPayloadAuto(v, centers, 3, nprobe = 2),
+      Similarity.knnGraphTopK(v, centers, 3, nprobe = 2), "float side")
+    // Forced 1-byte budget: the engine must flip the SAME trained
+    // cells to the codes-only exchange with a corpus-fit codebook.
+    same(Similarity.knnGraphTopKPayloadAuto(v, centers, 3, nprobe = 2,
+        payloadMax = 1L),
+      Similarity.knnGraphTopKPq(v, centers,
+        graft.sim.Pq.fitCodebooks(v), 3, nprobe = 2),
+      "PQ side")
+  }
+
   test("selfPairsByBucket: forced tiny cap is bit-identical to the unsplit " +
       "self-join (ordered pairs, self-pairs included, no dup/loss)") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

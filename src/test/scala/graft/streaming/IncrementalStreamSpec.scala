@@ -452,4 +452,66 @@ class IncrementalStreamSpec extends SparkSpec {
       s"stream/batch diverge: stream-only ${streamed -- batchTruth}, " +
         s"batch-only ${batchTruth -- streamed}")
   }
+
+  test("PQ-compressed index probe is STATELESS streaming: zero state " +
+      "operators, and the stream matches its batch replay") {
+    // The 100 TB claim of stream_embedding_dedup_pq_files: the resident
+    // side of the stream-static cell join carries PQ codes (the ~6x
+    // memory cut where the index lives for the stream's lifetime), the
+    // SDC gate and the float verify are projections/static joins, so an
+    // unbounded stream carries NO state growth — the progress report
+    // must show zero state operators — and compression changes WHERE
+    // bytes sit, never which pairs emit.
+    val dir = "/root/testdata/sf0.001"
+    val matched = graft.queries.StreamingQueries
+      .embeddingPqProbeStream(spark, dir)
+    val name = "pq_probe_stateless_test"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val progress = q.lastProgress
+    assert(progress != null && progress.stateOperators.isEmpty,
+      s"expected stateless plan, got ${progress.stateOperators.mkString(",")}")
+    assert(spark.table(name).columns.toSeq ==
+      Seq("delta_id", "base_id", "score_c"))
+    // Stream-vs-batch differential: the identical base-trained
+    // centers + codebook, SDC gate, and exact verify computed entirely
+    // in batch must produce the identical pair set — streaming delivery
+    // through the compressed index loses and invents nothing.
+    import graft.sim.{KMeans, Pq, Similarity}
+    import org.apache.spark.sql.functions._
+    val all = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = all.filter(col("id") % 10 < 8)
+    val centers = KMeans.fitCenters(base,
+      0L until graft.queries.SimQueries.sqrtCells(base), iters = 1)
+    val cb = Pq.fitCodebooks(base)
+    val gate = graft.queries.SimQueries.sdcGateFor(base, cb)
+    val bc = Pq.broadcastCodebook(base, cb)
+    def coded(df: org.apache.spark.sql.DataFrame, p: String) =
+      Similarity.assignByCenters(df, centers)
+        .withColumn("codes", Pq.encodeCol("vec", bc))
+        .withColumn("rnrm", Pq.normCol("codes", bc))
+        .select(col("bucket"), col("id").as(s"${p}_id"),
+          col("vec").as(s"${p}_vec"), col("nrm").as(s"${p}_nrm"),
+          col("codes").as(s"${p}_codes"), col("rnrm").as(s"${p}_rnrm"))
+    val batchTruth = coded(all.filter(col("id") % 10 >= 8), "delta")
+      .join(coded(base, "base"), Seq("bucket"))
+      .filter(Similarity.scaledFromParts(
+        Pq.sdcDotCol("delta_codes", "base_codes", bc),
+        col("delta_rnrm"), col("base_rnrm")) >= gate)
+      .select(col("delta_id"), col("base_id"),
+        Similarity.scaledFromParts(
+          Similarity.dot(col("delta_vec"), col("base_vec")),
+          col("delta_nrm"), col("base_nrm")).as("score_c"))
+      .filter(col("score_c") >= 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchTruth,
+      s"stream/batch diverge: stream-only ${streamed -- batchTruth}, " +
+        s"batch-only ${batchTruth -- streamed}")
+  }
 }
