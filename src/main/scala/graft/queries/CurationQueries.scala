@@ -107,9 +107,11 @@ object CurationQueries {
     // de-synchronizing the subtrees — applied here, it pushes below
     // identically in every copy, and because it references every
     // column any consumer needs (true by construction — positions
-    // are 1-based, lines and ids never null — but unprovable),
-    // pruning keeps the full column set in each copy and the
-    // subtrees canonicalize equal. Plan-audited.
+    // are 1-based, lines and ids never null, proven value-neutral on
+    // fixtures AND an adversarial generated corpus in
+    // PinInvariantSpec — but unprovable to Catalyst), pruning keeps
+    // the full column set in each copy and the subtrees canonicalize
+    // equal. Plan-audited.
     val h = lines(Tables.spread(Tables.documents(spark, dir)))
       .withColumn("lh", TF.portableHash(col("line_raw"), "linedup"))
       .withColumn("okey", col("doc_id") * 100000L + col("pos"))
@@ -175,7 +177,8 @@ object CurationQueries {
     // below perDoc into the bigram stream — c2, c1 and the probe all
     // ride ONE materialized exchange. The w1/w2 null pre-filter
     // keeps join-key isnotnull inference from privatizing a subtree
-    // copy (tokens are never null; values unchanged).
+    // copy (tokens are never null — PinInvariantSpec; values
+    // unchanged).
     val perDoc = bg.filter(col("w1").isNotNull && col("w2").isNotNull)
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -270,7 +273,8 @@ object CurationQueries {
     // infer isnotnull(doc_id) onto its copy of the subtree only
     // (pushed into the scan), and the df/probe exchange subtrees
     // would stop canonicalizing equal — silently doubling the
-    // tokenize pass. Values are unchanged (doc_id is never null).
+    // tokenize pass. Values are unchanged (doc_id is never null —
+    // PinInvariantSpec pins the contract on the fixtures).
     val toks = Tables.spread(Tables.documents(spark, dir))
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), TF.tokens(col("text")).as("t"))
