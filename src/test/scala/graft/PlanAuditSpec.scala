@@ -619,6 +619,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("stream_embedding_dedup_pq_files: the RESIDENT index side of the " +
+      "stream-static cell join carries codes, never float vectors") {
+    // The streaming form of the codes-only promise: the static side
+    // the stream probes per micro-batch is resident for the stream's
+    // LIFETIME, so its width is held memory, not transient exchange
+    // bytes — the ~6x cut is the whole point of the PQ sibling. Float
+    // vectors may re-enter only through the second, id-keyed verify
+    // join (candidate cardinality). Pinned on the analyzed plan of the
+    // probe: the stream-static join on `bucket` must have a batch side
+    // with zero array<float> outputs.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val matched = graft.queries.StreamingQueries
+      .embeddingPqProbeStream(spark, "/root/testdata/sf0.001")
+    val joins = matched.queryExecution.analyzed.collect {
+      case j: Join if j.left.isStreaming != j.right.isStreaming => j
+    }
+    assert(joins.size == 2,
+      s"expected the cell join + the verify join-back, got ${joins.size}")
+    val cellJoins = joins.filter { j =>
+      val statik = if (j.left.isStreaming) j.right else j.left
+      statik.output.exists(_.name == "b_codes")
+    }
+    assert(cellJoins.size == 1, "cell join (static side = coded index) not found")
+    val statik = {
+      val j = cellJoins.head
+      if (j.left.isStreaming) j.right else j.left
+    }
+    val floatArrays = statik.output.filter(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    assert(floatArrays.isEmpty,
+      s"resident index side carries float vectors: $floatArrays")
+  }
+
   test("two-level assignment has no hub cell: in-cell pair work (sum of " +
       "pop^2) stays within 1.5x of the flat assignment's") {
     // The first two-level draft made each coarse center a hub for its
