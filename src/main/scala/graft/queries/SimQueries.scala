@@ -471,14 +471,38 @@ object SimQueries {
   def knnGraphPayloadAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    val st = v.agg(count(lit(1)), max(size(col("vec")))).head()
-    val payload = st.getLong(0) * (if (st.isNullAt(1)) 0L else st.getInt(1).toLong) * 4L
+    val payload = Similarity.floatPayloadBytes(v)
     require(payload <= Similarity.FloatPayloadBytesMax,
       s"knn_graph_payload_auto's flat-replay oracle only covers the float " +
         s"branch: payload $payload B > FloatPayloadBytesMax=" +
         s"${Similarity.FloatPayloadBytesMax}; at this scale verify the " +
         s"dispatch via knn_graph_ivfpq's own oracle instead")
     Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2)
+  }
+
+  /** The DEPLOYMENT entry point as a REGISTERED row
+    * ([[Similarity.knnGraphTopKFullAuto]]): both engine choices
+    * composed — assignment strategy from |centers|, exchange payload
+    * from corpus bytes — landing on one of the four registered
+    * quadrant operators. At every bench SF both predicates pick the
+    * cheap-and-exact side (sqrt(4n) centers < 2048, payload ≪ 2 GiB),
+    * so the row's oracle is the flat-float replay; each other quadrant
+    * keeps its own oracle-checked row (`knn_graph_ivf2`,
+    * `knn_graph_ivfpq`, `knn_graph_ivf2pq`) and `SimilaritySpec`
+    * differential-tests all FOUR quadrants against their operators
+    * under forced bounds. The guards make the pinned oracle's scale
+    * limits explicit failures instead of hash mismatches. */
+  def knnGraphFullAuto(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    require(centers.length <= Similarity.FlatCentersMax,
+      s"knn_graph_full_auto's flat-float oracle only covers the flat " +
+        s"quadrant: ${centers.length} centers > FlatCentersMax")
+    val payload = Similarity.floatPayloadBytes(v)
+    require(payload <= Similarity.FloatPayloadBytesMax,
+      s"knn_graph_full_auto's flat-float oracle only covers the float " +
+        s"quadrant: payload $payload B > FloatPayloadBytesMax")
+    Similarity.knnGraphTopKFullAuto(v, centers, K, nprobe = 2)
   }
 
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
@@ -803,6 +827,7 @@ object SimQueries {
     "knn_graph_ivf2pq" -> (knnGraphIvf2Pq _),
     "knn_graph_auto"  -> (knnGraphAuto _),
     "knn_graph_payload_auto" -> (knnGraphPayloadAuto _),
+    "knn_graph_full_auto" -> (knnGraphFullAuto _),
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
@@ -1510,6 +1535,11 @@ object SimQueries {
     // truth IS the flat replay, shared verbatim with knn_graph_ivf
     // (the compressed branch's truth is the knn_graph_ivfpq row).
     "knn_graph_payload_auto" -> knnGraphIvfOracle,
+    // The composed (strategy x payload) dispatcher: at every bench SF
+    // both predicates land on the flat-float quadrant, whose batch
+    // truth is the same flat replay; the other three quadrants carry
+    // their own oracle-checked rows.
+    "knn_graph_full_auto" -> knnGraphIvfOracle,
     "knn_graph_ivf2" ->
       s"""WITH $augmentedSql,
         |$vnSql,

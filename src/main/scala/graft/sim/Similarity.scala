@@ -876,15 +876,51 @@ object Similarity {
     * is the corresponding registered operator, so both stay
     * independently oracle-checked. Differential-tested on both sides
     * of the bound. */
-  def knnGraphTopKPayloadAuto(corpus: DataFrame,
-      fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
-      payloadMax: Long = FloatPayloadBytesMax): DataFrame = {
+  /** Float exchange-payload bytes of `corpus` (n × dim × 4) — ONE
+    * count+dim aggregate, the shared measurement of both byte-budget
+    * dispatchers so their rule cannot drift apart. */
+  private[graft] def floatPayloadBytes(corpus: DataFrame): Long = {
     val r = corpus.agg(count(lit(1)).as("n"),
       max(size(col("vec"))).as("dim")).head()
-    val n = r.getLong(0)
     val dim = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
-    if (n * dim * 4L <= payloadMax) knnGraphTopK(corpus, fineCenters, k, nprobe)
+    r.getLong(0) * dim * 4L
+  }
+
+  def knnGraphTopKPayloadAuto(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
+      payloadMax: Long = FloatPayloadBytesMax): DataFrame =
+    if (floatPayloadBytes(corpus) <= payloadMax)
+      knnGraphTopK(corpus, fineCenters, k, nprobe)
     else knnGraphTopKPq(corpus, fineCenters, Pq.fitCodebooks(corpus), k, nprobe)
+
+  /** The DEPLOYMENT entry point of the graph family: BOTH engine
+    * choices composed — assignment strategy from |centers|
+    * ([[FlatCentersMax]], the [[knnGraphTopKAuto]] rule) × exchange
+    * payload from corpus bytes ([[FloatPayloadBytesMax]], the
+    * [[knnGraphTopKPayloadAuto]] rule) — selecting among the four
+    * registered operators that ARE the quadrants: flat float
+    * ([[knnGraphTopK]]), two-level float ([[knnGraphTopKTwoLevel]]),
+    * flat PQ ([[knnGraphTopKPq]]), and the full FAISS-style
+    * composition ([[knnGraphTopKTwoLevelPq]]). Each predicate is the
+    * SAME one its single-axis dispatcher uses, so the composed choice
+    * cannot disagree with the parts; deterministic in
+    * (|centers|, n, dim) alone; all four quadrants
+    * differential-tested against their operators. */
+  def knnGraphTopKFullAuto(corpus: DataFrame,
+      fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
+      flatMax: Int = FlatCentersMax,
+      payloadMax: Long = FloatPayloadBytesMax): DataFrame = {
+    val flat = fineCenters.length <= flatMax
+    val float = floatPayloadBytes(corpus) <= payloadMax
+    (flat, float) match {
+      case (true, true) => knnGraphTopK(corpus, fineCenters, k, nprobe)
+      case (false, true) => knnGraphTopKTwoLevel(corpus, fineCenters,
+        coarseKFor(fineCenters.length), k, nprobe)
+      case (true, false) => knnGraphTopKPq(corpus, fineCenters,
+        Pq.fitCodebooks(corpus), k, nprobe)
+      case (false, false) => knnGraphTopKTwoLevelPq(corpus, fineCenters,
+        coarseKFor(fineCenters.length), Pq.fitCodebooks(corpus), k, nprobe)
+    }
   }
 
   /** IVF search: top-k within the query's `nprobe` nearest centroid

@@ -363,6 +363,37 @@ class SimilaritySpec extends SparkSpec {
       "PQ side")
   }
 
+  test("knnGraphTopKFullAuto: all FOUR quadrants of the composed " +
+      "(strategy x payload) dispatch are exactly their operators") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    val coarseK = Similarity.coarseKFor(centers.length)
+    val cb = graft.sim.Pq.fitCodebooks(v)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      assert(a.count() == b.count() && a.count() > 0, what)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what: dispatch changed rows")
+    }
+    def auto(flatMax: Int, payloadMax: Long) =
+      Similarity.knnGraphTopKFullAuto(v, centers, 3, nprobe = 2,
+        flatMax = flatMax, payloadMax = payloadMax)
+    val big = Long.MaxValue
+    same(auto(2048, big),
+      Similarity.knnGraphTopK(v, centers, 3, nprobe = 2),
+      "flat x float")
+    same(auto(8, big),
+      Similarity.knnGraphTopKTwoLevel(v, centers, coarseK, 3, nprobe = 2),
+      "two-level x float")
+    same(auto(2048, 1L),
+      Similarity.knnGraphTopKPq(v, centers, cb, 3, nprobe = 2),
+      "flat x PQ")
+    same(auto(8, 1L),
+      Similarity.knnGraphTopKTwoLevelPq(v, centers, coarseK, cb, 3, nprobe = 2),
+      "two-level x PQ")
+  }
+
   test("selfPairsByBucket: forced tiny cap is bit-identical to the unsplit " +
       "self-join (ordered pairs, self-pairs included, no dup/loss)") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
