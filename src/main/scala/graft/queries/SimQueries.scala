@@ -477,7 +477,8 @@ object SimQueries {
         s"branch: payload $payload B > FloatPayloadBytesMax=" +
         s"${Similarity.FloatPayloadBytesMax}; at this scale verify the " +
         s"dispatch via knn_graph_ivfpq's own oracle instead")
-    Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2)
+    Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2,
+      payloadBytes = Some(payload))
   }
 
   /** The DEPLOYMENT entry point as a REGISTERED row
@@ -502,7 +503,8 @@ object SimQueries {
     require(payload <= Similarity.FloatPayloadBytesMax,
       s"knn_graph_full_auto's flat-float oracle only covers the float " +
         s"quadrant: payload $payload B > FloatPayloadBytesMax")
-    Similarity.knnGraphTopKFullAuto(v, centers, K, nprobe = 2)
+    Similarity.knnGraphTopKFullAuto(v, centers, K, nprobe = 2,
+      payloadBytes = Some(payload))
   }
 
   /** Training-free kNN graph over the same ×4 corpus — the SRP member

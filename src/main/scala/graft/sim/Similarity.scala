@@ -886,10 +886,15 @@ object Similarity {
     r.getLong(0) * dim * 4L
   }
 
+  /** `payloadBytes` lets a caller that already measured the corpus
+    * (e.g. a registered query's oracle-validity guard) thread the
+    * value through instead of paying the count aggregate twice —
+    * at 100 TB the measurement is a corpus scan, not a constant. */
   def knnGraphTopKPayloadAuto(corpus: DataFrame,
       fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
-      payloadMax: Long = FloatPayloadBytesMax): DataFrame =
-    if (floatPayloadBytes(corpus) <= payloadMax)
+      payloadMax: Long = FloatPayloadBytesMax,
+      payloadBytes: Option[Long] = None): DataFrame =
+    if (payloadBytes.getOrElse(floatPayloadBytes(corpus)) <= payloadMax)
       knnGraphTopK(corpus, fineCenters, k, nprobe)
     else knnGraphTopKPq(corpus, fineCenters, Pq.fitCodebooks(corpus), k, nprobe)
 
@@ -909,9 +914,10 @@ object Similarity {
   def knnGraphTopKFullAuto(corpus: DataFrame,
       fineCenters: Array[(Long, Array[Float])], k: Int, nprobe: Int = 1,
       flatMax: Int = FlatCentersMax,
-      payloadMax: Long = FloatPayloadBytesMax): DataFrame = {
+      payloadMax: Long = FloatPayloadBytesMax,
+      payloadBytes: Option[Long] = None): DataFrame = {
     val flat = fineCenters.length <= flatMax
-    val float = floatPayloadBytes(corpus) <= payloadMax
+    val float = payloadBytes.getOrElse(floatPayloadBytes(corpus)) <= payloadMax
     (flat, float) match {
       case (true, true) => knnGraphTopK(corpus, fineCenters, k, nprobe)
       case (false, true) => knnGraphTopKTwoLevel(corpus, fineCenters,
