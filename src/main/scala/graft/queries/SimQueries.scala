@@ -297,6 +297,32 @@ object SimQueries {
       df => Similarity.assignByTwoLevel(df, index)
     })
 
+  /** The engine-chosen member of the incremental family
+    * ([[Similarity.assignerFor]] in the `assignFor` slot — the
+    * deployment entry point where no human picks flat vs
+    * coarse-quantized assignment per corpus): same base-trained
+    * centers, same maintenance contract as [[embeddingDedupIncr]] /
+    * [[embeddingDedupIvf2Incr]], with the assignment strategy chosen
+    * from |centers| against [[Similarity.FlatCentersMax]] — the
+    * dedup-family sibling of `knn_graph_auto`. At every bench SF the
+    * sqrt(n) center count sits below the crossover, so the dispatch
+    * provably takes the flat branch and the oracle is the flat replay
+    * (`embedding_dedup_incr`'s SQL verbatim); the two-level branch
+    * keeps its own oracle-checked row (`embedding_dedup_ivf2_incr`),
+    * and `SimilaritySpec` differential-tests [[Similarity.assignerFor]]
+    * on both sides of the bound. The guard turns the pinned oracle's
+    * scale limit into an explicit failure. */
+  def embeddingDedupAutoIncr(spark: SparkSession, dir: String): DataFrame =
+    incrementalDedupOver(vectors(spark, dir), base => {
+      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
+        iters = 1)
+      require(centers.length <= Similarity.FlatCentersMax,
+        s"embedding_dedup_auto_incr's flat-replay oracle only covers the " +
+          s"flat branch: ${centers.length} centers > FlatCentersMax; at " +
+          s"this scale verify via embedding_dedup_ivf2_incr's oracle")
+      Similarity.assignerFor(centers)
+    })
+
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
     * (precision); more bands -> more chances to collide (recall). */
@@ -817,6 +843,7 @@ object SimQueries {
     "embedding_dedup" -> (embeddingDedup _),
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_incr" -> (embeddingDedupIncr _),
+    "embedding_dedup_auto_incr" -> (embeddingDedupAutoIncr _),
     "embedding_dedup_pq_incr" -> (embeddingDedupPqIncr _),
     "embedding_dedup_ivf2_incr" -> (embeddingDedupIvf2Incr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
@@ -1323,6 +1350,20 @@ object SimQueries {
       |${trainedAssignSql(s"($sqrtCellsSql)", nprobe = 2)},
       |$selfKnnTailSql""".stripMargin
 
+  /** Shared batch truth of the flat incremental-dedup maintenance
+    * (`embedding_dedup_incr`) and its engine-chosen dispatcher row
+    * (`embedding_dedup_auto_incr`, which provably takes the flat
+    * branch at every bench SF): base-trained centers, every vector
+    * assigned by them, in-cell pairs verified. */
+  private val embeddingDedupIncrOracle: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |$vnSql,
+      |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+      |${trainedAssignSql(
+        "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+        nprobe = 1, trainSrc = "vb")},
+      |$dedupPairsSql""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pca_project" -> pcaProjectSql,
     "knn_graph_brute" ->
@@ -1374,14 +1415,13 @@ object SimQueries {
     // centers train on the BASE subset only, every vector (base +
     // delta) is assigned by them, in-cell pairs verified — identical
     // to prior ∪ fresh because cells partition under fixed centers.
-    "embedding_dedup_incr" ->
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |$vnSql,
-        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
-        |${trainedAssignSql(
-          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
-          nprobe = 1, trainSrc = "vb")},
-        |$dedupPairsSql""".stripMargin,
+    "embedding_dedup_incr" -> embeddingDedupIncrOracle,
+    // The dispatcher row: at every bench SF |centers| = sqrt(0.8n)
+    // sits below FlatCentersMax, so assignerFor deterministically
+    // takes the flat branch — its batch truth IS the flat replay,
+    // shared verbatim with embedding_dedup_incr (the two-level
+    // branch's truth is the embedding_dedup_ivf2_incr row).
+    "embedding_dedup_auto_incr" -> embeddingDedupIncrOracle,
     // Two-level incremental maintenance replayed as the equivalent
     // full batch: fine centers train on the BASE subset only, the
     // coarse quantizer is built over them (ckv counts cn — the same

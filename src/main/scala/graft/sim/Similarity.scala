@@ -844,6 +844,22 @@ object Similarity {
   def coarseKFor(fineCount: Int): Int =
     math.max(4, math.sqrt(fineCount.toDouble).round.toInt)
 
+  /** The engine-chosen rank-1 ASSIGNMENT BUILDER — [[knnGraphTopKAuto]]'s
+    * rule factored for consumers that need the assignment projection
+    * itself rather than a whole self-kNN plan (the incremental dedup
+    * family's `assignFor` slot): flat [[assignByCenters]] while
+    * |centers| sits at or under `flatMax` ([[FlatCentersMax]]), the
+    * coarse→fine [[assignByTwoLevel]] (n^(1/4) sizing, index built
+    * ONCE here) past it. Identical output schema on both sides
+    * (id, vec, nrm, bucket), deterministic in |centers| alone. */
+  def assignerFor(centers: Array[(Long, Array[Float])],
+      flatMax: Int = FlatCentersMax): DataFrame => DataFrame =
+    if (centers.length <= flatMax) df => assignByCenters(df, centers)
+    else {
+      val index = buildTwoLevelIndex(centers, coarseKFor(centers.length))
+      df => assignByTwoLevel(df, index)
+    }
+
   /** The float↔PQ PAYLOAD crossover, ENGINE-CHOSEN — the byte-budget
     * analogue of [[FlatCentersMax]], one level up: that constant picks
     * the assignment STRATEGY from |centers|; this one picks what the

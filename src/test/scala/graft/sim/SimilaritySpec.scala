@@ -363,6 +363,26 @@ class SimilaritySpec extends SparkSpec {
       "PQ side")
   }
 
+  test("assignerFor: engine-chosen assignment builder is exactly " +
+      "assignByCenters below FlatCentersMax and exactly assignByTwoLevel " +
+      "past a forced bound — deterministic in |centers| alone") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 <= 2048: flat assignment, bit-equal.
+    assert(rows(Similarity.assignerFor(centers)(v)) ==
+      rows(Similarity.assignByCenters(v, centers)), "flat side")
+    // Forced bound 8 < 16: coarse->fine assignment with the shared
+    // n^(1/4) sizing, bit-equal.
+    val idx = Similarity.buildTwoLevelIndex(centers,
+      Similarity.coarseKFor(centers.length))
+    assert(rows(Similarity.assignerFor(centers, flatMax = 8)(v)) ==
+      rows(Similarity.assignByTwoLevel(v, idx)), "two-level side")
+  }
+
   test("knnGraphTopKFullAuto: all FOUR quadrants of the composed " +
       "(strategy x payload) dispatch are exactly their operators") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
