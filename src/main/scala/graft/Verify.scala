@@ -23,13 +23,20 @@ object Verify {
         require(unknown.isEmpty, s"unknown queries: $unknown")
         SparkEntry.queries.view.filterKeys(names).toMap
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+    // Queries whose parquet dump actually landed: only these may claim a
+    // manifest entry below — a dump that threw would otherwise leave a
+    // manifest row pointing at a missing (or stale prior) parquet dir,
+    // and a later selfcheck pass in the same outDir would "verify" it.
+    val dumped: Set[String] = selected.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        Some(name)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        None
       }
-    }
+    }.toSet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,7 +56,7 @@ object Verify {
     // later selfcheck.py pass in the same dir would verify. Driver
     // runs (no subset) still write the complete manifest fresh.
     val fresh: Map[String, String] =
-      SparkEntry.oracleSql.view.filterKeys(selected.keySet).toMap
+      SparkEntry.oracleSql.view.filterKeys(dumped).toMap
     val manifestPath = Paths.get(s"$outDir/oracle_sql.json")
     val merged: Map[String, String] =
       if (sys.env.contains("SPARK_GRAFT_VERIFY_QUERIES") &&
@@ -64,8 +71,13 @@ object Verify {
         // edited since the prior dump) would otherwise persist stale in
         // the manifest indefinitely and a later selfcheck pass could
         // verify against a query with no parquet output or outdated SQL.
+        // ... and only for queries whose parquet dir is actually present
+        // in this outDir (a prior failed dump, or a hand-deleted dir,
+        // must not leave a dangling manifest row).
         val stillRegistered = prior.asScala.toMap.view
-          .filterKeys(SparkEntry.queries.keySet).toMap
+          .filterKeys(SparkEntry.queries.keySet)
+          .filterKeys(k => Files.isDirectory(Paths.get(s"$outDir/$k")))
+          .toMap
         val refreshed = stillRegistered.map { case (k, v) =>
           k -> SparkEntry.oracleSql.getOrElse(k, v)
         }

@@ -164,11 +164,33 @@ object SimQueries {
     * residents, so a daily delta costs O(|delta| · cell population),
     * not a corpus re-pair. */
   def embeddingDedupIncr(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOver(vectors(spark, dir), base => {
+    incrementalDedupOver(vectors(spark, dir), FlatBaseAssign)
+
+  /** The FLAT base-trained assigner builder — the `assignFor` slot of
+    * the forced flat rows ([[embeddingDedupIncr]],
+    * [[embeddingDedupPqIncr]]): fits ~sqrt(|base|) centers on the base
+    * corpus and pins [[Similarity.assignByCenters]] explicitly (a
+    * forced row must not depend on the dispatcher's predicate). */
+  private[graft] val FlatBaseAssign: DataFrame => (DataFrame => DataFrame) =
+    base => {
       val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
         iters = 1)
       df => Similarity.assignByCenters(df, centers)
-    })
+    }
+
+  /** The TWO-LEVEL base-trained assigner builder — the `assignFor`
+    * slot of the forced coarse→fine rows ([[embeddingDedupIvf2Incr]],
+    * [[embeddingDedupIvf2PqIncr]]): same base-trained fine centers,
+    * coarse quantizer built over them once (n^(1/4) sizing),
+    * [[Similarity.assignByTwoLevel]] pinned explicitly. */
+  private[graft] val TwoLevelBaseAssign: DataFrame => (DataFrame => DataFrame) =
+    base => {
+      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
+        iters = 1)
+      val index = Similarity.buildTwoLevelIndex(centers,
+        Similarity.coarseKFor(centers.length))
+      df => Similarity.assignByTwoLevel(df, index)
+    }
 
   /** Shared body of the FLOAT-path incremental maintenance family
     * ([[embeddingDedupIncr]] flat, [[embeddingDedupIvf2Incr]]
@@ -183,7 +205,7 @@ object SimQueries {
     * (scoring (delta, resident) is bit-equal to the oracle's
     * id-ordered (a, b) because the ascending-index products commute
     * termwise), and the >= 0.4 verify exist once, here. */
-  private def incrementalDedupOver(all: DataFrame,
+  private[graft] def incrementalDedupOver(all: DataFrame,
       assignFor: DataFrame => (DataFrame => DataFrame)): DataFrame = {
     val base = all.filter(col("id") % 10 < 8)
     val delta = all.filter(col("id") % 10 >= 8)
@@ -220,16 +242,27 @@ object SimQueries {
     * hash proves the maintenance path loses and invents nothing.
     * Scale shape: the delta pairs only within its cells, in code
     * space; the float corpus is touched at candidate cardinality. */
-  def embeddingDedupPqIncr(spark: SparkSession, dir: String): DataFrame = {
-    val all = vectors(spark, dir)
+  def embeddingDedupPqIncr(spark: SparkSession, dir: String): DataFrame =
+    embeddingDedupPqIncrOver(vectors(spark, dir), FlatBaseAssign)
+
+  /** Shared body of the PQ-COMPRESSED incremental maintenance family —
+    * the compressed sibling of [[incrementalDedupOver]], with the same
+    * `assignFor` slot (the one thing the variants vary): base/delta
+    * split by `id % 10`, centers AND codebook train on the base only,
+    * both slices are cell-assigned by `assignFor(base)` and ENCODED by
+    * the fixed codebook, candidates gate on the cheap SDC score at the
+    * engine-chosen [[sdcGateFor]] gate, and only survivors join back
+    * to the float corpus for the exact cosine >= 0.4 verify. */
+  private[graft] def embeddingDedupPqIncrOver(all: DataFrame,
+      assignFor: DataFrame => (DataFrame => DataFrame)): DataFrame = {
     val base = all.filter(col("id") % 10 < 8)
     val delta = all.filter(col("id") % 10 >= 8)
-    val centers = KMeans.fitCenters(base, 0L until sqrtCells(base), iters = 1)
+    val assigner = assignFor(base)
     val cb = Pq.fitCodebooks(base)
     val gate = sdcGateFor(base, cb)
     val bc = Pq.broadcastCodebook(all, cb)
     def coded(df: DataFrame): DataFrame =
-      Similarity.assignByCenters(df, centers)
+      assigner(df)
         .withColumn("codes", Pq.encodeCol("vec", bc))
         .withColumn("rnrm", Pq.normCol("codes", bc))
         .select(col("bucket"), col("id"), col("codes"), col("rnrm"))
@@ -289,13 +322,25 @@ object SimQueries {
     * two-level constant, not the flat |fine|·dim — then
     * O(|delta| · cell population) pair work. */
   def embeddingDedupIvf2Incr(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOver(vectors(spark, dir), base => {
-      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
-        iters = 1)
-      val index = Similarity.buildTwoLevelIndex(centers,
-        Similarity.coarseKFor(centers.length))
-      df => Similarity.assignByTwoLevel(df, index)
-    })
+    incrementalDedupOver(vectors(spark, dir), TwoLevelBaseAssign)
+
+  /** INCREMENTAL maintenance of the TWO-LEVEL × PQ index — the fourth
+    * quadrant of the dedup matrix ({flat, coarse→fine} ×
+    * {float, codes}), completing it as registered forced rows the way
+    * `knn_graph_ivf2pq` completed the graph family's: fine centers,
+    * coarse quantizer AND codebook all train on the resident base
+    * before the delta arrives; the delta is assigned coarse-then-fine
+    * and encoded by the fixed index, candidates gate on SDC, survivors
+    * verify exactly. prior ∪ fresh is IDENTICAL to the full-batch run
+    * under the base-trained index (two-level rank-1 assignment
+    * partitions the corpus under a fixed index; codes depend only on
+    * the fixed codebook) — which is exactly what the oracle replays.
+    * Scale shape: the two-level assignment constant
+    * (O((coarseK + |fine|/coarseK)·dim) per row) AND the codes-only
+    * pair exchange, composed — the same pairing `knn_graph_ivf2pq`
+    * proved time-neutral at sf10 (BENCH_SF10_IVF2PQ). */
+  def embeddingDedupIvf2PqIncr(spark: SparkSession, dir: String): DataFrame =
+    embeddingDedupPqIncrOver(vectors(spark, dir), TwoLevelBaseAssign)
 
   /** The engine-chosen member of the incremental family
     * ([[Similarity.assignerFor]] in the `assignFor` slot — the
@@ -316,12 +361,127 @@ object SimQueries {
     incrementalDedupOver(vectors(spark, dir), base => {
       val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
         iters = 1)
-      require(centers.length <= Similarity.FlatCentersMax,
-        s"embedding_dedup_auto_incr's flat-replay oracle only covers the " +
-          s"flat branch: ${centers.length} centers > FlatCentersMax; at " +
-          s"this scale verify via embedding_dedup_ivf2_incr's oracle")
+      requireFlatBranch("embedding_dedup_auto_incr", centers.length,
+        "embedding_dedup_ivf2_incr")
       Similarity.assignerFor(centers)
     })
+
+  /** The pinned-oracle scale guards of the engine-chosen registered
+    * rows, factored with the bound as a defaulted parameter so
+    * `RegistrySpec` can FORCE each bound and pin the failure mode the
+    * guards exist for: past the crossover the dispatcher's behavior is
+    * correct engine behavior but a DIFFERENT row set than the pinned
+    * cheap-branch oracle, so the row must fail loudly, naming the
+    * sibling row whose oracle covers that regime, instead of surfacing
+    * as a bare hash mismatch in the driver's compare. Inline `require`s
+    * were untested (r15 ADVICE); every dispatcher query routes its
+    * guard through these two. */
+  private[graft] def requireFlatBranch(query: String, nCenters: Int,
+      sibling: String, flatMax: Int = Similarity.FlatCentersMax): Unit =
+    require(nCenters <= flatMax,
+      s"$query's pinned oracle only covers the flat branch: " +
+        s"$nCenters centers > FlatCentersMax=$flatMax; at this scale " +
+        s"verify the dispatch via $sibling's own oracle instead")
+
+  /** Float-payload sibling of [[requireFlatBranch]]. */
+  private[graft] def requireFloatBranch(query: String, payloadBytes: Long,
+      sibling: String,
+      payloadMax: Long = Similarity.FloatPayloadBytesMax): Unit =
+    require(payloadBytes <= payloadMax,
+      s"$query's pinned oracle only covers the float branch: payload " +
+        s"$payloadBytes B > FloatPayloadBytesMax=$payloadMax; at this " +
+        s"scale verify the dispatch via $sibling's own oracle instead")
+
+  /** The engine-chosen exchange PAYLOAD member of the incremental
+    * dedup family — the dedup sibling of `knn_graph_payload_auto`,
+    * completing the float↔PQ axis for the second consumer of trained
+    * indexes: [[embeddingDedupPqIncr]] is the forced compressed row;
+    * here the engine picks float vs codes for the in-cell pair
+    * exchange from the measured corpus byte volume
+    * ([[Similarity.floatPayloadBytes]], the SAME one-aggregate
+    * measurement and [[Similarity.FloatPayloadBytesMax]] crossover as
+    * the graph family, so the two families cannot drift). Both
+    * branches keep flat base-trained assignment
+    * ([[FlatBaseAssign]] — this dispatcher moves ONE axis);
+    * each branch IS the corresponding registered operator
+    * (`embedding_dedup_incr` / `embedding_dedup_pq_incr`), so both
+    * stay independently oracle-checked, and `SimilaritySpec`
+    * differential-tests both sides of a forced bound. */
+  private[graft] def embeddingDedupPayloadAutoIncrOver(all: DataFrame,
+      payloadMax: Long = Similarity.FloatPayloadBytesMax,
+      payloadBytes: Option[Long] = None): DataFrame =
+    if (payloadBytes.getOrElse(Similarity.floatPayloadBytes(all)) <= payloadMax)
+      incrementalDedupOver(all, FlatBaseAssign)
+    else embeddingDedupPqIncrOver(all, FlatBaseAssign)
+
+  /** [[embeddingDedupPayloadAutoIncrOver]] as a REGISTERED row: at
+    * every bench SF the float payload sits orders of magnitude under
+    * the 2 GiB crossover, so the dispatch provably takes the float
+    * branch and the oracle is the flat replay
+    * (`embedding_dedup_incr`'s SQL verbatim); the guard turns the
+    * pinned oracle's scale limit into an explicit failure. The
+    * measured payload threads through so the rule's corpus aggregate
+    * is paid once. */
+  def embeddingDedupPayloadAutoIncr(spark: SparkSession,
+      dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val payload = Similarity.floatPayloadBytes(all)
+    requireFloatBranch("embedding_dedup_payload_auto_incr", payload,
+      "embedding_dedup_pq_incr")
+    embeddingDedupPayloadAutoIncrOver(all, payloadBytes = Some(payload))
+  }
+
+  /** The DEPLOYMENT entry point of the incremental dedup family — the
+    * dedup sibling of `knn_graph_full_auto`, closing the dispatch
+    * matrix for the second consumer of trained indexes: BOTH engine
+    * choices composed, assignment strategy from |centers|
+    * ([[Similarity.assignerFor]], the shared
+    * [[Similarity.FlatCentersMax]] rule) × exchange payload from
+    * corpus bytes ([[Similarity.floatPayloadBytes]] against the shared
+    * [[Similarity.FloatPayloadBytesMax]] rule), landing on one of the
+    * FOUR registered quadrant rows: `embedding_dedup_incr` (flat ×
+    * float), `embedding_dedup_ivf2_incr` (two-level × float),
+    * `embedding_dedup_pq_incr` (flat × codes), and
+    * `embedding_dedup_ivf2_pq_incr` (two-level × codes). Each
+    * predicate is the SAME one its single-axis dispatcher uses, so
+    * the composed choice cannot disagree with the parts; all four
+    * quadrants differential-tested under forced bounds. `onCenters`
+    * lets the registered row attach its pinned-oracle guard at the
+    * moment the strategy predicate's input exists. */
+  private[graft] def embeddingDedupFullAutoIncrOver(all: DataFrame,
+      flatMax: Int = Similarity.FlatCentersMax,
+      payloadMax: Long = Similarity.FloatPayloadBytesMax,
+      payloadBytes: Option[Long] = None,
+      onCenters: Array[(Long, Array[Float])] => Unit = _ => ()): DataFrame = {
+    val assignFor: DataFrame => (DataFrame => DataFrame) = base => {
+      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
+        iters = 1)
+      onCenters(centers)
+      Similarity.assignerFor(centers, flatMax)
+    }
+    if (payloadBytes.getOrElse(Similarity.floatPayloadBytes(all)) <= payloadMax)
+      incrementalDedupOver(all, assignFor)
+    else embeddingDedupPqIncrOver(all, assignFor)
+  }
+
+  /** [[embeddingDedupFullAutoIncrOver]] as a REGISTERED row: at every
+    * bench SF both predicates pick the cheap-and-exact quadrant
+    * (sqrt(0.8n) centers < 2048, payload ≪ 2 GiB), so the oracle is
+    * the flat-float replay (`embedding_dedup_incr`'s SQL verbatim);
+    * each other quadrant keeps its own oracle-checked row and the
+    * guards make the pinned oracle's scale limits explicit failures
+    * instead of hash mismatches. */
+  def embeddingDedupFullAutoIncr(spark: SparkSession,
+      dir: String): DataFrame = {
+    val all = vectors(spark, dir)
+    val payload = Similarity.floatPayloadBytes(all)
+    requireFloatBranch("embedding_dedup_full_auto_incr", payload,
+      "embedding_dedup_pq_incr (flat) / embedding_dedup_ivf2_pq_incr " +
+        "(two-level)")
+    embeddingDedupFullAutoIncrOver(all, payloadBytes = Some(payload),
+      onCenters = cs => requireFlatBranch("embedding_dedup_full_auto_incr",
+        cs.length, "embedding_dedup_ivf2_incr"))
+  }
 
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
     * of [[SrpPlanes]] sign bits each. More planes -> smaller buckets
@@ -471,11 +631,7 @@ object SimQueries {
     // branch is correct engine behavior but a DIFFERENT row set than
     // this oracle — fail loudly here instead of surfacing as a hash
     // mismatch in the driver's compare.
-    require(centers.length <= Similarity.FlatCentersMax,
-      s"knn_graph_auto's flat-replay oracle only covers the flat branch: " +
-        s"${centers.length} centers > FlatCentersMax=" +
-        s"${Similarity.FlatCentersMax}; at this scale verify the dispatch " +
-        s"via knn_graph_ivf2's own oracle instead")
+    requireFlatBranch("knn_graph_auto", centers.length, "knn_graph_ivf2")
     Similarity.knnGraphTopKAuto(v, centers, K, nprobe = 2)
   }
 
@@ -498,11 +654,7 @@ object SimQueries {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
     val payload = Similarity.floatPayloadBytes(v)
-    require(payload <= Similarity.FloatPayloadBytesMax,
-      s"knn_graph_payload_auto's flat-replay oracle only covers the float " +
-        s"branch: payload $payload B > FloatPayloadBytesMax=" +
-        s"${Similarity.FloatPayloadBytesMax}; at this scale verify the " +
-        s"dispatch via knn_graph_ivfpq's own oracle instead")
+    requireFloatBranch("knn_graph_payload_auto", payload, "knn_graph_ivfpq")
     Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2,
       payloadBytes = Some(payload))
   }
@@ -522,15 +674,49 @@ object SimQueries {
   def knnGraphFullAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
     val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    require(centers.length <= Similarity.FlatCentersMax,
-      s"knn_graph_full_auto's flat-float oracle only covers the flat " +
-        s"quadrant: ${centers.length} centers > FlatCentersMax")
+    requireFlatBranch("knn_graph_full_auto", centers.length,
+      "knn_graph_ivf2 (float) / knn_graph_ivf2pq (codes)")
     val payload = Similarity.floatPayloadBytes(v)
-    require(payload <= Similarity.FloatPayloadBytesMax,
-      s"knn_graph_full_auto's flat-float oracle only covers the float " +
-        s"quadrant: payload $payload B > FloatPayloadBytesMax")
+    requireFloatBranch("knn_graph_full_auto", payload,
+      "knn_graph_ivfpq (flat) / knn_graph_ivf2pq (two-level)")
     Similarity.knnGraphTopKFullAuto(v, centers, K, nprobe = 2,
       payloadBytes = Some(payload))
+  }
+
+  /** Probe-count sibling of [[requireFlatBranch]]: the pinned oracle
+    * replays one fixed probe count, so an engine choice that moves off
+    * it must fail naming the replay to re-pin, not hash-mismatch. */
+  private[graft] def requireProbePinned(query: String, chosen: Int,
+      pinned: Int, sibling: String): Unit =
+    require(chosen == pinned,
+      s"$query's pinned oracle replays nprobe=$pinned, but the measured " +
+        s"occupancy histogram chose nprobe=$chosen; at this occupancy " +
+        s"verify via $sibling")
+
+  /** The engine-chosen PROBE COUNT as a REGISTERED row
+    * ([[Similarity.probeFor]]) — the RECALL knob of the IVF family
+    * freed, completing the engine-chosen set (strategy from |centers|,
+    * payload from corpus bytes, probes from the occupancy histogram):
+    * same trained sqrt(n) cells as [[knnGraphIvf]], with `nprobe`
+    * picked by the smallest-probe-count-that-delivers-the-target-
+    * candidate-volume rule over the measured cell histogram
+    * ([[Similarity.nprobeFor]]; target = the recall-gated two-mean-
+    * cells volume of [[Similarity.targetCandidatesFor]]). At every
+    * bench SF the trained histogram is near-uniform (weighted mean
+    * cell < 2x unweighted), so the rule provably lands on the proven
+    * nprobe = 2 setting and the oracle is the flat nprobe=2 replay
+    * (`knn_graph_ivf`'s SQL verbatim); the guard turns an off-pin
+    * choice into an explicit failure, and `SimilaritySpec` pins the
+    * rule's three regimes (uniform / hub / fragmented) plus the
+    * forced-target differential on both sides. */
+  def knnGraphProbeAuto(spark: SparkSession, dir: String): DataFrame = {
+    val v = augmentedVectors(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val p = Similarity.probeFor(v, centers)
+    requireProbePinned("knn_graph_probe_auto", p, 2,
+      "a re-pin of the oracle to trainedAssignSql(nprobe=chosen) — " +
+        "knn_graph_ivf is the nprobe=2 replay")
+    Similarity.knnGraphTopK(v, centers, K, nprobe = p)
   }
 
   /** Training-free kNN graph over the same ×4 corpus — the SRP member
@@ -844,8 +1030,11 @@ object SimQueries {
     "embedding_dedup_trained" -> (embeddingDedupTrained _),
     "embedding_dedup_incr" -> (embeddingDedupIncr _),
     "embedding_dedup_auto_incr" -> (embeddingDedupAutoIncr _),
+    "embedding_dedup_payload_auto_incr" -> (embeddingDedupPayloadAutoIncr _),
+    "embedding_dedup_full_auto_incr" -> (embeddingDedupFullAutoIncr _),
     "embedding_dedup_pq_incr" -> (embeddingDedupPqIncr _),
     "embedding_dedup_ivf2_incr" -> (embeddingDedupIvf2Incr _),
+    "embedding_dedup_ivf2_pq_incr" -> (embeddingDedupIvf2PqIncr _),
     "embedding_dedup_srp" -> (embeddingDedupSrp _),
     "semdedup"        -> (semDedup _),
     "semdedup_pq"     -> (semDedupPq _),
@@ -857,6 +1046,7 @@ object SimQueries {
     "knn_graph_auto"  -> (knnGraphAuto _),
     "knn_graph_payload_auto" -> (knnGraphPayloadAuto _),
     "knn_graph_full_auto" -> (knnGraphFullAuto _),
+    "knn_graph_probe_auto" -> (knnGraphProbeAuto _),
     "ann_recall_clustered" -> (annRecallClustered _),
     "pq_recon_error"  -> (pqReconError _),
     "ann_pq"          -> (annPq _),
@@ -1422,6 +1612,20 @@ object SimQueries {
     // shared verbatim with embedding_dedup_incr (the two-level
     // branch's truth is the embedding_dedup_ivf2_incr row).
     "embedding_dedup_auto_incr" -> embeddingDedupIncrOracle,
+    // The payload dispatcher row: at every bench SF the float payload
+    // (n x dim x 4 B) sits orders of magnitude under the 2 GiB
+    // crossover, so the dispatch provably keeps the float exchange —
+    // its batch truth IS the flat replay, shared verbatim with
+    // embedding_dedup_incr (the compressed branch's truth is the
+    // embedding_dedup_pq_incr row).
+    "embedding_dedup_payload_auto_incr" -> embeddingDedupIncrOracle,
+    // The composed (strategy x payload) dispatcher row: both
+    // predicates land on the cheap-and-exact side at every bench SF
+    // (sqrt(0.8n) centers < FlatCentersMax, payload << 2 GiB), so the
+    // flat-float replay is its truth; the other three quadrants keep
+    // their own oracle-checked rows (embedding_dedup_ivf2_incr,
+    // embedding_dedup_pq_incr, embedding_dedup_ivf2_pq_incr).
+    "embedding_dedup_full_auto_incr" -> embeddingDedupIncrOracle,
     // Two-level incremental maintenance replayed as the equivalent
     // full batch: fine centers train on the BASE subset only, the
     // coarse quantizer is built over them (ckv counts cn — the same
@@ -1477,6 +1681,34 @@ object SimQueries {
         |${trainedAssignSql(
           "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
           nprobe = 1, trainSrc = "vb")},
+        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
+        |${pqCodebookSql(trainPred = c => s"$c % 10 < 8")},
+        |${pqGateSql(pred = "vn.id % 10 < 8")},
+        |pcode AS (
+        |  SELECT a.id, a.bucket, r.rvec, r.rnrm
+        |  FROM assign a JOIN prec r ON a.id = r.id),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM pcode a JOIN pcode b
+        |    ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE ${pqScaledSql("a.rvec", "b.rvec", "a.rnrm", "b.rnrm")} >= (SELECT g FROM pgate))
+        |SELECT c.id_a, c.id_b,
+        |       ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |FROM cand c JOIN vn x ON c.id_a = x.id JOIN vn y ON c.id_b = y.id
+        |WHERE ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} >= 400000""".stripMargin,
+    // The fourth quadrant of the dedup matrix, composed from the two
+    // proven replays exactly like knn_graph_ivf2pq's oracle: the
+    // two-level assignment CTEs (base-trained fine centers + the
+    // n^(1/4) coarse refinement) replace the flat assignment, and the
+    // PQ codebook / SDC-gate / exact-verify tail runs unchanged.
+    "embedding_dedup_ivf2_pq_incr" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+        |${trainedCentersSql(
+          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+          src = "vb")},
+        |${twoLevelAssignSql(nprobe = 1)},
         |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1),
         |${pqCodebookSql(trainPred = c => s"$c % 10 < 8")},
         |${pqGateSql(pred = "vn.id % 10 < 8")},
@@ -1582,6 +1814,11 @@ object SimQueries {
     // truth is the same flat replay; the other three quadrants carry
     // their own oracle-checked rows.
     "knn_graph_full_auto" -> knnGraphIvfOracle,
+    // The probe-count dispatcher row: at every bench SF the trained
+    // histogram is near-uniform, so the candidate-volume rule provably
+    // lands on the recall-gated nprobe=2 setting — its truth IS the
+    // flat nprobe=2 replay, shared verbatim with knn_graph_ivf.
+    "knn_graph_probe_auto" -> knnGraphIvfOracle,
     "knn_graph_ivf2" ->
       s"""WITH $augmentedSql,
         |$vnSql,

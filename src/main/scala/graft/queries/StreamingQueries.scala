@@ -385,6 +385,70 @@ object StreamingQueries {
     spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
   }
 
+  /** Float byte volume of the RESIDENT side of the streamed probe —
+    * the base slice the stream holds for its lifetime (0.8n × dim ×
+    * 4 B), measured by the SAME one-aggregate rule as the batch
+    * dispatchers ([[graft.sim.Similarity.floatPayloadBytes]]). The
+    * streaming budget deliberately measures the resident index, not
+    * the whole corpus: a micro-batch is transient, but the static
+    * side of the stream-static join is pinned in memory for as long
+    * as the stream runs — the regime where the ~6x codes-only cut is
+    * most real. */
+  private[graft] def residentFloatBytes(spark: SparkSession,
+      dir: String): Long = {
+    import graft.sim.Similarity
+    Similarity.floatPayloadBytes(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .filter(col("id") % 10 < 8))
+  }
+
+  /** The engine-chosen streamed probe — the STREAMING member of the
+    * float↔PQ payload dispatch family (`knn_graph_payload_auto` and
+    * `embedding_dedup_payload_auto_incr` are its batch siblings, and
+    * the three consumers of a deployed trained index now all carry the
+    * engine-chosen payload): picks the resident cell index the stream
+    * probes — exact float vectors ([[embeddingProbeStream]]) or PQ
+    * codes + SDC gate ([[embeddingPqProbeStream]]) — from the measured
+    * [[residentFloatBytes]] against the shared
+    * [[graft.sim.Similarity.FloatPayloadBytesMax]] crossover.
+    * Deterministic in (n, dim) alone; each branch is the
+    * corresponding registered operator, so both stay independently
+    * oracle-checked; `StreamingDedupSpec` differential-tests both
+    * sides of a forced bound and `PlanAuditSpec` pins the codes-only
+    * resident side on the compressed branch. */
+  private[graft] def embeddingProbeStreamAuto(spark: SparkSession,
+      dir: String,
+      payloadMax: Long = graft.sim.Similarity.FloatPayloadBytesMax,
+      payloadBytes: Option[Long] = None): DataFrame =
+    if (payloadBytes.getOrElse(residentFloatBytes(spark, dir)) <= payloadMax)
+      embeddingProbeStream(spark, dir)
+    else embeddingPqProbeStream(spark, dir)
+
+  /** [[embeddingProbeStreamAuto]] as a REGISTERED row: at every bench
+    * SF the resident float index sits orders of magnitude under the
+    * 2 GiB crossover, so the dispatch provably keeps the float
+    * resident side and the oracle is the float replay
+    * (`stream_embedding_dedup_files`' SQL verbatim); the compressed
+    * branch keeps its own oracle-checked row
+    * (`stream_embedding_dedup_pq_files`), and the guard turns the
+    * pinned oracle's scale limit into an explicit failure. */
+  def streamEmbeddingDedupAutoFiles(spark: SparkSession,
+      dir: String): DataFrame = {
+    val payload = residentFloatBytes(spark, dir)
+    SimQueries.requireFloatBranch("stream_embedding_dedup_auto_files",
+      payload, "stream_embedding_dedup_pq_files")
+    val matched = embeddingProbeStreamAuto(spark, dir,
+      payloadBytes = Some(payload))
+    val name = s"stream_emb_dedup_auto_${runId.incrementAndGet()}"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+  }
+
   /** CMS geometry + probes for [[streamCmsFiles]] — the five live
     * event types plus one guaranteed-absent probe (collision-noise
     * branch). Width 64 with 5 distinct values means rows are
@@ -436,12 +500,31 @@ object StreamingQueries {
     "stream_dedup_files" -> (streamDedupFiles _),
     "stream_embedding_dedup_files" -> (streamEmbeddingDedupFiles _),
     "stream_embedding_dedup_pq_files" -> (streamEmbeddingDedupPqFiles _),
+    "stream_embedding_dedup_auto_files" -> (streamEmbeddingDedupAutoFiles _),
     "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
     "stream_episode_opens_files" -> (streamEpisodeOpensFiles _),
     "stream_windowed_counts_files" -> (streamWindowedCountsFiles _),
     "stream_sessionize_files" -> (streamSessionizeFiles _))
+
+  /** Shared batch truth of the float streamed index probe
+    * (`stream_embedding_dedup_files`) and its engine-chosen payload
+    * dispatcher row (`stream_embedding_dedup_auto_files`, which
+    * provably keeps the float resident side at every bench SF). */
+  private val streamEmbeddingDedupOracle: String =
+    s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      |${SimQueries.vnSql},
+      |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
+      |${SimQueries.trainedAssignSql(
+          "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
+          nprobe = 1, trainSrc = "vb")},
+      |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1)
+      |SELECT d.id AS delta_id, b.id AS base_id,
+      |       ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} AS score_c
+      |FROM assign d JOIN assign b ON d.bucket = b.bucket
+      | AND d.id % 10 >= 8 AND b.id % 10 < 8
+      |WHERE ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} >= 400000""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Batch truth for the streamed CMS sketch: replay the counter
@@ -469,19 +552,14 @@ object StreamingQueries {
     // by the BASE-trained centers (the deployed-index contract) and
     // keep the delta x base in-cell pairs at cosine >= 0.4 — the
     // stream-static join loses and invents nothing vs this replay.
-    "stream_embedding_dedup_files" ->
-      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-        |${SimQueries.vnSql},
-        |vb AS (SELECT * FROM vn WHERE id % 10 < 8),
-        |${SimQueries.trainedAssignSql(
-            "(SELECT GREATEST(8, CAST(floor(sqrt(count(*)) + 0.5) AS BIGINT)) FROM vb)",
-            nprobe = 1, trainSrc = "vb")},
-        |assign AS (SELECT id, vec, nrm, bucket FROM ranked_assign WHERE rn = 1)
-        |SELECT d.id AS delta_id, b.id AS base_id,
-        |       ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} AS score_c
-        |FROM assign d JOIN assign b ON d.bucket = b.bucket
-        | AND d.id % 10 >= 8 AND b.id % 10 < 8
-        |WHERE ${SimQueries.scaledPartsSql("d.vec", "b.vec", "d.nrm", "b.nrm")} >= 400000""".stripMargin,
+    "stream_embedding_dedup_files" -> streamEmbeddingDedupOracle,
+    // The payload dispatcher row: at every bench SF the resident base
+    // index (0.8n x dim x 4 B) sits orders of magnitude under the
+    // 2 GiB crossover, so the dispatch provably keeps the float
+    // resident side — its batch truth IS the float replay, shared
+    // verbatim with stream_embedding_dedup_files (the compressed
+    // branch's truth is the stream_embedding_dedup_pq_files row).
+    "stream_embedding_dedup_auto_files" -> streamEmbeddingDedupOracle,
     // Batch truth for the streamed IVFADC probe: base-trained centers
     // AND codebook (trainPred threads the id % 10 < 8 restriction),
     // every vector assigned and encoded by them, delta x base in-cell

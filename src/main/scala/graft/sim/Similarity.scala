@@ -860,6 +860,75 @@ object Similarity {
       df => assignByTwoLevel(df, index)
     }
 
+  /** Probe-count ceiling for [[nprobeFor]]: each probe beyond the
+    * first buys one mean cell of candidates at one mean cell of
+    * linear cost; past 8 mean cells the index is doing a sizeable
+    * fraction of a scan per query and the right fix is re-sizing the
+    * cells ([[coarseKFor]]/sqrt(n)), not more probes. */
+  private[graft] val MaxAutoProbe = 8
+
+  /** Cell-occupancy statistics of a rank-1 assignment — ONE aggregate
+    * over the assigned corpus: (n rows, non-empty cells, sum of
+    * pop²). `sumsq/n` is the POPULATION-WEIGHTED mean cell size — the
+    * expected resident count of the cell a query actually lands in —
+    * and the same statistic the hub-cell plan audit pins
+    * (`PlanAuditSpec`), so the engine's probe rule and the skew audit
+    * read one measurement. */
+  def cellStats(assigned: DataFrame): (Long, Long, Long) = {
+    val r = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("p"))
+      .agg(sum(col("p")).as("n"), count(lit(1)).as("k"),
+        sum(col("p") * col("p")).as("s")).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** The recall-gated production candidate volume per query: TWO mean
+    * cells. Derived from the measured three-scale recall tables
+    * (SCALE.md "ANN retrieval quality at scale"): recall tracks
+    * candidate volume exactly on the structureless corpus, and on the
+    * clustered corpus the `nprobe = 2`-at-sqrt(n)-cells setting — i.e.
+    * candidate volume ≈ 2·(n/k) — is the one `RecallSpec` gates at
+    * recall@10 ≥ 0.8 (measured 0.965). The target is the VOLUME, not
+    * the knob: [[nprobeFor]] spends probes until the measured
+    * occupancy histogram delivers it. */
+  def targetCandidatesFor(n: Long, cells: Long): Long =
+    math.ceil(2.0 * n / math.max(1L, cells)).toLong
+
+  /** The engine-chosen PROBE COUNT — the recall knob of the IVF family
+    * freed the way [[FlatCentersMax]] freed the assignment strategy
+    * and [[FloatPayloadBytesMax]] the payload: from the measured cell
+    * occupancy, pick the smallest probe count whose expected candidate
+    * volume reaches the target. The first probe lands in the query's
+    * own cell and delivers the population-WEIGHTED mean `sumsq/n`
+    * (big cells catch proportionally more queries); each further probe
+    * is a typical neighboring cell, ≈ the unweighted mean `n/cells`.
+    * On a uniform histogram this reproduces the proven production
+    * setting (weighted = unweighted mean → p = 2 at the
+    * [[targetCandidatesFor]] default); on a hub-skewed histogram the
+    * landing cell alone already meets the volume and the engine
+    * DECLINES the second probe instead of doubling the hub's O(p²)
+    * pair work; on a fragmented one it pays extra probes, clamped at
+    * [[MaxAutoProbe]]. Deterministic in the histogram alone. */
+  def nprobeFor(n: Long, cells: Long, sumsq: Long, targetPerQuery: Long,
+      maxProbe: Int = MaxAutoProbe): Int = {
+    val mean = n.toDouble / math.max(1L, cells)
+    var cand = sumsq.toDouble / math.max(1L, n)
+    var p = 1
+    while (cand < targetPerQuery && p < maxProbe) { p += 1; cand += mean }
+    p
+  }
+
+  /** [[nprobeFor]] over a live corpus + trained centers: one
+    * assignment-aggregate pass (the declared eager envelope of the
+    * trained-index queries) measures the histogram, the rule picks
+    * the probe count. */
+  def probeFor(corpus: DataFrame, centers: Array[(Long, Array[Float])],
+      targetPerQuery: Option[Long] = None,
+      maxProbe: Int = MaxAutoProbe): Int = {
+    val (n, k, s) = cellStats(assignByCenters(corpus, centers))
+    nprobeFor(n, k, s, targetPerQuery.getOrElse(targetCandidatesFor(n, k)),
+      maxProbe)
+  }
+
   /** The float↔PQ PAYLOAD crossover, ENGINE-CHOSEN — the byte-budget
     * analogue of [[FlatCentersMax]], one level up: that constant picks
     * the assignment STRATEGY from |centers|; this one picks what the
@@ -882,16 +951,6 @@ object Similarity {
     * cells to the codes-only exchange. */
   private[graft] val FloatPayloadBytesMax: Long = 2L << 30
 
-  /** Self-kNN with the exchange PAYLOAD chosen by the engine from the
-    * corpus byte volume ([[FloatPayloadBytesMax]]): one count+dim
-    * aggregate at construction (the eager envelope every trained-index
-    * query already pays for center fitting), then either the exact
-    * float path ([[knnGraphTopK]]) or the PQ-compressed path
-    * ([[knnGraphTopKPq]], codebook fit on the same corpus) over the
-    * SAME fine centers. Deterministic in (n, dim) alone; each branch
-    * is the corresponding registered operator, so both stay
-    * independently oracle-checked. Differential-tested on both sides
-    * of the bound. */
   /** Float exchange-payload bytes of `corpus` (n × dim × 4) — ONE
     * count+dim aggregate, the shared measurement of both byte-budget
     * dispatchers so their rule cannot drift apart. */
@@ -902,7 +961,18 @@ object Similarity {
     r.getLong(0) * dim * 4L
   }
 
-  /** `payloadBytes` lets a caller that already measured the corpus
+  /** Self-kNN with the exchange PAYLOAD chosen by the engine from the
+    * corpus byte volume ([[FloatPayloadBytesMax]]): one count+dim
+    * aggregate at construction (the eager envelope every trained-index
+    * query already pays for center fitting), then either the exact
+    * float path ([[knnGraphTopK]]) or the PQ-compressed path
+    * ([[knnGraphTopKPq]], codebook fit on the same corpus) over the
+    * SAME fine centers. Deterministic in (n, dim) alone; each branch
+    * is the corresponding registered operator, so both stay
+    * independently oracle-checked. Differential-tested on both sides
+    * of the bound.
+    *
+    * `payloadBytes` lets a caller that already measured the corpus
     * (e.g. a registered query's oracle-validity guard) thread the
     * value through instead of paying the count aggregate twice —
     * at 100 TB the measurement is a corpus scan, not a constant. */

@@ -629,30 +629,42 @@ class PlanAuditSpec extends SparkSpec {
     // join (candidate cardinality). Pinned on the analyzed plan of the
     // probe: the stream-static join on `bucket` must have a batch side
     // with zero array<float> outputs.
+    // Parameterized over BOTH constructions of the compressed branch:
+    // the forced row (embeddingPqProbeStream) and the engine-chosen
+    // dispatcher under a forced 1-byte budget — the dispatch must land
+    // on a plan that keeps the same codes-only promise, not merely the
+    // same rows.
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.{ArrayType, FloatType}
-    val matched = graft.queries.StreamingQueries
-      .embeddingPqProbeStream(spark, "/root/testdata/sf0.001")
-    val joins = matched.queryExecution.analyzed.collect {
-      case j: Join if j.left.isStreaming != j.right.isStreaming => j
+    val probes = Seq(
+      "stream_embedding_dedup_pq_files" -> graft.queries.StreamingQueries
+        .embeddingPqProbeStream(spark, "/root/testdata/sf0.001"),
+      "stream auto (forced PQ)" -> graft.queries.StreamingQueries
+        .embeddingProbeStreamAuto(spark, "/root/testdata/sf0.001",
+          payloadMax = 1L))
+    for ((pname, matched) <- probes) {
+      val joins = matched.queryExecution.analyzed.collect {
+        case j: Join if j.left.isStreaming != j.right.isStreaming => j
+      }
+      assert(joins.size == 2,
+        s"$pname: expected the cell join + the verify join-back, got ${joins.size}")
+      val cellJoins = joins.filter { j =>
+        val statik = if (j.left.isStreaming) j.right else j.left
+        statik.output.exists(_.name == "b_codes")
+      }
+      assert(cellJoins.size == 1,
+        s"$pname: cell join (static side = coded index) not found")
+      val statik = {
+        val j = cellJoins.head
+        if (j.left.isStreaming) j.right else j.left
+      }
+      val floatArrays = statik.output.filter(_.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      })
+      assert(floatArrays.isEmpty,
+        s"$pname: resident index side carries float vectors: $floatArrays")
     }
-    assert(joins.size == 2,
-      s"expected the cell join + the verify join-back, got ${joins.size}")
-    val cellJoins = joins.filter { j =>
-      val statik = if (j.left.isStreaming) j.right else j.left
-      statik.output.exists(_.name == "b_codes")
-    }
-    assert(cellJoins.size == 1, "cell join (static side = coded index) not found")
-    val statik = {
-      val j = cellJoins.head
-      if (j.left.isStreaming) j.right else j.left
-    }
-    val floatArrays = statik.output.filter(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    assert(floatArrays.isEmpty,
-      s"resident index side carries float vectors: $floatArrays")
   }
 
   test("two-level assignment has no hub cell: in-cell pair work (sum of " +

@@ -85,4 +85,71 @@ class RegistrySpec extends SparkSpec {
     }
     assert(bad.isEmpty, s"non-canonical output columns:\n${bad.mkString("\n")}")
   }
+
+  test("the pinned-oracle scale guards of the engine-chosen rows FIRE " +
+      "past a forced bound, naming registered sibling oracles — and " +
+      "stay silent inside it") {
+    // Every dispatcher row pins its oracle to the branch taken at
+    // bench SF; past the crossover the dispatch is correct engine
+    // behavior but a DIFFERENT row set, so the registered query must
+    // fail with a message routing the reader to the sibling row whose
+    // oracle covers that regime — never a bare driver hash mismatch.
+    // The guards were inline `require`s (untested, r15 ADVICE); they
+    // now route through SimQueries.requireFlatBranch/requireFloatBranch
+    // with the bound as a parameter, so this spec can force each one.
+    // The (dispatcher -> siblings) pairs mirror the call sites.
+    import graft.queries.SimQueries
+    val flatGuards = Seq(
+      "embedding_dedup_auto_incr" -> Seq("embedding_dedup_ivf2_incr"),
+      "knn_graph_auto" -> Seq("knn_graph_ivf2"),
+      "knn_graph_full_auto" -> Seq("knn_graph_ivf2", "knn_graph_ivf2pq"),
+      "embedding_dedup_full_auto_incr" -> Seq("embedding_dedup_ivf2_incr"))
+    val floatGuards = Seq(
+      "knn_graph_payload_auto" -> Seq("knn_graph_ivfpq"),
+      "knn_graph_full_auto" -> Seq("knn_graph_ivfpq", "knn_graph_ivf2pq"),
+      "embedding_dedup_payload_auto_incr" -> Seq("embedding_dedup_pq_incr"),
+      "embedding_dedup_full_auto_incr" ->
+        Seq("embedding_dedup_pq_incr", "embedding_dedup_ivf2_pq_incr"),
+      "stream_embedding_dedup_auto_files" ->
+        Seq("stream_embedding_dedup_pq_files"))
+    def check(query: String, siblings: Seq[String],
+        fire: String => Unit, silent: String => Unit): Unit = {
+      // Every dispatcher in the pairs is itself a registered row...
+      assert(SparkEntry.queries.contains(query), s"unregistered: $query")
+      // ...each named sibling's oracle actually exists to route to...
+      siblings.foreach(s => assert(SparkEntry.oracleSql.contains(s),
+        s"$query's guard routes to an unregistered sibling $s"))
+      // ...the guard fires past the bound, naming query and siblings...
+      val e = intercept[IllegalArgumentException] {
+        fire(siblings.mkString(" / "))
+      }
+      assert(e.getMessage.contains(query),
+        s"guard message does not name the failing row: ${e.getMessage}")
+      siblings.foreach(s => assert(e.getMessage.contains(s),
+        s"$query's guard does not route to $s: ${e.getMessage}"))
+      // ...and stays silent inside it.
+      silent(siblings.mkString(" / "))
+    }
+    for ((q, sibs) <- flatGuards) check(q, sibs,
+      sib => SimQueries.requireFlatBranch(q, nCenters = 9, sib, flatMax = 8),
+      sib => SimQueries.requireFlatBranch(q, nCenters = 8, sib, flatMax = 8))
+    for ((q, sibs) <- floatGuards) check(q, sibs,
+      sib => SimQueries.requireFloatBranch(q, payloadBytes = 2L, sib,
+        payloadMax = 1L),
+      sib => SimQueries.requireFloatBranch(q, payloadBytes = 1L, sib,
+        payloadMax = 1L))
+    // The probe-count pin: fires when the measured histogram moves the
+    // engine off the replayed nprobe, naming both counts and the
+    // re-pin route; silent on the pinned choice.
+    val pe = intercept[IllegalArgumentException] {
+      SimQueries.requireProbePinned("knn_graph_probe_auto", chosen = 3,
+        pinned = 2, "knn_graph_ivf (the nprobe=2 replay)")
+    }
+    assert(pe.getMessage.contains("knn_graph_probe_auto") &&
+      pe.getMessage.contains("nprobe=3") &&
+      pe.getMessage.contains("nprobe=2") &&
+      pe.getMessage.contains("knn_graph_ivf"), pe.getMessage)
+    SimQueries.requireProbePinned("knn_graph_probe_auto", chosen = 2,
+      pinned = 2, "knn_graph_ivf (the nprobe=2 replay)")
+  }
 }

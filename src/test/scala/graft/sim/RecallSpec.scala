@@ -54,6 +54,15 @@ class RecallSpec extends SparkSpec {
     val ivf = Similarity.knnGraphTopK(v, km, k, nprobe = 2)
     val ivfRecall = RecallProbe.recallAt(exact, ivf)
     assert(ivfRecall >= 0.8, s"ivf recall $ivfRecall")
+
+    // The ENGINE-CHOSEN probe count must hit the same recall band on
+    // the clustered corpus — the outcome contract of knn_graph_probe_auto:
+    // the histogram rule may pick whatever probe count delivers the
+    // target candidate volume, but what it delivers is gated recall.
+    val pAuto = Similarity.probeFor(v, km)
+    val ivfAuto = Similarity.knnGraphTopK(v, km, k, nprobe = pAuto)
+    val autoRecall = RecallProbe.recallAt(exact, ivfAuto)
+    assert(autoRecall >= 0.8, s"probe-auto recall $autoRecall (nprobe=$pAuto)")
   }
 
   test("on the structureless testdata embeddings, occupancy-pinned " +

@@ -414,6 +414,48 @@ class SimilaritySpec extends SparkSpec {
       "two-level x PQ")
   }
 
+  test("nprobeFor: uniform histogram reproduces the recall-gated " +
+      "nprobe=2, a hub histogram declines the second probe, a huge " +
+      "target clamps at MaxAutoProbe — deterministic in the histogram " +
+      "alone") {
+    // Uniform: 1000 rows in 100 equal cells of 10. Weighted mean =
+    // unweighted mean = 10; the two-mean-cells target (20) needs
+    // exactly the proven second probe.
+    val uniformSumsq = 100L * 10 * 10
+    assert(Similarity.targetCandidatesFor(1000, 100) == 20L)
+    assert(Similarity.nprobeFor(1000, 100, uniformSumsq, 20L) == 2)
+    // Hub: one 450-row cell + 99 cells of ~5.6. A query lands in the
+    // hub with p=0.45, so the WEIGHTED mean (~206) already exceeds the
+    // target — the engine declines to double the hub's O(p²) pair work.
+    val hubSumsq = 450L * 450 + 99L * 6 * 6
+    assert(Similarity.nprobeFor(1000, 100, hubSumsq, 20L) == 1)
+    // Fragmented/starved: a target the histogram can never deliver
+    // stops at the clamp, not in an unbounded probe spiral.
+    assert(Similarity.nprobeFor(1000, 100, uniformSumsq, Long.MaxValue) ==
+      Similarity.MaxAutoProbe)
+  }
+
+  test("probeFor: forced target bounds flip the live choice on both " +
+      "sides, and the fixture's near-uniform trained histogram lands " +
+      "on the pinned production setting") {
+    val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val centers = KMeans.fitCenters(v, 0L until 16L, iters = 1)
+    // A 1-candidate target is met by the landing cell alone.
+    assert(Similarity.probeFor(v, centers, Some(1L)) == 1)
+    // An unreachable target climbs to the clamp.
+    assert(Similarity.probeFor(v, centers, Some(Long.MaxValue)) ==
+      Similarity.MaxAutoProbe)
+    // The engine default on the real trained histogram: the fixture's
+    // cells are near-uniform (weighted mean < 2x unweighted), so the
+    // rule must land exactly on the recall-gated nprobe=2 — the
+    // premise of knn_graph_probe_auto's pinned oracle.
+    assert(Similarity.probeFor(v, centers) == 2)
+    val (n, k, s) = Similarity.cellStats(
+      Similarity.assignByCenters(v, centers))
+    assert(n > 0 && k > 0 && s >= n, s"degenerate stats ($n, $k, $s)")
+  }
+
   test("selfPairsByBucket: forced tiny cap is bit-identical to the unsplit " +
       "self-join (ordered pairs, self-pairs included, no dup/loss)") {
     val v = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

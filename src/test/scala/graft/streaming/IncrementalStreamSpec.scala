@@ -514,4 +514,42 @@ class IncrementalStreamSpec extends SparkSpec {
       s"stream/batch diverge: stream-only ${streamed -- batchTruth}, " +
         s"batch-only ${batchTruth -- streamed}")
   }
+
+  test("engine-chosen streamed probe dispatches exactly its operators " +
+      "on both sides of a forced payload bound") {
+    // The streaming member of the float<->PQ payload dispatch family:
+    // under the real 2 GiB budget the fixture's resident index is tiny,
+    // so the dispatch must BE the float probe; under a forced 1-byte
+    // budget it must BE the compressed probe — identical emissions in
+    // both cases, proven by running each branch pair through the same
+    // AvailableNow replay.
+    val dir = "/root/testdata/sf0.001"
+    def emissions(matched: org.apache.spark.sql.DataFrame,
+        name: String): Set[(Long, Long, Long)] = {
+      val q = matched.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    import graft.queries.StreamingQueries
+    val autoFloat = emissions(
+      StreamingQueries.embeddingProbeStreamAuto(spark, dir), "auto_float_t")
+    val floatTruth = emissions(
+      StreamingQueries.embeddingProbeStream(spark, dir), "float_truth_t")
+    assert(autoFloat.nonEmpty && autoFloat == floatTruth,
+      s"float side: auto ${autoFloat.size} pairs vs operator " +
+        s"${floatTruth.size}; diff ${autoFloat.diff(floatTruth) ++
+          floatTruth.diff(autoFloat)}")
+    val autoPq = emissions(
+      StreamingQueries.embeddingProbeStreamAuto(spark, dir,
+        payloadMax = 1L), "auto_pq_t")
+    val pqTruth = emissions(
+      StreamingQueries.embeddingPqProbeStream(spark, dir), "pq_truth_t")
+    assert(autoPq.nonEmpty && autoPq == pqTruth,
+      s"PQ side: auto ${autoPq.size} pairs vs operator ${pqTruth.size}; " +
+        s"diff ${autoPq.diff(pqTruth) ++ pqTruth.diff(autoPq)}")
+  }
 }
