@@ -58,6 +58,17 @@ object RecallProbe {
             Similarity.knnGraphTopK(corpus, centers, k, nprobe = 1),
           "knn_graph_ivf_probe2" ->
             Similarity.knnGraphTopK(corpus, centers, k, nprobe = 2),
+          // The ENGINE-CHOSEN probe count (knn_graph_probe_auto's
+          // rule): nprobe from the measured occupancy histogram
+          // against the two-mean-cells candidate target. On the
+          // near-uniform trained histogram this must land on the
+          // probe2 row's recall exactly; on a skewed one it trades
+          // identically to the candidate volume it chose — either
+          // way the recall row documents what the engine's choice
+          // RETRIEVES at this scale.
+          "knn_graph_probe_auto" ->
+            Similarity.knnGraphTopK(corpus, centers, k,
+              nprobe = Similarity.probeFor(corpus, centers)),
           // The compressed graph pair: plain SDC ranking (quantization
           // collapses in-cluster order — the measured recall price) vs
           // the two-stage cure (4k code-space shortlist, exact float
