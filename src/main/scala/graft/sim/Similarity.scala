@@ -807,18 +807,29 @@ object Similarity {
       rankedCellsTwoLevel(coded, buildTwoLevelIndex(fineCenters, coarseK),
         nprobe, carry))
 
-  /** The flat↔two-level assignment crossover, ENGINE-CHOSEN (the
+  /** The flat↔two-level assignment dispatch bound, ENGINE-CHOSEN (the
     * [[LiteralCentersMax]] / [[planesFor]] / `sdcGateFor` pattern —
-    * a measured constant, not a per-query human choice). Measured by
-    * `tools/AssignBench` over an 800k-row corpus (SCALE.md): flat
-    * broadcast ranking wins while |centers| ≲ 10³ (it is one dot per
-    * center with zero indirection); two-level is 37x ahead at 10⁴
-    * (128.2 s vs 3.5 s assignment-only). The geometric midpoint of
-    * the two measured regimes is ~3.2k; 2048 sits just below it —
-    * biased toward flat because flat is EXACT nearest-center
-    * assignment while two-level is approximate near coarse
-    * boundaries, so the engine should not pay a recall price before
-    * the asymptotic win is real. */
+    * a measured constant, not a per-query human choice). What it
+    * guards — corrected by the r16 `tools/AssignBench` re-measure
+    * over the 800k-row corpus (SCALE.md "the crossover, re-measured")
+    * — is NOT assignment time: two-level assignment is cheaper at
+    * EVERY measured center count (4.5× at k=256 rising to 37× at
+    * 10⁴). It is a PARTITION-QUALITY + exactness guard: on the same
+    * center set the approximate coarse→fine assignment inflates
+    * Σpop² by a measured 1.19–1.57× (k=256→2048) and the largest
+    * cell by 2.7–6×, and every pair stage downstream costs
+    * O(Σpop²). Where pairs are expensive per candidate (self-kNN
+    * scoring + top-k heap) that inflation is the measured ~2×
+    * end-to-end loss at 894 centers (sf10 knn_graph_ivf 98 s vs
+    * forced ivf2 172–187 s), so flat must hold through the bench
+    * regimes; where pairs are threshold-filtered and cheap (the
+    * embedding-dedup family) two-level already wins end-to-end at
+    * 640 centers (sf10 7.36 vs 8.64 s) and its forced ivf2 rows keep
+    * that opportunity cost visible every round. 2048 keeps the
+    * expensive-pair family on the exact branch until the linearly
+    * growing flat premium (27 s per corpus scan at k=2048, 128 s at
+    * 10⁴) swamps the worst measured pair-stage inflation — past it
+    * the asymptotic assignment win dominates every family. */
   private[graft] val FlatCentersMax = 2048
 
   /** Self-kNN with the assignment STRATEGY chosen by the engine from

@@ -49,6 +49,22 @@ object AssignBench {
     time("two-level") {
       Similarity.rankedCellsTwoLevel(v, idx, 2)
     }
+    // Partition-quality side of the dispatch trade: the pair stages
+    // downstream of either assignment cost O(Σpop²) — a cheaper
+    // assignment that degrades the partition can LOSE end-to-end
+    // (the sf10 knn_graph_ivf2-vs-flat gap, SCALE.md). One aggregate
+    // per path, same center set, so the shape difference is the
+    // approximation itself, not training.
+    def occupancy(label: String, assigned: org.apache.spark.sql.DataFrame): Unit = {
+      val r = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("p"))
+        .agg(sum(col("p")).as("n"), count(lit(1)).as("cells"),
+          sum(col("p") * col("p")).as("sumsq"), max(col("p")).as("maxpop"))
+        .head()
+      println(s"$label-occupancy n=${r.getLong(0)} cells=${r.getLong(1)} " +
+        s"sumsq=${r.getLong(2)} maxpop=${r.getLong(3)}")
+    }
+    occupancy("flat", Similarity.assignByCenters(v, centers))
+    occupancy("two-level", Similarity.assignByTwoLevel(v, idx))
     spark.stop()
   }
 }
