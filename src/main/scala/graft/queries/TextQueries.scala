@@ -39,6 +39,21 @@ object TextQueries {
     MinHashLSH.nearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
       ngram = 3, perms = Perms, bandRows = BandRows, threshold = 0.5)
 
+  /** [[minhashDedup]] at the STRICT t = 0.8 operating point with the
+    * banding chosen by the ENGINE ([[MinHashLSH.bandingFor]] — the
+    * LSH S-curve rule): at 0.8 the 16-perm budget narrows from the
+    * production 4×4 to 2 bands × 8 rows, trading S-curve softness
+    * near the threshold for a 2× smaller false-candidate integral —
+    * candidates ARE the pair-work budget at 100 TB. The oracle is
+    * GENERATED from the same rule (banding + threshold), so query
+    * and oracle cannot drift and the row is valid at every operating
+    * point; the rule reproducing the hand-pinned production banding
+    * at t = 0.5 is spec-pinned (`MinHashSpec`), not a registered
+    * duplicate of `minhash_dedup`. */
+  def minhashDedupAuto(spark: SparkSession, dir: String): DataFrame =
+    MinHashLSH.nearDuplicatesAuto(Tables.documents(spark, dir), "doc_id",
+      "text", ngram = 3, perms = Perms, threshold = 0.8)
+
   /** INCREMENTAL [[minhashDedup]] — merge-equals-recompute for the
     * MinHash band index ([[MinHashLSH.incrementalNearDuplicates]]):
     * history (doc_id % 10 < 8) keeps its stored pairs and band tuples;
@@ -414,6 +429,7 @@ object TextQueries {
     "quality_percentile" -> (qualityPercentile _),
     "exact_dedup"        -> (exactDedup _),
     "minhash_dedup"      -> (minhashDedup _),
+    "minhash_dedup_auto" -> (minhashDedupAuto _),
     "minhash_dedup_incr" -> (minhashDedupIncr _),
     "ngram_jaccard"      -> (ngramJaccard _),
     "text_stats"         -> (textStats _),
@@ -471,14 +487,18 @@ object TextQueries {
       |)""".stripMargin
 
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard_c)` — the full
-    * MinHash-LSH replay, shared by the pair oracle and the
-    * connected-components oracle. */
-  private val minhashPairsCtes: String = {
+    * MinHash-LSH replay, parameterized over the banding and the
+    * verification threshold so the engine-banded row's oracle is
+    * GENERATED from the same [[MinHashLSH.bandingFor]] choice as the
+    * query (they cannot drift — no pinned-oracle scale guard needed,
+    * the rule reads no corpus statistic). */
+  private def minhashPairsCtesFor(bandRows: Int,
+      thrMillionths: Long): String = {
     val sigCols = (0 until Perms)
       .map(p => s"min(${TF.portableHashHexSql("shingle", s"p$p")}) AS sig$p")
       .mkString(",\n    ")
-    val bandExprs = (0 until Perms / BandRows).map { b =>
-      val slice = (b * BandRows until (b + 1) * BandRows).map(p => s"sig$p")
+    val bandExprs = (0 until Perms / bandRows).map { b =>
+      val slice = (b * bandRows until (b + 1) * bandRows).map(p => s"sig$p")
       s"md5(concat_ws('_', $b, ${slice.mkString(", ")}))"
     }.mkString(",\n      ")
     s"""WITH toks AS (
@@ -513,12 +533,25 @@ object TextQueries {
       |  JOIN cnt ca ON i.doc_a = ca.doc_id
       |  JOIN cnt cb ON i.doc_b = cb.doc_id
       |  WHERE CAST(floor(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) * 1e6 + 0.5)
-      |             AS BIGINT) >= 500000
+      |             AS BIGINT) >= $thrMillionths
       |)""".stripMargin
   }
 
+  /** The production operating point: pinned 4-row banding, t = 0.5. */
+  private val minhashPairsCtes: String =
+    minhashPairsCtesFor(BandRows, 500000L)
+
   private val minhashOracle: String =
     minhashPairsCtes + "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
+
+  /** Oracle of the ENGINE-BANDED strict row: banding generated from
+    * the same rule as the query — [[MinHashLSH.bandingFor]](Perms,
+    * 0.8), which narrows the 16-perm budget to 2 bands × 8 rows. */
+  private val minhashAutoOracle: String = {
+    val (_, rows) = MinHashLSH.bandingFor(Perms, 0.8)
+    minhashPairsCtesFor(rows, 800000L) +
+      "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
+  }
 
   /** DuckDB replay of the asymmetric eval-vs-train LSH match: the
     * SAME signature/band pipeline as [[minhashPairsCtes]], but
@@ -698,6 +731,9 @@ object TextQueries {
         |       substr(md5(norm), 1, 16) AS fp
         |FROM n GROUP BY norm""".stripMargin,
     "minhash_dedup" -> minhashOracle,
+    // Generated from the SAME bandingFor rule as the query (2x8 at
+    // t=0.8): engine-banded, drift-impossible by construction.
+    "minhash_dedup_auto" -> minhashAutoOracle,
     // Shared VERBATIM with minhash_dedup: the incremental band-index
     // cycle must produce the identical pair set.
     "minhash_dedup_incr" -> minhashOracle,

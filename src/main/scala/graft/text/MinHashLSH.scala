@@ -139,6 +139,56 @@ object MinHashLSH {
       .filter(col("jaccard_c") >= (threshold * 1e6).toLong)
   }
 
+  /** The LSH BANDING chosen by the engine — the last hand-pinned
+    * knob of the blocked-pair families freed, completing the set
+    * (SRP planes = `planesFor`, IVF probes = `nprobeFor`, assignment
+    * strategy = `FlatCentersMax`, exchange payload =
+    * `FloatPayloadBytesMax`, SDC gate = `sdcGateFor`). A banding of
+    * B bands × R rows admits a pair of Jaccard s as a candidate with
+    * probability P(s) = 1 − (1 − s^R)^B; the right (B, R) for a
+    * query is the factorization of the signature budget whose curve
+    * best approximates the step at the query's own verification
+    * threshold — minimize the false-candidate integral below t (pure
+    * pair-stage compute at 100 TB) plus the missed-pair integral
+    * above it (lost recall), equally weighted. The standard LSH
+    * S-curve construction from the MinHash literature (Leskovec et
+    * al., Mining of Massive Datasets ch. 3). Deterministic in
+    * (perms, threshold) alone — a 1000-point driver-side quadrature
+    * over at most d(perms) factorizations, no corpus measurement —
+    * so a generated oracle can call the same rule and can never
+    * drift from the query. At the production threshold 0.5 with the
+    * 16-perm budget the rule lands exactly on the hand-pinned
+    * 4×4 banding (spec-pinned); at stricter thresholds it narrows
+    * the curve (0.8 → 2 bands × 8 rows), cutting the candidate
+    * (= pair-work) volume instead of over-probing. */
+  def bandingFor(perms: Int, threshold: Double): (Int, Int) = {
+    require(perms > 0 && threshold > 0.0 && threshold < 1.0,
+      s"bandingFor needs perms>0 and threshold in (0,1), got ($perms, $threshold)")
+    val grid = 1000
+    def err(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0; var i = 0
+      while (i < grid) {
+        val s = (i + 0.5) / grid
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += 1.0 - p
+        i += 1
+      }
+      (fp + fn) / grid
+    }
+    (1 to perms).filter(perms % _ == 0)
+      .map(r => (perms / r, r))
+      .minBy { case (b, r) => err(b, r) }
+  }
+
+  /** [[nearDuplicates]] with the banding chosen by [[bandingFor]]
+    * from the query's own threshold. */
+  def nearDuplicatesAuto(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, perms: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val (_, rows) = bandingFor(perms, threshold)
+    nearDuplicates(docs, idCol, textCol, ngram, perms, rows, threshold)
+  }
+
   /** Full pipeline: verified near-dup pairs with Jaccard >= threshold
     * (scaled to integer millionths for canonical output). */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,

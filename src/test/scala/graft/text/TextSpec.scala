@@ -65,6 +65,45 @@ class TextSpec extends SparkSpec {
     assert(jc == math.floor(37.0 / 39.0 * 1e6 + 0.5).toLong, jc.toString)
   }
 
+  test("bandingFor reproduces the hand-pinned production banding at t=0.5 " +
+      "and moves with the threshold exactly as the S-curve predicts") {
+    // The production operating point: the rule lands on the pinned 4x4.
+    assert(MinHashLSH.bandingFor(16, 0.5) == (4, 4))
+    // Loose threshold -> wide curve (high recall, more candidates);
+    // strict -> narrow curve (candidate volume cut).
+    assert(MinHashLSH.bandingFor(16, 0.3) == (8, 2))
+    assert(MinHashLSH.bandingFor(16, 0.8) == (2, 8))
+    assert(MinHashLSH.bandingFor(16, 0.9) == (1, 16))
+    // Rows per band are monotone in the threshold (the curve midpoint
+    // (1/B)^(1/R) must track it) — for any budget, not just 16.
+    for (perms <- Seq(8, 16, 32)) {
+      val rows = Seq(0.2, 0.4, 0.6, 0.8)
+        .map(t => MinHashLSH.bandingFor(perms, t)._2)
+      assert(rows == rows.sorted, s"perms=$perms rows=$rows")
+    }
+  }
+
+  test("nearDuplicatesAuto IS nearDuplicates at the rule's banding: " +
+      "identical pairs at t=0.5, and at t=0.8 the exact duplicate is " +
+      "found deterministically (J=1 collides in every band)") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " w99"
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val auto = MinHashLSH.nearDuplicatesAuto(docs, "doc_id", "text",
+      ngram = 3, perms = 16, threshold = 0.5).collect().toSeq
+    val forced = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      ngram = 3, perms = 16, bandRows = 4, threshold = 0.5).collect().toSeq
+    assert(auto == forced)
+    val strictDocs = Seq((1L, base), (2L, base), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val strict = MinHashLSH.nearDuplicatesAuto(strictDocs, "doc_id", "text",
+        ngram = 3, perms = 16, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(strict.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
