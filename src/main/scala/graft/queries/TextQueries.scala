@@ -21,6 +21,11 @@ object TextQueries {
 
   private val Perms = 16
   private val BandRows = 4
+
+  /** SimHash verification radius (bits). The band count is derived
+    * from it ([[TF.simhashBandingFor]]), never pinned separately —
+    * a pinned count below d+1 would silently lose true pairs. */
+  private val SimhashHammingMax = 2
   private val Stop = Seq("the", "a", "of", "and", "in", "to", "is")
 
   /** Exact dedup: whitespace/case-normalized text, keeper = min id. */
@@ -282,14 +287,26 @@ object TextQueries {
           s => s.getField("tok"))).as("cleaned_text"))
   }
 
-  /** SimHash near-dup pairs: 60-bit signatures, 4 bands of 15 bits for
-    * LSH candidates (a near-dup differs in few bits, so at least one
-    * band collides), exact Hamming verify <= 2. Never all-pairs. */
+  /** SimHash near-dup pairs: 60-bit signatures, banded LSH candidates,
+    * exact Hamming verify <= [[SimhashHammingMax]]. Never all-pairs.
+    *
+    * The band count is ENGINE-DERIVED from the verification radius
+    * ([[TF.simhashBandingFor]] — the Manku pigeonhole minimum d+1,
+    * here 3 bands of 20 bits; was a hand-pinned 4×15). The final pair
+    * set is provably banding-INVARIANT for any count above d: every
+    * true pair collides in some band either way, and the exact verify
+    * drops every false candidate — which the oracle machine-checks
+    * each round, because it deliberately still replays the OLD 4×15
+    * banding: the hash can only match if both bandings verify to the
+    * identical pair set. The engine's 3×20 is the cheaper plan (3n
+    * band tuples vs 4n, and 2⁵× rarer false band collisions). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (nBands, width) = TF.simhashBandingFor(60, SimhashHammingMax)
     val sh = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"),
       TF.simHash(TF.tokens(col("text")), 60).as("s"))
-    val bandArr = array((0 until 4).map(b => struct(lit(b).as("b"),
-      shiftright(col("s"), b * 15).bitwiseAND(lit(32767L)).as("bv"))): _*)
+    val bandArr = array((0 until nBands).map(b => struct(lit(b).as("b"),
+      shiftright(col("s"), b * width)
+        .bitwiseAND(lit((1L << width) - 1)).as("bv"))): _*)
     val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
     // Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
@@ -306,7 +323,7 @@ object TextQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= SimhashHammingMax)
   }
 
   /** Corpus profiling per language: doc counts, exact distinct
@@ -671,6 +688,11 @@ object TextQueries {
       |)""".stripMargin
   }
 
+  /** DELIBERATELY replays the pre-r16 4×15 banding while the engine
+    * runs the Manku-minimal 3×20 ([[TF.simhashBandingFor]]): the
+    * verified pair set is banding-invariant for any count > d, and
+    * keeping the bandings DIFFERENT makes every round's hash match a
+    * machine check of that pigeonhole invariance. */
   private val simhashDedupOracle: String =
     s"""WITH ${simhashCtes(60)},
       |bands AS (

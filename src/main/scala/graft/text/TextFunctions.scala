@@ -75,6 +75,25 @@ object TextFunctions {
   def simHash(toks: Column, bits: Int): Column =
     call_function("graft_simhash", toks, lit(bits))
 
+  /** Banding for hamming-radius LSH over [[simHash]] fingerprints,
+    * ENGINE-DERIVED from the verification radius by the pigeonhole
+    * principle (Manku, Jain & Das Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW 2007): a pair differing in at most d bits
+    * must agree EXACTLY on at least one of d+1 disjoint bands, so
+    * bands = hammingMax + 1 is the minimal count with guaranteed
+    * recall — and the minimum is also the cheapest: fewer bands mean
+    * fewer exploded band tuples AND wider bands, whose exact-match
+    * collisions are exponentially rarer (a 20-bit band admits 2⁵×
+    * fewer false candidates than a 15-bit one). A hand-pinned count
+    * above the minimum only adds candidate volume; one below it
+    * SILENTLY loses true pairs. Returns (bands, bandBits). */
+  def simhashBandingFor(bits: Int, hammingMax: Int): (Int, Int) = {
+    val bands = hammingMax + 1
+    require(hammingMax >= 0 && bits % bands == 0,
+      s"simhashBandingFor: $bits bits must split evenly into $bands bands")
+    (bands, bits / bands)
+  }
+
   /** Built-in-functions formulation of [[simHash]] (reference
     * semantics spec + fallback for sessions without GraftExtensions).
     *

@@ -104,6 +104,48 @@ class TextSpec extends SparkSpec {
     assert(strict.toSeq == Seq((1L, 2L, 1000000L)))
   }
 
+  test("simhashBandingFor is the pigeonhole minimum, and the verified " +
+      "pair set is banding-INVARIANT above the radius (3x20 == 4x15)") {
+    assert(TextFunctions.simhashBandingFor(60, 2) == (3, 20))
+    assert(TextFunctions.simhashBandingFor(60, 3) == (4, 15))
+    assert(TextFunctions.simhashBandingFor(60, 4) == (5, 12))
+    assertThrows[IllegalArgumentException](
+      TextFunctions.simhashBandingFor(60, 6)) // 60 % 7 != 0
+    // Fixture: identical docs (hamming 0), a light token edit
+    // (hamming small), and an unrelated doc. Verified pairs at
+    // radius 2 must be identical under both bandings.
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 39).map(i => s"w$i").mkString(" ") + " w99"),
+      (4L, (100 to 140).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+      TextFunctions.simHash(TextFunctions.tokens(col("text")), 60).as("s"))
+    def pairs(nBands: Int, width: Int): Seq[(Long, Long, Long)] = {
+      val bandArr = array((0 until nBands).map(b => struct(lit(b).as("b"),
+        shiftright(col("s"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))): _*)
+      val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
+        .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    val manku = pairs(3, 20)
+    assert(manku == pairs(4, 15))
+    assert(manku.contains((1L, 2L, 0L))) // the identical pair survives
+    assert(!manku.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never
+  }
+
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
