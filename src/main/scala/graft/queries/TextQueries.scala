@@ -22,6 +22,12 @@ object TextQueries {
   private val Perms = 16
   private val BandRows = 4
 
+  /** The ONE operating point of `minhash_dedup_auto` — the query's
+    * threshold literal and the oracle's banding + ppm cutoff are all
+    * derived from this single val, so editing it cannot break the
+    * "oracle generated from the same rule" guarantee. */
+  private val MinhashAutoThreshold = 0.8
+
   /** SimHash verification radius (bits). The band count is derived
     * from it ([[TF.simhashBandingFor]]), never pinned separately —
     * a pinned count below d+1 would silently lose true pairs. */
@@ -57,7 +63,7 @@ object TextQueries {
     * duplicate of `minhash_dedup`. */
   def minhashDedupAuto(spark: SparkSession, dir: String): DataFrame =
     MinHashLSH.nearDuplicatesAuto(Tables.documents(spark, dir), "doc_id",
-      "text", ngram = 3, perms = Perms, threshold = 0.8)
+      "text", ngram = 3, perms = Perms, threshold = MinhashAutoThreshold)
 
   /** INCREMENTAL [[minhashDedup]] — merge-equals-recompute for the
     * MinHash band index ([[MinHashLSH.incrementalNearDuplicates]]):
@@ -301,18 +307,20 @@ object TextQueries {
     * identical pair set. The engine's 3×20 is the cheaper plan (3n
     * band tuples vs 4n, and 2⁵× rarer false band collisions). */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (nBands, width) = TF.simhashBandingFor(60, SimhashHammingMax)
+    val banding = TF.simhashBandingFor(60, SimhashHammingMax)
     val sh = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"),
       TF.simHash(TF.tokens(col("text")), 60).as("s"))
-    val bandArr = array((0 until nBands).map(b => struct(lit(b).as("b"),
-      shiftright(col("s"), b * width)
-        .bitwiseAND(lit((1L << width) - 1)).as("bv"))): _*)
+    val bandArr = array(banding.zipWithIndex.map { case ((shift, width), b) =>
+      struct(lit(b).as("b"),
+        shiftright(col("s"), shift)
+          .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+    }: _*)
     val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
     // Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
-    // a hot 15-bit band value — boilerplate all near-identical docs
-    // share — would otherwise serialize its quadratic candidate
-    // fan-out in one task.
+    // a hot band value (width engine-derived from the radius) —
+    // boilerplate all near-identical docs share — would otherwise
+    // serialize its quadratic candidate fan-out in one task.
     val cand = graft.etl.Skew.selfPairsByBucket(
         bands.select(col("b"), col("bv"), col("doc_id").as("doc")),
         Seq("b", "bv"), Seq("doc"))
@@ -562,11 +570,13 @@ object TextQueries {
     minhashPairsCtes + "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
 
   /** Oracle of the ENGINE-BANDED strict row: banding generated from
-    * the same rule as the query — [[MinHashLSH.bandingFor]](Perms,
-    * 0.8), which narrows the 16-perm budget to 2 bands × 8 rows. */
+    * the same rule as the query — [[MinHashLSH.bandingFor]] at
+    * [[MinhashAutoThreshold]], which narrows the 16-perm budget to
+    * 2 bands × 8 rows at 0.8. Both the banding and the ppm cutoff
+    * derive from the shared val. */
   private val minhashAutoOracle: String = {
-    val (_, rows) = MinHashLSH.bandingFor(Perms, 0.8)
-    minhashPairsCtesFor(rows, 800000L) +
+    val (_, rows) = MinHashLSH.bandingFor(Perms, MinhashAutoThreshold)
+    minhashPairsCtesFor(rows, math.round(MinhashAutoThreshold * 1e6)) +
       "\nSELECT doc_a, doc_b, jaccard_c FROM pairs"
   }
 
@@ -692,12 +702,21 @@ object TextQueries {
     * runs the Manku-minimal 3×20 ([[TF.simhashBandingFor]]): the
     * verified pair set is banding-invariant for any count > d, and
     * keeping the bandings DIFFERENT makes every round's hash match a
-    * machine check of that pigeonhole invariance. */
-  private val simhashDedupOracle: String =
+    * machine check of that pigeonhole invariance. The verify radius
+    * is INTERPOLATED from [[SimhashHammingMax]] (query and oracle
+    * share the one constant), and the replay banding is guarded by
+    * the same pigeonhole bound it relies on: 4 bands only guarantee
+    * recall while 4 >= d+1, so bumping the radius past 3 fails here
+    * LOUDLY instead of silently desynchronizing query from oracle. */
+  private val simhashDedupOracle: String = {
+    val replayBands = 4
+    require(replayBands >= SimhashHammingMax + 1,
+      s"simhash oracle's deliberate $replayBands-band replay loses recall at " +
+        s"radius $SimhashHammingMax; re-derive the replay banding")
     s"""WITH ${simhashCtes(60)},
       |bands AS (
       |  SELECT doc_id, b, (s >> (b * 15)) & 32767 AS bv
-      |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS b)
+      |  FROM sh, (SELECT unnest(generate_series(0, ${replayBands - 1})) AS b)
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
@@ -708,7 +727,8 @@ object TextQueries {
       |FROM cand c
       |JOIN sh x ON c.doc_a = x.doc_id
       |JOIN sh y ON c.doc_b = y.doc_id
-      |WHERE bit_count(xor(x.s, y.s)) <= 2""".stripMargin
+      |WHERE bit_count(xor(x.s, y.s)) <= $SimhashHammingMax""".stripMargin
+  }
 
   private val simhashOracle: String = {
     val votes = (0 until 16).map { j =>

@@ -136,7 +136,9 @@ object MinHashLSH {
         floor(inter.cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - inter) * 1e6 + 0.5d)
           .cast("long").as("jaccard_c"))
-      .filter(col("jaccard_c") >= (threshold * 1e6).toLong)
+      // math.round, not .toLong: truncation would put e.g. 0.7's
+      // cutoff one millionth below the oracle's exact integer.
+      .filter(col("jaccard_c") >= math.round(threshold * 1e6))
   }
 
   /** The LSH BANDING chosen by the engine — the last hand-pinned
@@ -203,7 +205,9 @@ object MinHashLSH {
   private def thresholded(verified: DataFrame, threshold: Double): DataFrame =
     verified
       .withColumn("jaccard_c", floor(col("jaccard") * 1e6 + 0.5d))
-      .filter(col("jaccard_c") >= (threshold * 1e6).toLong)
+      // math.round, not .toLong: truncation would put e.g. 0.7's
+      // cutoff one millionth below the oracle's exact integer.
+      .filter(col("jaccard_c") >= math.round(threshold * 1e6))
       .select("doc_a", "doc_b", "jaccard_c")
 
   /** INCREMENTAL near-dup maintenance across doc-atomic load cycles —

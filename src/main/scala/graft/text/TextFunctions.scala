@@ -86,12 +86,24 @@ object TextFunctions {
     * collisions are exponentially rarer (a 20-bit band admits 2⁵×
     * fewer false candidates than a 15-bit one). A hand-pinned count
     * above the minimum only adds candidate volume; one below it
-    * SILENTLY loses true pairs. Returns (bands, bandBits). */
-  def simhashBandingFor(bits: Int, hammingMax: Int): (Int, Int) = {
+    * SILENTLY loses true pairs.
+    *
+    * Returns one (shiftBits, bandWidth) per band. When d+1 does not
+    * divide the signature width (e.g. radius 6 over 60 bits), the
+    * first d bands take the floor width and the LAST band absorbs the
+    * remainder — the pigeonhole argument only needs the bands to be
+    * disjoint and exhaustive, and the extra bits go to a single band
+    * where they make exact-match collisions RARER, never to a
+    * narrower band that would widen the candidate set. */
+  def simhashBandingFor(bits: Int, hammingMax: Int): Seq[(Int, Int)] = {
     val bands = hammingMax + 1
-    require(hammingMax >= 0 && bits % bands == 0,
-      s"simhashBandingFor: $bits bits must split evenly into $bands bands")
-    (bands, bits / bands)
+    require(hammingMax >= 0 && bands <= bits,
+      s"simhashBandingFor: need 0 <= hammingMax < bits, got ($bits, $hammingMax)")
+    val base = bits / bands
+    (0 until bands).map { b =>
+      val width = if (b == bands - 1) bits - base * (bands - 1) else base
+      (b * base, width)
+    }
   }
 
   /** Built-in-functions formulation of [[simHash]] (reference

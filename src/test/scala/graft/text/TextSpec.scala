@@ -96,6 +96,18 @@ class TextSpec extends SparkSpec {
     val forced = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
       ngram = 3, perms = 16, bandRows = 4, threshold = 0.5).collect().toSeq
     assert(auto == forced)
+    // Second operating point, the WIDE end (t=0.3 -> 8 bands x 2
+    // rows): auto is exactly nearDuplicates at the rule's banding
+    // there too — pins the rule across the threshold range, not just
+    // at the production point.
+    val (_, wideRows) = MinHashLSH.bandingFor(16, 0.3)
+    assert(wideRows == 2)
+    val autoWide = MinHashLSH.nearDuplicatesAuto(docs, "doc_id", "text",
+      ngram = 3, perms = 16, threshold = 0.3).collect().toSeq
+    val forcedWide = MinHashLSH.nearDuplicates(docs, "doc_id", "text",
+      ngram = 3, perms = 16, bandRows = wideRows, threshold = 0.3)
+      .collect().toSeq
+    assert(autoWide == forcedWide && autoWide.nonEmpty)
     val strictDocs = Seq((1L, base), (2L, base), (3L, unrelated))
       .toDF("doc_id", "text")
     val strict = MinHashLSH.nearDuplicatesAuto(strictDocs, "doc_id", "text",
@@ -104,13 +116,23 @@ class TextSpec extends SparkSpec {
     assert(strict.toSeq == Seq((1L, 2L, 1000000L)))
   }
 
-  test("simhashBandingFor is the pigeonhole minimum, and the verified " +
+  test("simhashBandingFor is the pigeonhole minimum, handles radii that " +
+      "don't divide the width (wider last band), and the verified " +
       "pair set is banding-INVARIANT above the radius (3x20 == 4x15)") {
-    assert(TextFunctions.simhashBandingFor(60, 2) == (3, 20))
-    assert(TextFunctions.simhashBandingFor(60, 3) == (4, 15))
-    assert(TextFunctions.simhashBandingFor(60, 4) == (5, 12))
+    def even(n: Int, w: Int) = (0 until n).map(b => (b * w, w))
+    assert(TextFunctions.simhashBandingFor(60, 2) == even(3, 20))
+    assert(TextFunctions.simhashBandingFor(60, 3) == even(4, 15))
+    assert(TextFunctions.simhashBandingFor(60, 4) == even(5, 12))
+    // d=6: 7 bands over 60 bits — floor split, last band absorbs the
+    // remainder (6x8 + 1x12). Disjoint and exhaustive by construction.
+    val d6 = TextFunctions.simhashBandingFor(60, 6)
+    assert(d6 == (0 until 6).map(b => (b * 8, 8)) :+ (48, 12))
+    assert(d6.map(_._2).sum == 60)
+    assert(d6.sliding(2).forall { case Seq((s1, w1), (s2, _)) => s1 + w1 == s2 })
     assertThrows[IllegalArgumentException](
-      TextFunctions.simhashBandingFor(60, 6)) // 60 % 7 != 0
+      TextFunctions.simhashBandingFor(60, -1))
+    assertThrows[IllegalArgumentException](
+      TextFunctions.simhashBandingFor(60, 60)) // more bands than bits
     // Fixture: identical docs (hamming 0), a light token edit
     // (hamming small), and an unrelated doc. Verified pairs at
     // radius 2 must be identical under both bandings.
