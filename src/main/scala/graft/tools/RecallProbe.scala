@@ -86,21 +86,98 @@ object RecallProbe {
     } finally { corpus.unpersist(); () }
   }
 
+  /** Deterministic CLUSTERED corpus at scale, derived from the sf
+    * dir's embeddings: `nClusters` unit base vectors (vec_id <
+    * nClusters) each expanded to `members` members by md5-derived
+    * per-coordinate uniform noise (±0.05 on unit centers — in-cluster
+    * cosine ≈ 0.95, cross-cluster ≈ 0: the RecallSpec clustered
+    * geometry, scaled). Ids INTERLEAVE clusters (id % nClusters =
+    * cluster id, exactly RecallSpec's `i % 40`), so the engine
+    * k-means rule's dense 0..√n init rows span √n DISTINCT clusters
+    * rather than the members of the first few. */
+  def clusteredAtScale(spark: SparkSession, dir: String,
+      nClusters: Int, members: Int): DataFrame = {
+    val base = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nClusters)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.Tables.spread(base)
+      .withColumn("m", explode(sequence(lit(0), lit(members - 1))))
+      .select((col("m") * nClusters + col("cid")).as("id"),
+        transform(col("cvec"), (x, i) => {
+          val h = graft.text.TextFunctions.portableHash(
+            concat_ws(":", col("cid").cast("string"),
+              col("m").cast("string"), i.cast("string")), "rcnoise")
+          (x.cast("double") +
+            ((h % 2001L).cast("double") - lit(1000.0d)) / 1000.0d * 0.05d)
+            .cast("float")
+        }).as("vec"))
+  }
+
+  /** The sf10 recall row for the PROBE dispatcher (round-16 verdict
+    * follow-up): on the clustered corpus at scale, exact truth over a
+    * deterministic sample, then trained-IVF recall at nprobe 1, the
+    * pinned production 2, and the ENGINE-CHOSEN count — the ≥0.8
+    * contract RecallSpec gates at n=2000, measured at 800k. */
+  def probeClustered(spark: SparkSession, dir: String, nClusters: Int,
+      members: Int, sampleStep: Long, k: Int)
+      : (Long, Long, Int, Seq[(String, Double)]) = {
+    val corpus = clusteredAtScale(spark, dir, nClusters, members)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = corpus.count()
+      val sample = corpus.filter(col("id") % sampleStep === 0)
+      val nSample = sample.count()
+      val exact = Similarity.bruteForceTopK(sample, corpus, k)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val sqrtK = math.max(8L, math.sqrt(n.toDouble).round)
+        val centers = KMeans.fitCenters(corpus, 0L until sqrtK, iters = 1)
+        val pAuto = Similarity.probeFor(corpus, centers)
+        def sampled(df: DataFrame) = df.filter(col("q_id") % sampleStep === 0)
+        val variants = Seq(
+          "knn_graph_ivf_probe1" ->
+            Similarity.knnGraphTopK(corpus, centers, k, nprobe = 1),
+          "knn_graph_ivf_probe2" ->
+            Similarity.knnGraphTopK(corpus, centers, k, nprobe = 2),
+          "knn_graph_probe_auto" ->
+            Similarity.knnGraphTopK(corpus, centers, k, nprobe = pAuto))
+        (n, nSample, pAuto,
+          variants.map { case (name, df) => name -> recallAt(exact, sampled(df)) })
+      } finally { exact.unpersist(); () }
+    } finally { corpus.unpersist(); () }
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: RecallProbe <sfDir> [sampleStep] [k]")
+    require(args.nonEmpty,
+      "usage: RecallProbe <sfDir> [sampleStep] [k] | " +
+        "RecallProbe <sfDir> clustered [nClusters] [members] [sampleStep] [k]")
     val dir = args(0)
-    val step = if (args.length > 1) args(1).toLong else 200L
-    val k = if (args.length > 2) args(2).toInt else 10
     val spark = graft.GraftSession.configure(
         SparkSession.builder().master("local[32]"), "32")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (n, nSample, rs) = probe(spark, dir, step, k)
-      val vs = rs.map { case (name, r) =>
-        "\"" + name + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
-      println(s"""{"metric":"recall@$k","sf":"$dir","corpus":$n,""" +
-        s""""sample":$nSample,"variants":$vs}""")
+      if (args.length > 1 && args(1) == "clustered") {
+        val nClusters = if (args.length > 2) args(2).toInt else 16000
+        val members = if (args.length > 3) args(3).toInt else 50
+        val step = if (args.length > 4) args(4).toLong else 2000L
+        val k = if (args.length > 5) args(5).toInt else 10
+        val (n, nSample, pAuto, rs) =
+          probeClustered(spark, dir, nClusters, members, step, k)
+        val vs = rs.map { case (name, r) =>
+          "\"" + name + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
+        println(s"""{"metric":"recall@$k","mode":"clustered","sf":"$dir",""" +
+          s""""corpus":$n,"sample":$nSample,"nprobe_auto":$pAuto,""" +
+          s""""variants":$vs}""")
+      } else {
+        val step = if (args.length > 1) args(1).toLong else 200L
+        val k = if (args.length > 2) args(2).toInt else 10
+        val (n, nSample, rs) = probe(spark, dir, step, k)
+        val vs = rs.map { case (name, r) =>
+          "\"" + name + "\":" + f"$r%.4f" }.mkString("{", ",", "}")
+        println(s"""{"metric":"recall@$k","sf":"$dir","corpus":$n,""" +
+          s""""sample":$nSample,"variants":$vs}""")
+      }
     } finally spark.stop()
   }
 }
