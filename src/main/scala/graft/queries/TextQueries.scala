@@ -306,17 +306,41 @@ object TextQueries {
     * banding: the hash can only match if both bandings verify to the
     * identical pair set. The engine's 3×20 is the cheaper plan (3n
     * band tuples vs 4n, and 2⁵× rarer false band collisions). */
-  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(simhashSignatures(
+      Tables.spread(Tables.documents(spark, dir))))
+
+  /** 60-bit SimHash signatures (doc_id, s) — the per-doc state a
+    * dedup cycle stores alongside its band index. */
+  private def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TF.simHash(TF.tokens(col("text")), 60).as("s"))
+
+  /** Engine-banded (doc_id, b, bv) tuples from signatures — the
+    * stored band index of a SimHash dedup cycle. */
+  private def simhashBandTuples(sh: DataFrame): DataFrame = {
     val banding = TF.simhashBandingFor(60, SimhashHammingMax)
-    val sh = Tables.spread(Tables.documents(spark, dir)).select(col("doc_id"),
-      TF.simHash(TF.tokens(col("text")), 60).as("s"))
     val bandArr = array(banding.zipWithIndex.map { case ((shift, width), b) =>
       struct(lit(b).as("b"),
         shiftright(col("s"), shift)
           .bitwiseAND(lit((1L << width) - 1)).as("bv"))
     }: _*)
-    val bands = sh.select(col("doc_id"), explode(bandArr).as("band"))
+    sh.select(col("doc_id"), explode(bandArr).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bv").as("bv"))
+  }
+
+  /** Exact Hamming verify of (doc_a, doc_b) candidates against the
+    * signatures frame; emits the verified distance. */
+  private def simhashVerify(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= SimhashHammingMax)
+
+  /** Full band → candidate → verify pipeline over a signatures frame. */
+  private def simhashPairs(sh: DataFrame): DataFrame = {
+    val bands = simhashBandTuples(sh)
     // Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
     // a hot band value (width engine-derived from the radius) —
     // boilerplate all near-identical docs share — would otherwise
@@ -326,12 +350,51 @@ object TextQueries {
         Seq("b", "bv"), Seq("doc"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-      .filter(col("hamming") <= SimhashHammingMax)
+    simhashVerify(cand, sh)
+  }
+
+  /** INCREMENTAL [[simhashDedup]] — merge-equals-recompute for the
+    * SimHash band index: the [[MinHashLSH.incrementalNearDuplicates]]
+    * cycle applied to the Hamming family, completing the incremental
+    * surface (minhash/span/embedding families already have one). The
+    * stored state of a cycle is its (doc_id, b, bv) band index plus
+    * its verified pair set; absorbing a doc-atomic delta costs:
+    *
+    *  1. tokenize/sign/band the DELTA only — |delta| work;
+    *  2. join the delta's band tuples against stored ∪ delta tuples —
+    *     exactly the candidate pairs a full recompute would involve a
+    *     delta doc in (band values are per-document);
+    *  3. Hamming-verify those candidates and union the PRIOR cycle's
+    *     pairs, which cannot change (a within-history pair shares no
+    *     doc with the delta).
+    *
+    * History is never re-hashed and never re-self-joined. The
+    * asymmetric candidate join keys on (b, bv) like the full path's
+    * skew-routed self-join, but a hot band value fans out only
+    * |delta_hot| × |all_hot| — LINEAR in the delta, so the quadratic
+    * hot-bucket hazard the full path routes around cannot arise while
+    * deltas stay a bounded fraction of the corpus; a deployment with
+    * a small delta broadcasts its band tuples outright. Shares
+    * `simhash_dedup`'s oracle VERBATIM — the hash proves absorbing
+    * the delta loses and invents no pair. Here the prior pairs/bands
+    * are recomputed from the history split for the proof; a
+    * deployment reads both back from the stored cycle tables. */
+  def simhashDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val histSh = simhashSignatures(docs.filter(col("doc_id") % 10 < 8))
+    val deltaSh = simhashSignatures(docs.filter(col("doc_id") % 10 >= 8))
+    val prior = simhashPairs(histSh)
+    val allBands = simhashBandTuples(histSh)
+      .unionByName(simhashBandTuples(deltaSh))
+    val fresh = simhashBandTuples(deltaSh)
+      .select(col("b").as("bd"), col("bv").as("bvd"), col("doc_id").as("did"))
+      .join(allBands, col("bd") === col("b") && col("bvd") === col("bv") &&
+        col("did") =!= col("doc_id"))
+      .select(least(col("did"), col("doc_id")).as("doc_a"),
+        greatest(col("did"), col("doc_id")).as("doc_b"))
+      .distinct()
+    prior.unionByName(
+      simhashVerify(fresh, histSh.unionByName(deltaSh))).distinct()
   }
 
   /** Corpus profiling per language: doc counts, exact distinct
@@ -463,6 +526,7 @@ object TextQueries {
     "span_dedup_incr"    -> (spanDedupIncr _),
     "span_dedup_cut"     -> (spanDedupCut _),
     "simhash_dedup"      -> (simhashDedup _),
+    "simhash_dedup_incr" -> (simhashDedupIncr _),
     "corpus_profile"     -> (corpusProfile _),
     "multimodal_payload" -> (multimodalPayload _),
     "dedup_components"   -> (dedupComponents _),
@@ -900,6 +964,9 @@ object TextQueries {
         |       string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
         |FROM surv GROUP BY doc_id""".stripMargin,
     "simhash_dedup" -> simhashDedupOracle,
+    // Shared VERBATIM with simhash_dedup: the incremental band-index
+    // cycle must produce the identical pair set.
+    "simhash_dedup_incr" -> simhashDedupOracle,
     "corpus_profile" ->
       s"""SELECT lang,
         |  count(*) AS n_docs,

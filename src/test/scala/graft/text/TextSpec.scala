@@ -177,6 +177,25 @@ class TextSpec extends SparkSpec {
     assert(!manku.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated never
   }
 
+  test("simhashDedupIncr merge equals full recompute on the sf0.001 corpus") {
+    // The registry row proves this at sf0.01 against the shared
+    // oracle; this pins the same merge-equals-recompute contract in
+    // the fast suite, including delta-delta, delta-hist and
+    // hist-hist pair classes (the %10 split leaves all three
+    // populated at this scale iff the full pair set is non-empty
+    // across the boundary — asserted below, so the test cannot
+    // silently degrade into checking the prior set only).
+    val dir = "/root/testdata/sf0.001"
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val full = pairSet(graft.queries.TextQueries.simhashDedup(spark, dir))
+    val incr = pairSet(graft.queries.TextQueries.simhashDedupIncr(spark, dir))
+    assert(incr == full)
+    assert(full.exists { case (a, b, _) => a % 10 < 8 && b % 10 >= 8 },
+      "fixture no longer exercises the cross-boundary class")
+  }
+
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
