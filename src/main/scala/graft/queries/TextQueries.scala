@@ -339,19 +339,20 @@ object TextQueries {
       .filter(col("hamming") <= SimhashHammingMax)
 
   /** Full band → candidate → verify pipeline over a signatures frame. */
-  private def simhashPairs(sh: DataFrame): DataFrame = {
-    val bands = simhashBandTuples(sh)
-    // Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
-    // a hot band value (width engine-derived from the radius) —
-    // boilerplate all near-identical docs share — would otherwise
-    // serialize its quadratic candidate fan-out in one task.
-    val cand = graft.etl.Skew.selfPairsByBucket(
+  private def simhashPairs(sh: DataFrame): DataFrame =
+    simhashVerify(simhashCandidates(simhashBandTuples(sh)), sh)
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing a band value.
+    * Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
+    * a hot band value (width engine-derived from the radius) —
+    * boilerplate all near-identical docs share — would otherwise
+    * serialize its quadratic candidate fan-out in one task. */
+  private def simhashCandidates(bands: DataFrame): DataFrame =
+    graft.etl.Skew.selfPairsByBucket(
         bands.select(col("b"), col("bv"), col("doc_id").as("doc")),
         Seq("b", "bv"), Seq("doc"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    simhashVerify(cand, sh)
-  }
 
   /** INCREMENTAL [[simhashDedup]] — merge-equals-recompute for the
     * SimHash band index: the [[MinHashLSH.incrementalNearDuplicates]]
@@ -378,14 +379,20 @@ object TextQueries {
     * `simhash_dedup`'s oracle VERBATIM — the hash proves absorbing
     * the delta loses and invents no pair. Here the prior pairs/bands
     * are recomputed from the history split for the proof; a
-    * deployment reads both back from the stored cycle tables. */
+    * deployment reads both back from the stored cycle tables. Like
+    * [[MinHashLSH.incrementalNearDuplicates]], the recomputation pays
+    * for history once per stage: prior candidates come from the same
+    * band-tuple frame the delta absorbs against, and ONE Hamming
+    * verify runs over the unioned candidate set (prior hist-hist and
+    * fresh delta-involving candidates are disjoint, so this is
+    * row-identical to verifying each side alone). */
   def simhashDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val histSh = simhashSignatures(docs.filter(col("doc_id") % 10 < 8))
     val deltaSh = simhashSignatures(docs.filter(col("doc_id") % 10 >= 8))
-    val prior = simhashPairs(histSh)
-    val allBands = simhashBandTuples(histSh)
-      .unionByName(simhashBandTuples(deltaSh))
+    val histBands = simhashBandTuples(histSh)
+    val prior = simhashCandidates(histBands)
+    val allBands = histBands.unionByName(simhashBandTuples(deltaSh))
     val fresh = simhashBandTuples(deltaSh)
       .select(col("b").as("bd"), col("bv").as("bvd"), col("doc_id").as("did"))
       .join(allBands, col("bd") === col("b") && col("bvd") === col("bv") &&
@@ -393,8 +400,8 @@ object TextQueries {
       .select(least(col("did"), col("doc_id")).as("doc_a"),
         greatest(col("did"), col("doc_id")).as("doc_b"))
       .distinct()
-    prior.unionByName(
-      simhashVerify(fresh, histSh.unionByName(deltaSh))).distinct()
+    simhashVerify(prior.unionByName(fresh),
+      histSh.unionByName(deltaSh))
   }
 
   /** Corpus profiling per language: doc counts, exact distinct
