@@ -340,17 +340,22 @@ object TextQueries {
 
   /** Full band → candidate → verify pipeline over a signatures frame. */
   private def simhashPairs(sh: DataFrame): DataFrame =
-    simhashVerify(simhashCandidates(simhashBandTuples(sh)), sh)
+    simhashVerify(simhashCandidates(simhashProj(simhashBandTuples(sh))), sh)
+
+  /** The canonical (b, bv, doc) projection the candidate machinery
+    * partitions on — [[simhashDedupIncr]] builds every candidate
+    * class from this exact projection so the band exchanges unify at
+    * runtime (ReusedExchange), like [[MinHashLSH]]'s. */
+  private def simhashProj(bands: DataFrame): DataFrame =
+    bands.select(col("b"), col("bv"), col("doc_id").as("doc"))
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing a band value.
     * Skew-routed band self-join (graft.etl.Skew.selfPairsByBucket):
     * a hot band value (width engine-derived from the radius) —
     * boilerplate all near-identical docs share — would otherwise
     * serialize its quadratic candidate fan-out in one task. */
-  private def simhashCandidates(bands: DataFrame): DataFrame =
-    graft.etl.Skew.selfPairsByBucket(
-        bands.select(col("b"), col("bv"), col("doc_id").as("doc")),
-        Seq("b", "bv"), Seq("doc"))
+  private def simhashCandidates(proj: DataFrame): DataFrame =
+    graft.etl.Skew.selfPairsByBucket(proj, Seq("b", "bv"), Seq("doc"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
 
@@ -381,26 +386,32 @@ object TextQueries {
     * are recomputed from the history split for the proof; a
     * deployment reads both back from the stored cycle tables. Like
     * [[MinHashLSH.incrementalNearDuplicates]], the recomputation pays
-    * for history once per stage: prior candidates come from the same
-    * band-tuple frame the delta absorbs against, and ONE Hamming
-    * verify runs over the unioned candidate set (prior hist-hist and
-    * fresh delta-involving candidates are disjoint, so this is
-    * row-identical to verifying each side alone). */
+    * for history ONCE: prior candidates come from the same band
+    * frames the delta absorbs against; the delta-vs-history class
+    * repartitions both (b, bv, doc) projections exactly as their
+    * self-join frames are partitioned inside selfPairsByBucket, so
+    * of the four band exchanges only one per corpus side
+    * materializes (the rest are runtime ReusedExchange; plan-
+    * audited); and ONE Hamming verify runs over the unioned
+    * candidate set (the hist-hist / delta-hist / delta-delta classes
+    * are disjoint because the id spaces are, so this is row-
+    * identical to verifying each class alone). */
   def simhashDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
     val histSh = simhashSignatures(docs.filter(col("doc_id") % 10 < 8))
     val deltaSh = simhashSignatures(docs.filter(col("doc_id") % 10 >= 8))
-    val histBands = simhashBandTuples(histSh)
-    val prior = simhashCandidates(histBands)
-    val allBands = histBands.unionByName(simhashBandTuples(deltaSh))
-    val fresh = simhashBandTuples(deltaSh)
-      .select(col("b").as("bd"), col("bv").as("bvd"), col("doc_id").as("did"))
-      .join(allBands, col("bd") === col("b") && col("bvd") === col("bv") &&
-        col("did") =!= col("doc_id"))
-      .select(least(col("did"), col("doc_id")).as("doc_a"),
-        greatest(col("did"), col("doc_id")).as("doc_b"))
+    val histProj = simhashProj(simhashBandTuples(histSh))
+    val deltaProj = simhashProj(simhashBandTuples(deltaSh))
+    val prior = simhashCandidates(histProj)       // hist-hist
+    val freshDelta = simhashCandidates(deltaProj) // delta-delta
+    val freshHist = deltaProj.repartition(col("b"), col("bv"))
+      .join(histProj.repartition(col("b"), col("bv"))
+        .withColumnRenamed("doc", "hdoc"), Seq("b", "bv"))
+      .select(least(col("doc"), col("hdoc")).as("doc_a"),
+        greatest(col("doc"), col("hdoc")).as("doc_b"))
       .distinct()
-    simhashVerify(prior.unionByName(fresh),
+    simhashVerify(
+      prior.unionByName(freshHist).unionByName(freshDelta),
       histSh.unionByName(deltaSh))
   }
 

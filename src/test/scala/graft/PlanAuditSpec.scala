@@ -577,28 +577,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("minhash_dedup_incr: history is shingled+signed ONCE — the " +
+  test("incremental text dedup: history is hashed ONCE — the " +
       "delta-vs-history join rides the self-joins' band exchanges") {
-    // incrementalNearDuplicates builds three candidate classes; the
-    // delta-hist join repartitions both (band_key, doc) projections
-    // exactly as their self-join frames are partitioned inside
+    // Both incremental proofs build three candidate classes; the
+    // delta-hist join repartitions both band projections exactly as
+    // their self-join frames are partitioned inside
     // selfPairsByBucket, so of the four REPARTITION_BY_COL band
     // exchanges only two (one per corpus side) may materialize — the
-    // rest must be runtime ReusedExchange. This is what keeps the
-    // proof query's history cost at one shingle→sign→band pass; a
-    // projection drift between candidatePairs and the join sides
-    // would silently double it. Asserted post-execution: AQE reuse
-    // is a runtime stage decision.
-    val df = SparkEntry.queries("minhash_dedup_incr")(
-      spark, "/root/testdata/sf0.01")
-    val qe = df.queryExecution
-    qe.toRdd.count()
-    val finalPlan = qe.executedPlan.treeString
-      .split("== Initial Plan ==")(0)
-    val materialized = countOf(finalPlan, "REPARTITION_BY_COL") -
-      countOf(finalPlan, "ReusedExchange")
-    assert(materialized <= 2 && countOf(finalPlan, "ReusedExchange") >= 2,
-      s"minhash_dedup_incr re-materialized a band exchange:\n$finalPlan")
+    // rest must be runtime ReusedExchange. This is what keeps each
+    // proof query's history cost at one tokenize→hash→band pass; a
+    // projection drift between the candidate helper and the join
+    // sides would silently double it. Asserted post-execution: AQE
+    // reuse is a runtime stage decision.
+    for (name <- Seq("minhash_dedup_incr", "simhash_dedup_incr")) {
+      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val finalPlan = qe.executedPlan.treeString
+        .split("== Initial Plan ==")(0)
+      val materialized = countOf(finalPlan, "REPARTITION_BY_COL") -
+        countOf(finalPlan, "ReusedExchange")
+      assert(materialized <= 2 && countOf(finalPlan, "ReusedExchange") >= 2,
+        s"$name re-materialized a band exchange:\n$finalPlan")
+    }
   }
 
   test("knn_graph_ivfpq: no exchange carries a float vector — the " +
