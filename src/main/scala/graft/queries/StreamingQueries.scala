@@ -385,6 +385,82 @@ object StreamingQueries {
     spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
   }
 
+  /** Streaming near-dup ingestion against a DEPLOYED MinHash band
+    * index — the streaming member of the TEXT near-dup family
+    * (`minhash_dedup_incr` is its batch sibling, exactly as
+    * `stream_embedding_dedup_files` pairs with `embedding_dedup_incr`).
+    * Resident state: the base corpus's band index (band_key → base_id)
+    * plus its shingle arrays for the exact verify. Each streamed
+    * document is shingled, signed and banded by pure projections
+    * ([[graft.text.MinHashLSH.bandedShingles]] — the signature UDF is
+    * per-row); candidates come from a STREAM-STATIC equi-join on
+    * band_key; the exact-Jaccard verify is a second stream-static
+    * join, id-keyed at candidate cardinality. Emits (delta_id,
+    * base_id, jaccard_c) at J >= 0.5.
+    *
+    * Scale shape: STATELESS streaming — no watermark, no state store
+    * (spec-asserted); a micro-batch costs O(|batch| × band fan-out)
+    * and unbounded streams carry zero state growth. A (delta, base)
+    * pair sharing k bands is emitted k times (identical rows — the
+    * verify is deterministic); the post-stream read distincts. The
+    * bounded (≤ nBands = 4) duplicate verify is the price of
+    * statelessness — the batch path pays a shuffle for its
+    * pre-verify distinct instead.
+    *
+    * Oracle: the batch replay — [[TextQueries.minhashPairsCtes]]'
+    * pair set projected to its cross-boundary (delta, base) rows.
+    * Shared CTEs, so this row's truth and `minhash_dedup`'s cannot
+    * drift. */
+  private[graft] def minhashProbeStream(spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.text.MinHashLSH
+    val base = Tables.spread(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 10 < 8)
+    val baseArrs = MinHashLSH.shingleArrays(base, "doc_id", "text", 3)
+      .select(col("doc_id").as("base_id"), col("shingles").as("b_sh"))
+    val baseIdx = MinHashLSH.bands(
+        MinHashLSH.signatures(
+          MinHashLSH.shingleArrays(base, "doc_id", "text", 3),
+          "doc_id", TextQueries.Perms),
+        "doc_id", TextQueries.Perms, TextQueries.BandRows)
+      .select(col("band_key"), col("doc_id").as("base_id"))
+    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val reader = spark.readStream.schema(fileSchema)
+    val src =
+      if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+        reader.parquet(s"$dir/documents.parquet")
+      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val delta = src.filter(col("doc_id") % 10 >= 8)
+    val inter = size(array_intersect(col("d_sh"), col("b_sh")))
+    MinHashLSH.bandedShingles(delta, "doc_id", "text", ngram = 3,
+        TextQueries.Perms, TextQueries.BandRows)
+      .select(col("doc_id").as("delta_id"), col("shingles").as("d_sh"),
+        col("band_key"))
+      .join(baseIdx, Seq("band_key"))
+      .join(baseArrs, Seq("base_id"))
+      .select(col("delta_id"), col("base_id"),
+        floor(inter.cast("double") /
+            (size(col("d_sh")) + size(col("b_sh")) - inter) * 1e6 + lit(0.5d))
+          .cast("long").as("jaccard_c"))
+      .filter(col("jaccard_c") >= 500000L)
+  }
+
+  /** [[minhashProbeStream]] as a REGISTERED row: AvailableNow through
+    * the file source into a memory sink, then the final table
+    * distinct'd (collapsing the per-shared-band duplicate emissions
+    * of identical verified rows). */
+  def streamMinhashDedupFiles(spark: SparkSession, dir: String): DataFrame = {
+    val matched = minhashProbeStream(spark, dir)
+    val name = s"stream_minhash_dedup_${runId.incrementAndGet()}"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+      .select(col("delta_id"), col("base_id"), col("jaccard_c")).distinct()
+  }
+
   /** Float byte volume of the RESIDENT side of the streamed probe —
     * the base slice the stream holds for its lifetime (0.8n × dim ×
     * 4 B), measured by the SAME one-aggregate rule as the batch
@@ -501,6 +577,7 @@ object StreamingQueries {
     "stream_embedding_dedup_files" -> (streamEmbeddingDedupFiles _),
     "stream_embedding_dedup_pq_files" -> (streamEmbeddingDedupPqFiles _),
     "stream_embedding_dedup_auto_files" -> (streamEmbeddingDedupAutoFiles _),
+    "stream_minhash_dedup_files" -> (streamMinhashDedupFiles _),
     "stream_remap_files" -> (streamRemapFiles _),
     "stream_interval_join_files" -> (streamIntervalJoinFiles _),
     "stream_episode_opens" -> (streamEpisodeOpens _),
@@ -553,6 +630,18 @@ object StreamingQueries {
     // keep the delta x base in-cell pairs at cosine >= 0.4 — the
     // stream-static join loses and invents nothing vs this replay.
     "stream_embedding_dedup_files" -> streamEmbeddingDedupOracle,
+    // Batch truth for the streamed MinHash band-index probe: the SAME
+    // generated CTEs as minhash_dedup (signatures, banding, exact
+    // Jaccard), projected to the pairs that cross the base/delta
+    // boundary — the stream-static join loses and invents nothing vs
+    // the full self-join's cross-boundary slice.
+    "stream_minhash_dedup_files" -> (TextQueries.minhashPairsCtes +
+      """
+      |SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS delta_id,
+      |       CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS base_id,
+      |       jaccard_c
+      |FROM pairs
+      |WHERE (doc_a % 10 >= 8) <> (doc_b % 10 >= 8)""".stripMargin),
     // The payload dispatcher row: at every bench SF the resident base
     // index (0.8n x dim x 4 B) sits orders of magnitude under the
     // 2 GiB crossover, so the dispatch provably keeps the float

@@ -19,8 +19,8 @@ import graft.text.{Components, MinHashLSH, TextFunctions => TF}
   */
 object TextQueries {
 
-  private val Perms = 16
-  private val BandRows = 4
+  private[queries] val Perms = 16
+  private[queries] val BandRows = 4
 
   /** The ONE operating point of `minhash_dedup_auto` — the query's
     * threshold literal and the oracle's banding + ppm cutoff are all
@@ -644,8 +644,11 @@ object TextQueries {
       |)""".stripMargin
   }
 
-  /** The production operating point: pinned 4-row banding, t = 0.5. */
-  private val minhashPairsCtes: String =
+  /** The production operating point: pinned 4-row banding, t = 0.5.
+    * `private[queries]`: [[StreamingQueries]] derives the streamed
+    * probe's oracle from the same CTEs (cross-boundary projection of
+    * the identical pair set), keeping one source of truth. */
+  private[queries] val minhashPairsCtes: String =
     minhashPairsCtesFor(BandRows, 500000L)
 
   private val minhashOracle: String =

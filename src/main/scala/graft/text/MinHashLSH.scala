@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection at corpus scale: MinHash signatures +
@@ -64,14 +64,39 @@ object MinHashLSH {
 
   /** (id, band_key) — one row per band; band key folds the band index
     * and its R signature values through md5. */
-  def bands(sigs: DataFrame, idCol: String, perms: Int, rows: Int): DataFrame = {
-    val nBands = perms / rows
-    val bandCols = (0 until nBands).map { b =>
-      val slice = (b * rows until (b + 1) * rows).map(p => col(s"sig$p"))
+  def bands(sigs: DataFrame, idCol: String, perms: Int, rows: Int): DataFrame =
+    sigs.select(col(idCol),
+      explode(array(bandKeys(perms, rows, p => col(s"sig$p")): _*))
+        .as("band_key"))
+
+  /** The band-key fold shared by every banding consumer: md5 over the
+    * band index and its R signature values, `sig` supplying the p-th
+    * signature expression. ONE definition so the batch pipeline, the
+    * payload-carrying stream variant and the generated DuckDB oracles
+    * cannot drift. */
+  private def bandKeys(perms: Int, rows: Int,
+      sig: Int => Column): Seq[Column] =
+    (0 until perms / rows).map { b =>
+      val slice = (b * rows until (b + 1) * rows).map(sig)
       md5(concat_ws("_", (lit(b) +: slice): _*))
     }
-    sigs.select(col(idCol), explode(array(bandCols: _*)).as("band_key"))
-  }
+
+  /** (id, shingles, band_key) — [[bands]] KEEPING the shingle array
+    * beside every band tuple. The streaming probe needs this: a
+    * stream cannot statelessly re-join its own derivation to recover
+    * the shingles for the exact-Jaccard verify, so they ride the
+    * banding projection instead (one array ref per band row — column
+    * pruning keeps it a pointer, not a copy, until the verify). */
+  def bandedShingles(docs: DataFrame, idCol: String, textCol: String,
+      ngram: Int, perms: Int, rows: Int): DataFrame =
+    shingleArrays(docs, idCol, textCol, ngram)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), col("shingles"),
+        call_function("graft_minhash_sigs", col("shingles"), lit(perms))
+          .as("__sigs"))
+      .select(col(idCol), col("shingles"),
+        explode(array(bandKeys(perms, rows,
+          p => element_at(col("__sigs"), p + 1)): _*)).as("band_key"))
 
   /** Distinct candidate pairs (a < b) sharing at least one band key.
     * The band self-join is skew-routed ([[graft.etl.Skew

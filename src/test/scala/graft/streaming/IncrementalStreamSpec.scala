@@ -515,6 +515,51 @@ class IncrementalStreamSpec extends SparkSpec {
         s"batch-only ${batchTruth -- streamed}")
   }
 
+  test("MinHash band-index probe is STATELESS streaming: zero state " +
+      "operators, and the stream matches the batch cross-boundary slice") {
+    // The scale claim of stream_minhash_dedup_files: shingle → sign →
+    // band is a per-row projection, both joins are stream-static
+    // (band index, then id-keyed shingle verify), so an unbounded
+    // stream carries NO state growth — the progress report must show
+    // zero state operators. Truth: the FULL batch self-join's
+    // cross-boundary slice — streaming delivery through the deployed
+    // band index loses and invents nothing vs the complete pair set.
+    val dir = "/root/testdata/sf0.001"
+    val matched = graft.queries.StreamingQueries
+      .minhashProbeStream(spark, dir)
+    val name = "minhash_probe_stateless_test"
+    val q = matched.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val progress = q.lastProgress
+    assert(progress != null && progress.stateOperators.isEmpty,
+      s"expected stateless plan, got ${progress.stateOperators.mkString(",")}")
+    assert(spark.table(name).columns.toSeq ==
+      Seq("delta_id", "base_id", "jaccard_c"))
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.spread(graft.Tables.documents(spark, dir))
+    val isDelta = (c: org.apache.spark.sql.Column) => c % 10 >= 8
+    val batchTruth = graft.text.MinHashLSH.nearDuplicates(docs, "doc_id",
+        "text", ngram = 3, perms = 16, bandRows = 4, threshold = 0.5)
+      .filter(isDelta(col("doc_a")) =!= isDelta(col("doc_b")))
+      .select(
+        when(isDelta(col("doc_a")), col("doc_a")).otherwise(col("doc_b"))
+          .as("delta_id"),
+        when(isDelta(col("doc_a")), col("doc_b")).otherwise(col("doc_a"))
+          .as("base_id"),
+        col("jaccard_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchTruth.nonEmpty,
+      "fixture no longer produces cross-boundary near-dup pairs")
+    val streamed = spark.table(name).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batchTruth,
+      s"stream/batch diverge: stream-only ${streamed -- batchTruth}, " +
+        s"batch-only ${batchTruth -- streamed}")
+  }
+
   test("engine-chosen streamed probe dispatches exactly its operators " +
       "on both sides of a forced payload bound") {
     // The streaming member of the float<->PQ payload dispatch family:
