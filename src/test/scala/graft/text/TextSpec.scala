@@ -196,6 +196,34 @@ class TextSpec extends SparkSpec {
       "fixture no longer exercises the cross-boundary class")
   }
 
+  test("incremental merges tolerate overlapping hist/delta id spaces: " +
+      "no self-pairs, no duplicate verify rows (MinHash and SimHash)") {
+    // Doc 2 is re-ingested in the delta with the SAME text (idempotent
+    // re-ingestion — the declared overlap contract). Without the
+    // doc =!= hdoc guard the delta-hist class emits a (2,2) self-pair
+    // at Jaccard 1.0 / hamming 0; without the verify-side dedup the
+    // shared signature row multiplies every verify row involving 2;
+    // without the cross-class distinct pair (1,2) lands twice
+    // (hist-hist and delta-hist).
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val hist = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val delta = Seq((2L, t), (3L, t)).toDF("doc_id", "text")
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L))
+
+    val mh = MinHashLSH.incrementalNearDuplicates(
+      hist, delta, "doc_id", "text").collect()
+    assert(mh.forall(r => r.getLong(0) < r.getLong(1)), "self or unordered pair")
+    assert(mh.length == expected.size, s"duplicate rows: ${mh.toSeq}")
+    assert(mh.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+
+    val sh = graft.queries.TextQueries.simhashIncrementalPairs(hist, delta)
+      .collect()
+    assert(sh.forall(r => r.getLong(0) < r.getLong(1)), "self or unordered pair")
+    assert(sh.length == expected.size, s"duplicate rows: ${sh.toSeq}")
+    assert(sh.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(sh.forall(_.getLong(2) == 0L)) // identical texts: hamming 0
+  }
+
   test("exact Jaccard verification value is correct") {
     // doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} -> J = 1/3
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
