@@ -9,24 +9,50 @@ import org.apache.spark.sql.SparkSession
   * runs) without collecting to the driver and without letting Catalyst
   * rewrite the plan the way a `count()` action does (round-1 bench
   * under-measured projection-heavy queries for exactly that reason).
+  *
+  * TIMEOUT-SURVIVABLE (round-17 post-mortem: the driver's bench run hit
+  * its wall-clock limit mid-pass-2 and the single end-of-run write
+  * discarded every completed measurement — BENCH_r17 recorded rc 124
+  * and nothing else). Now:
+  *  - after EVERY completed pass the full JSON line (minima over the
+  *    passes completed so far, with a `"passes_completed"` field) is
+  *    both printed to stdout and flushed to the output file — a
+  *    pass-1-only artifact is still a valid bench, and a driver that
+  *    takes the last parseable stdout line gets the newest snapshot;
+  *  - fixed wall-clock is cut where it buys nothing: the sf0.001
+  *    warm-up (codegen compilation, 2-4 s per large plan) is skipped
+  *    for queries whose canon minimum is under 0.5 s (their plans
+  *    compile in less than the warm-up run costs), and passes 2-3 are
+  *    skipped for canon minima under 0.3 s (their host-noise floor
+  *    exceeds any regression min-of-3 would catch);
+  *  - SPARK_GRAFT_BENCH_PASSES (1-3, default 3) degrades the pass
+  *    count outright for budget-constrained sweeps.
   */
 object Bench {
+  /** Canon-minimum thresholds for the wall-clock cuts. Queries the
+    * canon has not measured get [[QueryCosts.default]] (1.0 s) and
+    * therefore full warm-up + all passes — conservative for new code. */
+  private val WarmupFloorSec = 0.5
+  private val MultiPassFloorSec = 0.3
+
+  /** env first, then JVM system property — the property fallback exists
+    * so in-process tests (HarnessSpec) can exercise the subset / pass-
+    * degradation / flush paths without forking a JVM to set env vars. */
+  private def opt(name: String): Option[String] =
+    sys.env.get(name).orElse(sys.props.get(name))
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = opt("SPARK_GRAFT_SF_DIR").getOrElse("/root/testdata/sf0.1")
+    val cpus = opt("SPARK_GRAFT_CPUS").getOrElse("32")
     val spark = GraftSession.configure(
         SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: run every query once at the smallest scale so the
-    // measured pass reflects steady-state throughput, not whole-stage
-    // codegen compilation of each plan (profiled at 2-4s per large
-    // plan on first execution, ~0 after).
     // Optional subset (comma-separated names in SPARK_GRAFT_QUERIES):
     // the at-scale soak benches the heavy queries without paying for
     // the full registry at every scale.
     val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      sys.env.get("SPARK_GRAFT_QUERIES") match {
+      opt("SPARK_GRAFT_QUERIES") match {
         case None => SparkEntry.queries
         case Some(csv) =>
           val names = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
@@ -34,24 +60,36 @@ object Bench {
           require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: $unknown")
           SparkEntry.queries.view.filterKeys(names).toMap
       }
-    selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    // Min of three INTERLEAVED measured passes per query: host-level
-    // CPU noise was observed to swing single measurements 2-4x, in
-    // sustained windows long enough that three back-to-back runs of
-    // the SAME query all land inside one window (round-4 recorded 5.5s
-    // for a query that steady-states at 0.8s despite min-of-3). The
-    // suite therefore runs as pass 1 (all queries) -> pass 2 -> pass 3,
-    // per-query min across passes: a noise window now inflates one
-    // PASS of many queries, and each query's other two passes — minutes
-    // apart — still record the steady state. The minimum is the
-    // standard low-noise estimator of steady-state runtime. A query
-    // that throws records the sentinel -1 (NOT its time-to-failure,
-    // which would read as a healthy fast run) and is listed in
-    // "failed" so the JSON can't mistake failure for speed.
+    val maxPasses = opt("SPARK_GRAFT_BENCH_PASSES")
+      .map(_.toInt).getOrElse(3).max(1).min(3)
+    // Warm-up: run each query once at the smallest scale so the
+    // measured pass reflects steady-state throughput, not whole-stage
+    // codegen compilation of each plan — but only for queries whose
+    // canon minimum says the compilation matters (>= 0.5 s rows); the
+    // sub-second tail's compile time is below the warm-up's own cost.
+    selected.toSeq.sortBy(_._1)
+      .filter { case (name, _) => QueryCosts.costOf(name) >= WarmupFloorSec }
+      .foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    // Min of up to three INTERLEAVED measured passes per query:
+    // host-level CPU noise was observed to swing single measurements
+    // 2-4x, in sustained windows long enough that three back-to-back
+    // runs of the SAME query all land inside one window (round-4
+    // recorded 5.5s for a query that steady-states at 0.8s despite
+    // min-of-3). The suite therefore runs as pass 1 (all queries) ->
+    // pass 2 -> pass 3, per-query min across passes: a noise window
+    // now inflates one PASS of many queries, and each query's other
+    // two passes — minutes apart — still record the steady state. The
+    // minimum is the standard low-noise estimator of steady-state
+    // runtime. A query that throws on every attempted pass records the
+    // sentinel -1 (NOT its time-to-failure, which would read as a
+    // healthy fast run) and is listed in "failed" so the JSON can't
+    // mistake failure for speed. Queries with canon minima < 0.3 s run
+    // in pass 1 only — their passJson array is length 1, which is how
+    // a reader distinguishes "not re-run" from "failed" (-1).
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -63,47 +101,60 @@ object Bench {
       }
     }
     val ordered = selected.toSeq.sortBy(_._1)
-    val passes: Seq[Map[String, Option[Double]]] = (1 to 3).map { _ =>
-      ordered.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    }
-    val results = ordered.map { case (name, _) =>
-      val ts = passes.flatMap(_(name))
-      name -> (if (ts.isEmpty) -1.0 else ts.min)
-    }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // All three per-pass times per query (a failed pass records -1), so
-    // a reader can separate code deltas from host-state drift: a noise
-    // window inflates one pass of MANY queries at once, visible as a
-    // correlated column in this matrix, while a real regression moves
-    // all three passes of ONE query. BASELINE_LOCAL.md records the
+    def passesFor(name: String): Int =
+      if (QueryCosts.costOf(name) < MultiPassFloorSec) 1 else maxPasses
+    // Emit the full artifact from whatever passes have completed: the
+    // per-pass time matrix lets a reader separate code deltas from
+    // host-state drift (a noise window inflates one pass of MANY
+    // queries at once — a correlated column; a real regression moves
+    // all passes of ONE query). BASELINE_LOCAL.md records the
     // corresponding quiet-host steady-state table.
-    val passJson = ordered.map { case (name, _) =>
-      val ts = passes.map(_(name).getOrElse(-1.0))
-      s"\"" + name + "\":" + ts.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(line)
+    def emit(passes: Seq[Map[String, Option[Double]]]): String = {
+      val results = ordered.map { case (name, _) =>
+        val ts = passes.flatMap(_.get(name).flatten)
+        name -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+      val failed = results.collect { case (k, v) if v < 0 => k }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val passJson = ordered.map { case (name, _) =>
+        val ts = passes.collect { case p if p.contains(name) =>
+          p(name).getOrElse(-1.0) }
+        s"\"" + name + "\":" + ts.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"passes_completed":${passes.size},"failed":$failedJson,"sf":"$sfDir"}"""
+    }
     // Stdout capture has been observed truncated in the driver's
     // per-round artifact (r8/r9 tails, and the r11-r13 BENCH_r{N}
-    // files all stored a ~2 KB tail with parsed:null) — so the full
-    // line is ALWAYS persisted to a file as well: SPARK_GRAFT_BENCH_OUT
-    // if set, else BENCH_FULL_LATEST.json in the working directory.
-    // Every sweep's complete per-query minima are therefore
-    // artifact-traceable even when stdout is clipped.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL_LATEST.json")
-    // Persistence is best-effort: the JSON line is already on stdout, so
-    // a read-only cwd (or full disk) must not abort the exit path —
-    // spark.stop() below still has to run.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    // files all stored a ~2 KB tail with parsed:null) — so the line is
+    // ALWAYS persisted to a file as well: SPARK_GRAFT_BENCH_OUT if
+    // set, else BENCH_FULL_LATEST.json in the working directory.
+    // Persistence is best-effort: the JSON line is already on stdout,
+    // so a read-only cwd (or full disk) must not abort the run.
+    val outPath = opt("SPARK_GRAFT_BENCH_OUT")
+      .getOrElse("BENCH_FULL_LATEST.json")
+    def flush(line: String): Unit = {
+      println(line)
+      System.out.flush()
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+      }
     }
-    spark.stop()
+    var passes = Seq.empty[Map[String, Option[Double]]]
+    (1 to maxPasses).foreach { passNo =>
+      val inPass = ordered.filter { case (name, _) => passesFor(name) >= passNo }
+      if (inPass.nonEmpty) {
+        val pass = inPass.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
+        passes :+= pass
+        flush(emit(passes))
+      }
+    }
+    // Test hook: HarnessSpec runs main() in-process against the shared
+    // suite session, which must survive the call.
+    if (!opt("SPARK_GRAFT_KEEP_SESSION").contains("1")) spark.stop()
   }
 }

@@ -393,13 +393,31 @@ object TextQueries {
     * of the four band exchanges only one per corpus side
     * materializes (the rest are runtime ReusedExchange; plan-
     * audited); and ONE Hamming verify runs over the unioned
-    * candidate set (the hist-hist / delta-hist / delta-delta classes
-    * are disjoint because the id spaces are, so this is row-
-    * identical to verifying each class alone). */
+    * candidate set, deduped across the hist-hist / delta-hist /
+    * delta-delta classes — row-identical to verifying each class
+    * alone (the dedup is a no-op here, where the %10 split keeps the
+    * id spaces disjoint; see [[simhashIncrementalPairs]] for the
+    * overlap contract). */
   def simhashDedupIncr(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(spark, dir))
-    val histSh = simhashSignatures(docs.filter(col("doc_id") % 10 < 8))
-    val deltaSh = simhashSignatures(docs.filter(col("doc_id") % 10 >= 8))
+    simhashIncrementalPairs(
+      docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8))
+  }
+
+  /** The merge cycle of [[simhashDedupIncr]] over explicit (doc_id,
+    * text) history/delta frames — exposed for the overlap-guard spec;
+    * the registry row is the %10-split instance above. Id spaces MAY
+    * overlap (a doc re-ingested in the delta, same text — an UPDATED
+    * text needs a delete cycle first, out of scope here): the
+    * delta-hist class filters `doc =!= hdoc` so a shared id cannot
+    * emit a hamming-0 self-pair, and the verify signatures are
+    * deduped by doc_id so the shared id cannot multiply verify rows.
+    * Both are no-ops for disjoint spaces (the registry instance). */
+  private[graft] def simhashIncrementalPairs(histDocs: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    val histSh = simhashSignatures(histDocs)
+    val deltaSh = simhashSignatures(deltaDocs)
     val histProj = simhashProj(simhashBandTuples(histSh))
     val deltaProj = simhashProj(simhashBandTuples(deltaSh))
     val prior = simhashCandidates(histProj)       // hist-hist
@@ -407,12 +425,18 @@ object TextQueries {
     val freshHist = deltaProj.repartition(col("b"), col("bv"))
       .join(histProj.repartition(col("b"), col("bv"))
         .withColumnRenamed("doc", "hdoc"), Seq("b", "bv"))
+      // Guard against overlapping id spaces (a doc re-ingested in the
+      // delta): a shared id would emit a hamming-0 (a,a) self-pair and
+      // duplicate verify rows, diverging from the full-recompute oracle.
+      .filter(col("doc") =!= col("hdoc"))
       .select(least(col("doc"), col("hdoc")).as("doc_a"),
         greatest(col("doc"), col("hdoc")).as("doc_b"))
       .distinct()
+    // Candidate union deduped across classes (a shared id can surface
+    // the same pair from two classes); no-op when spaces are disjoint.
     simhashVerify(
-      prior.unionByName(freshHist).unionByName(freshDelta),
-      histSh.unionByName(deltaSh))
+      prior.unionByName(freshHist).unionByName(freshDelta).distinct(),
+      histSh.unionByName(deltaSh).dropDuplicates("doc_id"))
   }
 
   /** Corpus profiling per language: doc counts, exact distinct

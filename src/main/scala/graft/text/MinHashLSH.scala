@@ -272,9 +272,17 @@ object MinHashLSH {
     *    and the second consumer is a ReusedExchange (same for the
     *    delta side against its own self-join); plan-audited;
     *  - the exact verify runs ONE broadcast over the unioned
-    *    candidate set — the hist-hist / delta-hist / delta-delta
-    *    classes are disjoint by construction (the id spaces are), so
-    *    the single verify is row-identical to verifying each alone.
+    *    candidate set, deduped across the hist-hist / delta-hist /
+    *    delta-delta classes — row-identical to verifying each class
+    *    alone (the dedup is a no-op when the id spaces are disjoint;
+    *    with a re-ingested id it is what keeps it so).
+    *
+    * Id spaces MAY overlap — a doc re-ingested in the delta with the
+    * SAME text (an updated text needs a delete cycle first, out of
+    * scope): the delta-hist class filters `doc =!= hdoc` so a shared
+    * id cannot emit a Jaccard-1.0 self-pair, and the verify-side
+    * shingle arrays are deduped by id so it cannot multiply verify
+    * rows. All three guards are no-ops for disjoint spaces.
     *
     * (Measured at sf1/80k docs: the original nested form re-signed
     * history in four independent subtrees — the dominant per-doc
@@ -300,11 +308,26 @@ object MinHashLSH {
     val freshHist = deltaProj.repartition(col("band_key"))
       .join(histProj.repartition(col("band_key"))
         .withColumnRenamed("doc", "hdoc"), "band_key")
+      // Guard against overlapping id spaces (a doc re-ingested in the
+      // delta): without it a shared id emits a (a,a) self-pair that
+      // verifies at Jaccard 1.0 and surfaces as a bogus duplicate.
+      .filter(col("doc") =!= col("hdoc"))
       .select(least(col("doc"), col("hdoc")).as("doc_a"),
         greatest(col("doc"), col("hdoc")).as("doc_b"))
       .distinct()
+    // Verify-side shingle arrays deduped by id: an id shared between
+    // history and delta (idempotent re-ingestion — same text; an
+    // UPDATED text needs a delete cycle first, out of scope) would
+    // otherwise join twice and multiply verify rows. No-op for
+    // disjoint id spaces.
+    // The cross-class union is deduped too: with a shared id the same
+    // pair can surface from two classes (e.g. hist-hist AND delta-hist)
+    // — also a no-op for disjoint spaces, where the classes cannot
+    // intersect.
     thresholded(
-      verifyJaccard(prior.unionByName(freshHist).unionByName(freshDelta),
-        histArrs.unionByName(deltaArrs), idCol), threshold)
+      verifyJaccard(
+        prior.unionByName(freshHist).unionByName(freshDelta).distinct(),
+        histArrs.unionByName(deltaArrs).dropDuplicates(idCol), idCol),
+      threshold)
   }
 }

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/** Machine-checks the harness's TIMEOUT-SURVIVABILITY contract — the
+  * round-17 failure mode where a driver SIGKILL mid-run zeroed the
+  * round's evidence (`CORRECTNESS_r17.json` = `{}`, `BENCH_r17` rc 124
+  * with every completed measurement discarded) must be structurally
+  * impossible:
+  *
+  *  - [[Verify]] writes `oracle_sql.json` incrementally (atomic
+  *    temp+rename after EVERY successful dump), orders dumps
+  *    cheapest-first by the canon minima ([[QueryCosts]]), and merges
+  *    subset runs over the prior manifest;
+  *  - [[Bench]] flushes a complete, parseable JSON artifact (with
+  *    `passes_completed`) after EVERY measured pass, skips warm-up and
+  *    passes 2-3 for sub-second canon rows.
+  *
+  * A kill is simulated in-process via SPARK_GRAFT_VERIFY_ABORT_AFTER
+  * (stop dumping after N successes — byte-identical manifest state to
+  * a SIGKILL between dump N and N+1, because the manifest write for
+  * dump N has already atomically landed). */
+class HarnessSpec extends SparkSpec {
+
+  private val om = new ObjectMapper()
+
+  private def readManifest(dir: String): Map[String, String] =
+    om.readValue(Paths.get(s"$dir/oracle_sql.json").toFile,
+      classOf[java.util.Map[String, String]]).asScala.toMap
+
+  /** Run a main() with the given system properties set (the mains read
+    * env first, then props — the prop path exists for this spec), and
+    * the shared suite session protected from the main's stop(). */
+  private def withProps[A](props: Map[String, String])(body: => A): A =
+    HarnessSpec.propLock.synchronized {
+      val all = props + ("SPARK_GRAFT_KEEP_SESSION" -> "1")
+      all.foreach { case (k, v) => sys.props(k) = v }
+      try body
+      finally all.keys.foreach(sys.props.remove)
+    }
+
+  // Three cheap registered queries with distinct canon costs; the
+  // expected dump order is by canon minimum, ascending.
+  private val subset = Seq("doc_fingerprint", "distinct_projection", "domain_mix")
+  private val byCost = subset.sortBy(QueryCosts.costOf)
+
+  test("subset queries are registered and canon-ordered as the spec assumes") {
+    subset.foreach { q =>
+      assert(SparkEntry.queries.contains(q), s"$q not registered")
+      assert(SparkEntry.oracleSql.contains(q), s"$q has no oracle")
+      assert(QueryCosts.sf01Min.contains(q), s"$q not in canon")
+    }
+    assert(byCost.head === "doc_fingerprint") // 0.161 < 0.203 < 0.303
+  }
+
+  test("Verify killed mid-run leaves a valid manifest covering every landed dump") {
+    val out = Files.createTempDirectory("graft-harness-verify").toString
+    // "Kill" after the first dump: manifest must hold exactly the
+    // cheapest query, already selfcheck-consumable.
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","),
+      "SPARK_GRAFT_VERIFY_ABORT_AFTER" -> "1")) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    val m1 = readManifest(out)
+    assert(m1.keySet === Set(byCost.head))
+    assert(m1(byCost.head) === SparkEntry.oracleSql(byCost.head))
+    assert(Files.isDirectory(Paths.get(s"$out/${byCost.head}")))
+    // No manifest row without a parquet dir, and no leftover temp file.
+    assert(!Files.exists(Paths.get(s"$out/oracle_sql.json.tmp")))
+    assert(!Files.isDirectory(Paths.get(s"$out/${byCost(1)}")))
+
+    // Second truncated run (abort after 2): re-dumps cheapest-first,
+    // merges over the prior manifest — now exactly the two cheapest.
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","),
+      "SPARK_GRAFT_VERIFY_ABORT_AFTER" -> "2")) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    assert(readManifest(out).keySet === byCost.take(2).toSet)
+
+    // Full (un-truncated) subset run completes the manifest.
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","))) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    val m3 = readManifest(out)
+    assert(m3.keySet === subset.toSet)
+    subset.foreach { q =>
+      assert(m3(q) === SparkEntry.oracleSql(q))
+      assert(Files.isDirectory(Paths.get(s"$out/$q")))
+    }
+  }
+
+  test("Verify dumps every selected query cheapest-first by canon minima") {
+    val out = Files.createTempDirectory("graft-harness-order").toString
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","),
+      "SPARK_GRAFT_VERIFY_PARALLEL" -> "1")) { // deterministic completion order
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    // Dump order is observable through parquet dir mtimes.
+    val mtimes = subset.map { q =>
+      q -> Files.getLastModifiedTime(Paths.get(s"$out/$q")).toMillis }
+    assert(mtimes.sortBy(_._2).map(_._1) === byCost)
+  }
+
+  test("Verify with concurrent dumps lands every query and a complete manifest") {
+    val out = Files.createTempDirectory("graft-harness-par").toString
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","),
+      "SPARK_GRAFT_VERIFY_PARALLEL" -> "3")) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    val m = readManifest(out)
+    assert(m.keySet === subset.toSet)
+    subset.foreach { q =>
+      assert(Files.isDirectory(Paths.get(s"$out/$q")))
+      assert(m(q) === SparkEntry.oracleSql(q))
+    }
+    assert(!Files.exists(Paths.get(s"$out/oracle_sql.json.tmp")))
+  }
+
+  test("Bench flushes a complete parseable artifact after each pass and degrades passes for cheap rows") {
+    val out = Files.createTempDirectory("graft-harness-bench")
+      .resolve("bench.json").toString
+    // distinct_projection: canon 0.20s → no warm-up, pass 1 only;
+    // domain_mix: canon 0.30s → no warm-up (<0.5), all 3 passes.
+    withProps(Map(
+      "SPARK_GRAFT_QUERIES" -> "distinct_projection,domain_mix",
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_OUT" -> out)) {
+      Bench.main(Array.empty)
+    }
+    val node = om.readTree(Paths.get(out).toFile)
+    assert(node.get("metric").asText === "total")
+    assert(node.get("passes_completed").asInt === 3)
+    assert(node.get("failed").size === 0)
+    val passes = node.get("passes")
+    assert(passes.get("distinct_projection").size === 1,
+      "sub-0.3s canon row must run in pass 1 only")
+    assert(passes.get("domain_mix").size === 3)
+    val qs = node.get("queries")
+    assert(qs.get("distinct_projection").asDouble > 0)
+    assert(qs.get("domain_mix").asDouble > 0)
+    // Minimum over the recorded passes is what "queries" reports.
+    val mins = (0 until 3).map(i => passes.get("domain_mix").get(i).asDouble)
+    assert(math.abs(qs.get("domain_mix").asDouble - mins.min) < 1e-9)
+  }
+
+  test("Bench honors SPARK_GRAFT_BENCH_PASSES=1 with a valid single-pass artifact") {
+    val out = Files.createTempDirectory("graft-harness-bench1")
+      .resolve("bench.json").toString
+    withProps(Map(
+      "SPARK_GRAFT_QUERIES" -> "domain_mix",
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_PASSES" -> "1",
+      "SPARK_GRAFT_BENCH_OUT" -> out)) {
+      Bench.main(Array.empty)
+    }
+    val node = om.readTree(Paths.get(out).toFile)
+    assert(node.get("passes_completed").asInt === 1)
+    assert(node.get("passes").get("domain_mix").size === 1)
+    assert(node.get("queries").get("domain_mix").asDouble > 0)
+  }
+}
+
+object HarnessSpec {
+  /** sys.props are JVM-global; suites may run in parallel threads. */
+  val propLock = new Object
+}
