@@ -24,7 +24,10 @@ import org.apache.spark.sql.SparkSession
   *    for queries whose canon minimum is under 0.5 s (their plans
   *    compile in less than the warm-up run costs), and passes 2-3 are
   *    skipped for canon minima under 0.3 s (their host-noise floor
-  *    exceeds any regression min-of-3 would catch);
+  *    exceeds any regression min-of-3 would catch) — UNLESS pass 1
+  *    measured the row far above its canon cost or failed, in which
+  *    case it retries in the remaining passes (a contention burst
+  *    during pass 1 must not permanently pollute the single-pass rows);
   *  - SPARK_GRAFT_BENCH_PASSES (1-3, default 3) degrades the pass
   *    count outright for budget-constrained sweeps.
   */
@@ -103,6 +106,22 @@ object Bench {
     val ordered = selected.toSeq.sortBy(_._1)
     def passesFor(name: String): Int =
       if (QueryCosts.costOf(name) < MultiPassFloorSec) 1 else maxPasses
+    // Adaptive retry for the single-pass (cheap) rows: if pass 1 landed
+    // inside a host-contention burst (the first full sweep under this
+    // cut measured a 0.25 s canon row at 23 s that way — pass 1 hit a
+    // disk-degradation window and there was no recovery pass), or the
+    // row FAILED, it re-runs in the remaining passes. On a clean host
+    // the retry never triggers and the cut keeps its full savings; a
+    // real regression stays slow across all passes and still reads as
+    // one. The factor is prop-overridable only so HarnessSpec can force
+    // both branches deterministically.
+    val retryFactor = opt("SPARK_GRAFT_BENCH_RETRY_FACTOR")
+      .map(_.toDouble).getOrElse(2.0)
+    def needsRetry(name: String, sofar: Seq[Map[String, Option[Double]]]): Boolean = {
+      val ts = sofar.flatMap(_.get(name).flatten)
+      ts.isEmpty ||
+        ts.min > retryFactor * math.max(0.15, QueryCosts.costOf(name))
+    }
     // Emit the full artifact from whatever passes have completed: the
     // per-pass time matrix lets a reader separate code deltas from
     // host-state drift (a noise window inflates one pass of MANY
@@ -146,7 +165,9 @@ object Bench {
     }
     var passes = Seq.empty[Map[String, Option[Double]]]
     (1 to maxPasses).foreach { passNo =>
-      val inPass = ordered.filter { case (name, _) => passesFor(name) >= passNo }
+      val inPass = ordered.filter { case (name, _) =>
+        passesFor(name) >= passNo ||
+          (passNo > 1 && needsRetry(name, passes)) }
       if (inPass.nonEmpty) {
         val pass = inPass.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
         passes :+= pass

@@ -131,6 +131,9 @@ class HarnessSpec extends SparkSpec {
     withProps(Map(
       "SPARK_GRAFT_QUERIES" -> "distinct_projection,domain_mix",
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      // Disable the adaptive retry so the 1-pass branch is
+      // deterministic regardless of test-JVM timing noise.
+      "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "1e9",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
       Bench.main(Array.empty)
     }
@@ -148,6 +151,24 @@ class HarnessSpec extends SparkSpec {
     // Minimum over the recorded passes is what "queries" reports.
     val mins = (0 until 3).map(i => passes.get("domain_mix").get(i).asDouble)
     assert(math.abs(qs.get("domain_mix").asDouble - mins.min) < 1e-9)
+  }
+
+  test("Bench retries a single-pass row whose pass-1 time blows past its canon cost") {
+    val out = Files.createTempDirectory("graft-harness-retry")
+      .resolve("bench.json").toString
+    // Factor 0 → retry threshold 0 → the cheap row always reads as
+    // contention-polluted and must be re-measured in passes 2 and 3.
+    withProps(Map(
+      "SPARK_GRAFT_QUERIES" -> "distinct_projection",
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "0",
+      "SPARK_GRAFT_BENCH_OUT" -> out)) {
+      Bench.main(Array.empty)
+    }
+    val node = om.readTree(Paths.get(out).toFile)
+    assert(node.get("passes").get("distinct_projection").size === 3,
+      "polluted single-pass row must be re-measured in the remaining passes")
+    assert(node.get("passes_completed").asInt === 3)
   }
 
   test("Bench honors SPARK_GRAFT_BENCH_PASSES=1 with a valid single-pass artifact") {
