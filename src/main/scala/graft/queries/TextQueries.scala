@@ -78,7 +78,8 @@ object TextQueries {
       docs.filter(col("doc_id") % 10 < 8),
       docs.filter(col("doc_id") % 10 >= 8),
       "doc_id", "text", ngram = 3, perms = Perms, bandRows = BandRows,
-      threshold = 0.5)
+      threshold = 0.5,
+      disjointIds = true) // proven by the % 10 split
   }
 
   /** Near-dup components: the MinHash pair graph closed transitively
@@ -402,7 +403,8 @@ object TextQueries {
     val docs = Tables.spread(Tables.documents(spark, dir))
     simhashIncrementalPairs(
       docs.filter(col("doc_id") % 10 < 8),
-      docs.filter(col("doc_id") % 10 >= 8))
+      docs.filter(col("doc_id") % 10 >= 8),
+      disjointIds = true) // proven by the % 10 split
   }
 
   /** The merge cycle of [[simhashDedupIncr]] over explicit (doc_id,
@@ -411,11 +413,13 @@ object TextQueries {
     * overlap (a doc re-ingested in the delta, same text — an UPDATED
     * text needs a delete cycle first, out of scope here): the
     * delta-hist class filters `doc =!= hdoc` so a shared id cannot
-    * emit a hamming-0 self-pair, and the verify signatures are
-    * deduped by doc_id so the shared id cannot multiply verify rows.
-    * Both are no-ops for disjoint spaces (the registry instance). */
+    * emit a hamming-0 self-pair, and the verify signatures and the
+    * cross-class candidate union are deduped so the shared id cannot
+    * multiply verify rows. A caller with a disjointness PROOF (the
+    * registry's %10 split) passes `disjointIds = true` to skip the
+    * two dedup exchanges; the self-pair filter is free and stays. */
   private[graft] def simhashIncrementalPairs(histDocs: DataFrame,
-      deltaDocs: DataFrame): DataFrame = {
+      deltaDocs: DataFrame, disjointIds: Boolean = false): DataFrame = {
     val histSh = simhashSignatures(histDocs)
     val deltaSh = simhashSignatures(deltaDocs)
     val histProj = simhashProj(simhashBandTuples(histSh))
@@ -433,10 +437,15 @@ object TextQueries {
         greatest(col("doc"), col("hdoc")).as("doc_b"))
       .distinct()
     // Candidate union deduped across classes (a shared id can surface
-    // the same pair from two classes); no-op when spaces are disjoint.
+    // the same pair from two classes) and verify signatures deduped by
+    // id — both skipped under the caller's disjointness proof, where
+    // they would be semantic no-ops costing real exchanges (the
+    // signature one corpus-sized).
+    val cands = prior.unionByName(freshHist).unionByName(freshDelta)
+    val sh = histSh.unionByName(deltaSh)
     simhashVerify(
-      prior.unionByName(freshHist).unionByName(freshDelta).distinct(),
-      histSh.unionByName(deltaSh).dropDuplicates("doc_id"))
+      if (disjointIds) cands else cands.distinct(),
+      if (disjointIds) sh else sh.dropDuplicates("doc_id"))
   }
 
   /** Corpus profiling per language: doc counts, exact distinct
