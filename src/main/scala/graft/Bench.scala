@@ -163,12 +163,19 @@ object Bench {
         System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
       }
     }
+    // Test hook (HarnessSpec): stop after flushing pass N — the
+    // in-process stand-in for a driver SIGKILL between passes (the
+    // flushed artifact is byte-identical to what a kill would leave,
+    // because each pass's flush has already atomically landed). Never
+    // set by the driver.
+    val abortAfterPass = opt("SPARK_GRAFT_BENCH_ABORT_AFTER_PASS")
+      .map(_.toInt).getOrElse(Int.MaxValue)
     var passes = Seq.empty[Map[String, Option[Double]]]
     (1 to maxPasses).foreach { passNo =>
       val inPass = ordered.filter { case (name, _) =>
         passesFor(name) >= passNo ||
           (passNo > 1 && needsRetry(name, passes)) }
-      if (inPass.nonEmpty) {
+      if (inPass.nonEmpty && passes.size < abortAfterPass) {
         val pass = inPass.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
         passes :+= pass
         flush(emit(passes))

@@ -171,6 +171,27 @@ class HarnessSpec extends SparkSpec {
     assert(node.get("passes_completed").asInt === 3)
   }
 
+  test("Bench killed between passes leaves a parseable artifact covering the completed passes") {
+    val out = Files.createTempDirectory("graft-harness-kill")
+      .resolve("bench.json").toString
+    // domain_mix is a 3-pass row (canon 0.30s >= 0.3); aborting after
+    // pass 1 is byte-identical to a SIGKILL during pass 2, because the
+    // pass-1 flush already landed atomically.
+    withProps(Map(
+      "SPARK_GRAFT_QUERIES" -> "domain_mix",
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "1e9",
+      "SPARK_GRAFT_BENCH_ABORT_AFTER_PASS" -> "1",
+      "SPARK_GRAFT_BENCH_OUT" -> out)) {
+      Bench.main(Array.empty)
+    }
+    val node = om.readTree(Paths.get(out).toFile)
+    assert(node.get("passes_completed").asInt === 1)
+    assert(node.get("passes").get("domain_mix").size === 1)
+    assert(node.get("queries").get("domain_mix").asDouble > 0)
+    assert(node.get("metric").asText === "total")
+  }
+
   test("Bench honors SPARK_GRAFT_BENCH_PASSES=1 with a valid single-pass artifact") {
     val out = Files.createTempDirectory("graft-harness-bench1")
       .resolve("bench.json").toString
