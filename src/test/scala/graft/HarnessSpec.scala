@@ -41,18 +41,31 @@ class HarnessSpec extends SparkSpec {
       finally all.keys.foreach(sys.props.remove)
     }
 
-  // Three cheap registered queries with distinct canon costs; the
-  // expected dump order is by canon minimum, ascending.
-  private val subset = Seq("doc_fingerprint", "distinct_projection", "domain_mix")
-  private val byCost = subset.sortBy(QueryCosts.costOf)
+  // Fixture queries DERIVED from the live QueryCosts table so canon
+  // re-pins cannot silently invalidate the spec's assumptions:
+  //  - subset: the three cheapest canon rows (fast at sf0.001);
+  //    byCost mirrors Verify's exact (cost, name) ordering.
+  //  - onePassQ: the cheapest row — safely under Bench's 0.3 s
+  //    multi-pass floor.
+  //  - multiPassQ: the cheapest row costing >= 0.35 s (margin over the
+  //    floor so a ±15 % re-pin cannot flip its pass count).
+  private val subset = SparkEntry.queries.keySet.toSeq
+    .filter(QueryCosts.sf01Min.contains)
+    .sortBy(q => (QueryCosts.costOf(q), q)).take(3)
+  private val byCost = subset.sortBy(q => (QueryCosts.costOf(q), q))
+  private val onePassQ = byCost.head
+  private val multiPassQ = SparkEntry.queries.keySet.toSeq
+    .filter(q => QueryCosts.sf01Min.get(q).exists(c => c >= 0.35 && c < 0.7))
+    .minBy(q => (QueryCosts.costOf(q), q))
 
   test("subset queries are registered and canon-ordered as the spec assumes") {
-    subset.foreach { q =>
+    (subset :+ multiPassQ).foreach { q =>
       assert(SparkEntry.queries.contains(q), s"$q not registered")
       assert(SparkEntry.oracleSql.contains(q), s"$q has no oracle")
       assert(QueryCosts.sf01Min.contains(q), s"$q not in canon")
     }
-    assert(byCost.head === "doc_fingerprint") // 0.161 < 0.203 < 0.303
+    assert(QueryCosts.costOf(onePassQ) < 0.25, "one-pass fixture too slow")
+    assert(QueryCosts.costOf(multiPassQ) >= 0.35, "multi-pass fixture too fast")
   }
 
   test("Verify killed mid-run leaves a valid manifest covering every landed dump") {
@@ -126,10 +139,11 @@ class HarnessSpec extends SparkSpec {
   test("Bench flushes a complete parseable artifact after each pass and degrades passes for cheap rows") {
     val out = Files.createTempDirectory("graft-harness-bench")
       .resolve("bench.json").toString
-    // distinct_projection: canon 0.20s → no warm-up, pass 1 only;
-    // domain_mix: canon 0.30s → no warm-up (<0.5), all 3 passes.
+    // onePassQ: sub-0.3s canon → no warm-up, pass 1 only;
+    // multiPassQ: canon in [0.35, 0.7) → no warm-up (<0.5 would need
+    // checking, but pass count is what's asserted), all 3 passes.
     withProps(Map(
-      "SPARK_GRAFT_QUERIES" -> "distinct_projection,domain_mix",
+      "SPARK_GRAFT_QUERIES" -> s"$onePassQ,$multiPassQ",
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       // Disable the adaptive retry so the 1-pass branch is
       // deterministic regardless of test-JVM timing noise.
@@ -142,15 +156,15 @@ class HarnessSpec extends SparkSpec {
     assert(node.get("passes_completed").asInt === 3)
     assert(node.get("failed").size === 0)
     val passes = node.get("passes")
-    assert(passes.get("distinct_projection").size === 1,
+    assert(passes.get(onePassQ).size === 1,
       "sub-0.3s canon row must run in pass 1 only")
-    assert(passes.get("domain_mix").size === 3)
+    assert(passes.get(multiPassQ).size === 3)
     val qs = node.get("queries")
-    assert(qs.get("distinct_projection").asDouble > 0)
-    assert(qs.get("domain_mix").asDouble > 0)
+    assert(qs.get(onePassQ).asDouble > 0)
+    assert(qs.get(multiPassQ).asDouble > 0)
     // Minimum over the recorded passes is what "queries" reports.
-    val mins = (0 until 3).map(i => passes.get("domain_mix").get(i).asDouble)
-    assert(math.abs(qs.get("domain_mix").asDouble - mins.min) < 1e-9)
+    val mins = (0 until 3).map(i => passes.get(multiPassQ).get(i).asDouble)
+    assert(math.abs(qs.get(multiPassQ).asDouble - mins.min) < 1e-9)
   }
 
   test("Bench retries a single-pass row whose pass-1 time blows past its canon cost") {
@@ -159,14 +173,14 @@ class HarnessSpec extends SparkSpec {
     // Factor 0 → retry threshold 0 → the cheap row always reads as
     // contention-polluted and must be re-measured in passes 2 and 3.
     withProps(Map(
-      "SPARK_GRAFT_QUERIES" -> "distinct_projection",
+      "SPARK_GRAFT_QUERIES" -> onePassQ,
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "0",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
       Bench.main(Array.empty)
     }
     val node = om.readTree(Paths.get(out).toFile)
-    assert(node.get("passes").get("distinct_projection").size === 3,
+    assert(node.get("passes").get(onePassQ).size === 3,
       "polluted single-pass row must be re-measured in the remaining passes")
     assert(node.get("passes_completed").asInt === 3)
   }
@@ -174,11 +188,11 @@ class HarnessSpec extends SparkSpec {
   test("Bench killed between passes leaves a parseable artifact covering the completed passes") {
     val out = Files.createTempDirectory("graft-harness-kill")
       .resolve("bench.json").toString
-    // domain_mix is a 3-pass row (canon 0.30s >= 0.3); aborting after
+    // multiPassQ is a 3-pass row (canon >= 0.35); aborting after
     // pass 1 is byte-identical to a SIGKILL during pass 2, because the
     // pass-1 flush already landed atomically.
     withProps(Map(
-      "SPARK_GRAFT_QUERIES" -> "domain_mix",
+      "SPARK_GRAFT_QUERIES" -> multiPassQ,
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "1e9",
       "SPARK_GRAFT_BENCH_ABORT_AFTER_PASS" -> "1",
@@ -187,8 +201,8 @@ class HarnessSpec extends SparkSpec {
     }
     val node = om.readTree(Paths.get(out).toFile)
     assert(node.get("passes_completed").asInt === 1)
-    assert(node.get("passes").get("domain_mix").size === 1)
-    assert(node.get("queries").get("domain_mix").asDouble > 0)
+    assert(node.get("passes").get(multiPassQ).size === 1)
+    assert(node.get("queries").get(multiPassQ).asDouble > 0)
     assert(node.get("metric").asText === "total")
   }
 
@@ -196,7 +210,7 @@ class HarnessSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft-harness-bench1")
       .resolve("bench.json").toString
     withProps(Map(
-      "SPARK_GRAFT_QUERIES" -> "domain_mix",
+      "SPARK_GRAFT_QUERIES" -> multiPassQ,
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       "SPARK_GRAFT_BENCH_PASSES" -> "1",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
@@ -204,8 +218,8 @@ class HarnessSpec extends SparkSpec {
     }
     val node = om.readTree(Paths.get(out).toFile)
     assert(node.get("passes_completed").asInt === 1)
-    assert(node.get("passes").get("domain_mix").size === 1)
-    assert(node.get("queries").get("domain_mix").asDouble > 0)
+    assert(node.get("passes").get(multiPassQ).size === 1)
+    assert(node.get("queries").get(multiPassQ).asDouble > 0)
   }
 }
 
