@@ -206,6 +206,28 @@ class HarnessSpec extends SparkSpec {
     assert(node.get("metric").asText === "total")
   }
 
+  test("parallel-dump safety: temp-view names are globally unique in main sources") {
+    // Verify runs dumps CONCURRENTLY on one shared session; temp views
+    // are session-global, so two queries registering the same view name
+    // would race nondeterministically. All current queries use
+    // per-query-prefixed literals — this pins that invariant for every
+    // future query. (Source scan; dynamic names would need their own
+    // uniqueness argument and a doc note here.)
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"spec expects repo-root cwd, got ${Paths.get("").toAbsolutePath}")
+    val re = "createOrReplaceTempView\\(\"([^\"]+)\"\\)".r
+    val it = Files.walk(root).iterator()
+    var names = List.empty[String]
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.toString.endsWith(".scala"))
+        names ++= re.findAllMatchIn(Files.readString(p)).map(_.group(1))
+    }
+    assert(names.nonEmpty, "scan found no temp views — pattern or path drifted")
+    val dups = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dups.isEmpty, s"temp-view names registered by more than one site: $dups")
+  }
+
   test("Bench honors SPARK_GRAFT_BENCH_PASSES=1 with a valid single-pass artifact") {
     val out = Files.createTempDirectory("graft-harness-bench1")
       .resolve("bench.json").toString
