@@ -22,21 +22,25 @@ import org.apache.spark.sql.SparkSession
   *  - fixed wall-clock is cut where it buys nothing: the sf0.001
   *    warm-up (codegen compilation, 2-4 s per large plan) is skipped
   *    for queries whose canon minimum is under 0.5 s (their plans
-  *    compile in less than the warm-up run costs), and passes 2-3 are
-  *    skipped for canon minima under 0.3 s (their host-noise floor
-  *    exceeds any regression min-of-3 would catch) — UNLESS pass 1
-  *    measured the row far above its canon cost or failed, in which
-  *    case it retries in the remaining passes (a contention burst
-  *    during pass 1 must not permanently pollute the single-pass rows);
+  *    compile in less than the warm-up run costs), and passes 2-3
+  *    re-measure ONLY the rows whose running minimum still exceeds
+  *    1.15x their canon cost, or that failed. Min-of-3 exists to dodge
+  *    host-noise windows; a row whose pass-1 time already matches its
+  *    canonical steady state gains nothing from two more samples,
+  *    while a burst-inflated (or genuinely regressed) row retries —
+  *    and a real regression stays slow through all three passes, so
+  *    it still reads as one. Clean-host full sweep: ~6 min (one pass
+  *    plus a thin retry tail) vs ~14 under unconditional min-of-3;
+  *    canonical re-pins force full min-of-3 via
+  *    SPARK_GRAFT_BENCH_RETRY_FACTOR=0 (dedicated runs);
   *  - SPARK_GRAFT_BENCH_PASSES (1-3, default 3) degrades the pass
   *    count outright for budget-constrained sweeps.
   */
 object Bench {
-  /** Canon-minimum thresholds for the wall-clock cuts. Queries the
-    * canon has not measured get [[QueryCosts.default]] (1.0 s) and
-    * therefore full warm-up + all passes — conservative for new code. */
+  /** Canon-minimum threshold for the warm-up cut. Queries the canon
+    * has not measured get [[QueryCosts.default]] (1.0 s) and therefore
+    * a full warm-up — conservative for new code. */
   private val WarmupFloorSec = 0.5
-  private val MultiPassFloorSec = 0.3
 
   /** env first, then JVM system property — the property fallback exists
     * so in-process tests (HarnessSpec) can exercise the subset / pass-
@@ -90,9 +94,10 @@ object Bench {
     // runtime. A query that throws on every attempted pass records the
     // sentinel -1 (NOT its time-to-failure, which would read as a
     // healthy fast run) and is listed in "failed" so the JSON can't
-    // mistake failure for speed. Queries with canon minima < 0.3 s run
-    // in pass 1 only — their passJson array is length 1, which is how
-    // a reader distinguishes "not re-run" from "failed" (-1).
+    // mistake failure for speed. A row whose running minimum already
+    // matches its canon cost stops re-running (adaptive retry, class
+    // doc) — its passJson array is shorter than 3, which is how a
+    // reader distinguishes "not re-run" from "failed" (-1).
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {
@@ -104,19 +109,14 @@ object Bench {
       }
     }
     val ordered = selected.toSeq.sortBy(_._1)
-    def passesFor(name: String): Int =
-      if (QueryCosts.costOf(name) < MultiPassFloorSec) 1 else maxPasses
-    // Adaptive retry for the single-pass (cheap) rows: if pass 1 landed
-    // inside a host-contention burst (the first full sweep under this
-    // cut measured a 0.25 s canon row at 23 s that way — pass 1 hit a
-    // disk-degradation window and there was no recovery pass), or the
-    // row FAILED, it re-runs in the remaining passes. On a clean host
-    // the retry never triggers and the cut keeps its full savings; a
-    // real regression stays slow across all passes and still reads as
-    // one. The factor is prop-overridable only so HarnessSpec can force
-    // both branches deterministically.
+    // Adaptive retry (see class doc): a row re-runs in passes 2-3 only
+    // while its running minimum exceeds retryFactor x its canon cost
+    // (floored at 0.15 s so sub-100 ms rows aren't retried over jitter)
+    // or it has no successful measurement yet. 1.15 is the noise band
+    // the canon compares tolerate; 0 forces full min-of-3 (dedicated
+    // re-pin runs); a huge value forces single-pass (HarnessSpec).
     val retryFactor = opt("SPARK_GRAFT_BENCH_RETRY_FACTOR")
-      .map(_.toDouble).getOrElse(2.0)
+      .map(_.toDouble).getOrElse(1.15)
     def needsRetry(name: String, sofar: Seq[Map[String, Option[Double]]]): Boolean = {
       val ts = sofar.flatMap(_.get(name).flatten)
       ts.isEmpty ||
@@ -173,8 +173,7 @@ object Bench {
     var passes = Seq.empty[Map[String, Option[Double]]]
     (1 to maxPasses).foreach { passNo =>
       val inPass = ordered.filter { case (name, _) =>
-        passesFor(name) >= passNo ||
-          (passNo > 1 && needsRetry(name, passes)) }
+        passNo == 1 || needsRetry(name, passes) }
       if (inPass.nonEmpty && passes.size < abortAfterPass) {
         val pass = inPass.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
         passes :+= pass

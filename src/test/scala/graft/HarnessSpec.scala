@@ -15,8 +15,10 @@ import scala.jdk.CollectionConverters._
   *    cheapest-first by the canon minima ([[QueryCosts]]), and merges
   *    subset runs over the prior manifest;
   *  - [[Bench]] flushes a complete, parseable JSON artifact (with
-  *    `passes_completed`) after EVERY measured pass, skips warm-up and
-  *    passes 2-3 for sub-second canon rows.
+  *    `passes_completed`) after EVERY measured pass, skips warm-up for
+  *    sub-0.5s canon rows, and re-measures in passes 2-3 only the rows
+  *    whose running minimum still exceeds their canon cost (adaptive
+  *    retry).
   *
   * A kill is simulated in-process via SPARK_GRAFT_VERIFY_ABORT_AFTER
   * (stop dumping after N successes — byte-identical manifest state to
@@ -45,10 +47,10 @@ class HarnessSpec extends SparkSpec {
   // re-pins cannot silently invalidate the spec's assumptions:
   //  - subset: the three cheapest canon rows (fast at sf0.001);
   //    byCost mirrors Verify's exact (cost, name) ordering.
-  //  - onePassQ: the cheapest row — safely under Bench's 0.3 s
-  //    multi-pass floor.
-  //  - multiPassQ: the cheapest row costing >= 0.35 s (margin over the
-  //    floor so a ±15 % re-pin cannot flip its pass count).
+  //  - onePassQ: the cheapest row; multiPassQ: a mid-cost row
+  //    (0.35-0.7 s). Pass counts are forced per-test via the retry
+  //    factor, so the only standing requirement is that both run fast
+  //    at sf0.001.
   private val subset = SparkEntry.queries.keySet.toSeq
     .filter(QueryCosts.sf01Min.contains)
     .sortBy(q => (QueryCosts.costOf(q), q)).take(3)
@@ -136,65 +138,65 @@ class HarnessSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(s"$out/oracle_sql.json.tmp")))
   }
 
-  test("Bench flushes a complete parseable artifact after each pass and degrades passes for cheap rows") {
+  test("Bench stops re-measuring a row whose pass-1 time matches its canon cost") {
     val out = Files.createTempDirectory("graft-harness-bench")
       .resolve("bench.json").toString
-    // onePassQ: sub-0.3s canon → no warm-up, pass 1 only;
-    // multiPassQ: canon in [0.35, 0.7) → no warm-up (<0.5 would need
-    // checking, but pass count is what's asserted), all 3 passes.
+    // A huge retry factor makes every pass-1 measurement read as
+    // "matches canon" → both rows run exactly once and the sweep is a
+    // single pass, deterministically.
     withProps(Map(
       "SPARK_GRAFT_QUERIES" -> s"$onePassQ,$multiPassQ",
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
-      // Disable the adaptive retry so the 1-pass branch is
-      // deterministic regardless of test-JVM timing noise.
       "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "1e9",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
       Bench.main(Array.empty)
     }
     val node = om.readTree(Paths.get(out).toFile)
     assert(node.get("metric").asText === "total")
-    assert(node.get("passes_completed").asInt === 3)
+    assert(node.get("passes_completed").asInt === 1,
+      "no retries → passes 2-3 are empty and never run")
     assert(node.get("failed").size === 0)
     val passes = node.get("passes")
-    assert(passes.get(onePassQ).size === 1,
-      "sub-0.3s canon row must run in pass 1 only")
-    assert(passes.get(multiPassQ).size === 3)
+    assert(passes.get(onePassQ).size === 1)
+    assert(passes.get(multiPassQ).size === 1)
     val qs = node.get("queries")
     assert(qs.get(onePassQ).asDouble > 0)
     assert(qs.get(multiPassQ).asDouble > 0)
-    // Minimum over the recorded passes is what "queries" reports.
-    val mins = (0 until 3).map(i => passes.get(multiPassQ).get(i).asDouble)
-    assert(math.abs(qs.get(multiPassQ).asDouble - mins.min) < 1e-9)
   }
 
-  test("Bench retries a single-pass row whose pass-1 time blows past its canon cost") {
+  test("Bench retries rows whose measurements blow past canon, and reports the min") {
     val out = Files.createTempDirectory("graft-harness-retry")
       .resolve("bench.json").toString
-    // Factor 0 → retry threshold 0 → the cheap row always reads as
-    // contention-polluted and must be re-measured in passes 2 and 3.
+    // Factor 0 → every row always reads as contention-polluted → full
+    // min-of-3 (also the protocol for dedicated canonical re-pin runs).
     withProps(Map(
-      "SPARK_GRAFT_QUERIES" -> onePassQ,
+      "SPARK_GRAFT_QUERIES" -> s"$onePassQ,$multiPassQ",
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
       "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "0",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
       Bench.main(Array.empty)
     }
     val node = om.readTree(Paths.get(out).toFile)
-    assert(node.get("passes").get(onePassQ).size === 3,
-      "polluted single-pass row must be re-measured in the remaining passes")
+    val passes = node.get("passes")
+    assert(passes.get(onePassQ).size === 3,
+      "polluted row must be re-measured in the remaining passes")
+    assert(passes.get(multiPassQ).size === 3)
     assert(node.get("passes_completed").asInt === 3)
+    // Minimum over the recorded passes is what "queries" reports.
+    val mins = (0 until 3).map(i => passes.get(multiPassQ).get(i).asDouble)
+    assert(math.abs(node.get("queries").get(multiPassQ).asDouble - mins.min) < 1e-9)
   }
 
   test("Bench killed between passes leaves a parseable artifact covering the completed passes") {
     val out = Files.createTempDirectory("graft-harness-kill")
       .resolve("bench.json").toString
-    // multiPassQ is a 3-pass row (canon >= 0.35); aborting after
-    // pass 1 is byte-identical to a SIGKILL during pass 2, because the
-    // pass-1 flush already landed atomically.
+    // Factor 0 forces a 3-pass row; aborting after pass 1 is
+    // byte-identical to a SIGKILL during pass 2, because the pass-1
+    // flush already landed atomically.
     withProps(Map(
       "SPARK_GRAFT_QUERIES" -> multiPassQ,
       "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
-      "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "1e9",
+      "SPARK_GRAFT_BENCH_RETRY_FACTOR" -> "0",
       "SPARK_GRAFT_BENCH_ABORT_AFTER_PASS" -> "1",
       "SPARK_GRAFT_BENCH_OUT" -> out)) {
       Bench.main(Array.empty)
