@@ -3,10 +3,13 @@
 
 The harness mains (Verify, Bench) use these canon sf0.1 minima as COST
 HINTS: Verify orders dumps cheapest-first so a driver timeout still
-certifies the maximum number of queries, and Bench skips the sf0.001
-warm-up for sub-0.5s rows and passes 2-3 for sub-0.3s rows. Hints only —
-a query absent from the canon gets a conservative default (full warm-up,
-all passes, sorts mid-pack).
+certifies the maximum number of queries, and Bench (at the canon sf0.1
+scale only) skips the sf0.001 warm-up for sub-0.5s rows and re-measures
+in passes 2-3 only the rows whose running minimum exceeds 1.15x their
+canon cost (adaptive retry — a short pass-array in a bench artifact
+means "pass-1 already matched canon"). Hints only — a query absent from
+the canon gets a conservative default (full warm-up, all passes, sorts
+mid-pack), and off the sf0.1 scale both cuts default OFF.
 """
 import json, pathlib
 

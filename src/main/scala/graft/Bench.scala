@@ -19,6 +19,11 @@ import org.apache.spark.sql.SparkSession
   *    both printed to stdout and flushed to the output file — a
   *    pass-1-only artifact is still a valid bench, and a driver that
   *    takes the last parseable stdout line gets the newest snapshot;
+  *  - each full line is FOLLOWED by a compact same-schema summary line
+  *    (`"queries":{}`, `"compact":true` — ~200 bytes) so a driver that
+  *    keeps only a small stdout tail (the ~12 KB full line has been
+  *    truncated in every driver artifact since r14) still gets a
+  *    parseable total/failed/sf as its tail's last line;
   *  - fixed wall-clock is cut where it buys nothing: the sf0.001
   *    warm-up (codegen compilation, 2-4 s per large plan) is skipped
   *    for queries whose canon minimum is under 0.5 s (their plans
@@ -33,6 +38,16 @@ import org.apache.spark.sql.SparkSession
   *    plus a thin retry tail) vs ~14 under unconditional min-of-3;
   *    canonical re-pins force full min-of-3 via
   *    SPARK_GRAFT_BENCH_RETRY_FACTOR=0 (dedicated runs);
+  *  - the canon hints are sf0.1-ONLY, so when SPARK_GRAFT_SF_DIR is
+  *    not the canon scale the adaptive cuts default OFF (retry factor
+  *    0 → full min-of-3; warm-up floor 0 → every row warms up) unless
+  *    the envs override them — a sf0.01/sf0.001 smoke bench must not
+  *    silently read every row as "matches canon" after one cold pass;
+  *  - the emitted JSON records the protocol (`retry_factor`,
+  *    `warmup_floor_sec`) so canon-source eligibility is machine-
+  *    checkable: canon merges take rows only from retry_factor=0 runs
+  *    or per-query minima (the warm-up-skip set is deterministic from
+  *    the committed QueryCosts table and the emitted floor);
   *  - SPARK_GRAFT_BENCH_PASSES (1-3, default 3) degrades the pass
   *    count outright for budget-constrained sweeps.
   */
@@ -69,13 +84,24 @@ object Bench {
       }
     val maxPasses = opt("SPARK_GRAFT_BENCH_PASSES")
       .map(_.toInt).getOrElse(3).max(1).min(3)
+    // The canon minima are sf0.1 measurements; at any other scale they
+    // say nothing about what a healthy row costs, so the adaptive cuts
+    // (retry skip, warm-up skip) default OFF there (class doc).
+    val canonScale = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val retryFactor = opt("SPARK_GRAFT_BENCH_RETRY_FACTOR")
+      .map(_.toDouble).getOrElse(if (canonScale) 1.15 else 0.0)
+    val warmupFloor = opt("SPARK_GRAFT_BENCH_WARMUP_FLOOR")
+      .map(_.toDouble).getOrElse(if (canonScale) WarmupFloorSec else 0.0)
+    if (!canonScale)
+      System.err.println(s"[bench] $sfDir is not the canon sf0.1 scale: " +
+        "defaulting to full min-of-3 + full warm-up (canon hints are sf0.1-only)")
     // Warm-up: run each query once at the smallest scale so the
     // measured pass reflects steady-state throughput, not whole-stage
     // codegen compilation of each plan — but only for queries whose
     // canon minimum says the compilation matters (>= 0.5 s rows); the
     // sub-second tail's compile time is below the warm-up's own cost.
     selected.toSeq.sortBy(_._1)
-      .filter { case (name, _) => QueryCosts.costOf(name) >= WarmupFloorSec }
+      .filter { case (name, _) => QueryCosts.costOf(name) >= warmupFloor }
       .foreach { case (_, fn) =>
         try fn(spark, "/root/testdata/sf0.001")
           .write.format("noop").mode("overwrite").save()
@@ -114,9 +140,8 @@ object Bench {
     // (floored at 0.15 s so sub-100 ms rows aren't retried over jitter)
     // or it has no successful measurement yet. 1.15 is the noise band
     // the canon compares tolerate; 0 forces full min-of-3 (dedicated
-    // re-pin runs); a huge value forces single-pass (HarnessSpec).
-    val retryFactor = opt("SPARK_GRAFT_BENCH_RETRY_FACTOR")
-      .map(_.toDouble).getOrElse(1.15)
+    // re-pin runs, and the default off the canon scale); a huge value
+    // forces single-pass (HarnessSpec).
     def needsRetry(name: String, sofar: Seq[Map[String, Option[Double]]]): Boolean = {
       val ts = sofar.flatMap(_.get(name).flatten)
       ts.isEmpty ||
@@ -143,7 +168,21 @@ object Bench {
       }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"passes_completed":${passes.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"passes_completed":${passes.size},"failed":$failedJson,"retry_factor":$retryFactor,"warmup_floor_sec":$warmupFloor,"sf":"$sfDir"}"""
+    }
+    // Compact tail line (class doc): same schema, `"queries":{}` and no
+    // per-pass matrix — small enough (~200 bytes) that it survives any
+    // stdout-tail truncation window intact as the last line.
+    def emitCompact(passes: Seq[Map[String, Option[Double]]]): String = {
+      val results = ordered.map { case (name, _) =>
+        val ts = passes.flatMap(_.get(name).flatten)
+        if (ts.isEmpty) -1.0 else ts.min
+      }
+      val failed = ordered.zip(results)
+        .collect { case ((k, _), v) if v < 0 => k }
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"compact":true,"n_queries":${ordered.size},"passes_completed":${passes.size},"failed":$failedJson,"retry_factor":$retryFactor,"warmup_floor_sec":$warmupFloor,"sf":"$sfDir"}"""
     }
     // Stdout capture has been observed truncated in the driver's
     // per-round artifact (r8/r9 tails, and the r11-r13 BENCH_r{N}
@@ -154,11 +193,12 @@ object Bench {
     // so a read-only cwd (or full disk) must not abort the run.
     val outPath = opt("SPARK_GRAFT_BENCH_OUT")
       .getOrElse("BENCH_FULL_LATEST.json")
-    def flush(line: String): Unit = {
-      println(line)
+    def flush(full: String, compact: String): Unit = {
+      println(full)
+      println(compact)
       System.out.flush()
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(outPath), line + "\n")
+        java.nio.file.Paths.get(outPath), full + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
       }
@@ -177,7 +217,7 @@ object Bench {
       if (inPass.nonEmpty && passes.size < abortAfterPass) {
         val pass = inPass.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
         passes :+= pass
-        flush(emit(passes))
+        flush(emit(passes), emitCompact(passes))
       }
     }
     // Test hook: HarnessSpec runs main() in-process against the shared

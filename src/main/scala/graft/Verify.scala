@@ -7,12 +7,20 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * TIMEOUT-SURVIVABLE by construction (round-17 post-mortem: the driver
   * SIGKILLed a contended run mid-dump; the manifest was only written at
   * the end, so CORRECTNESS_r17 recorded `{}` despite 180+ finished
-  * parquet dumps). Two guarantees now hold at every instant of a run:
-  *  1. the manifest on disk is VALID JSON covering exactly the queries
+  * parquet dumps). Three guarantees now hold at every instant of a run:
+  *  1. a valid manifest exists from the FIRST instants of the process —
+  *    it is bootstrapped (atomically) right after `mkdirs()`, BEFORE the
+  *    Spark session is even constructed, so a kill during JVM/Spark
+  *    startup (the round-18 diagnosis: driver-host contention during
+  *    compile/startup) leaves `{}` — "started, certified nothing yet" —
+  *    which is distinguishable from "never ran" (no file at all);
+  *  2. the manifest on disk is VALID JSON covering exactly the queries
   *     whose parquet dump has landed (updated after each dump via
   *     write-temp + atomic rename — a kill can lose at most the dumps
-  *     in flight, never corrupt or zero the manifest);
-  *  2. dumps run CHEAPEST-FIRST by the canon sf0.1 minima
+  *     in flight, never corrupt or zero the manifest), and every landed
+  *     dump prints one short stdout line (`[verify] k/N name ok`) so a
+  *     truncated-stdout tail still shows exactly how far the run got;
+  *  3. dumps run CHEAPEST-FIRST by the canon sf0.1 minima
   *     ([[QueryCosts]]), so a truncated run certifies the maximum
   *     number of queries (unmeasured queries sort mid-pack at the
   *     conservative default; streaming rows are expensive and land
@@ -27,11 +35,6 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = opt("SPARK_GRAFT_CPUS").getOrElse("4")
-    val spark = GraftSession.configure(
-        SparkSession.builder().master(s"local[$cpus]"), cpus)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional subset (comma-separated names) for LOCAL iteration on a
     // few queries — the driver never sets it, so the contract (dump
@@ -95,6 +98,24 @@ object Verify {
       Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // BOOTSTRAP (guarantee 1): land a valid manifest — empty on a full
+    // run, the prior merged entries on a subset run — before the Spark
+    // session (JVM-heavy, seconds under driver-host contention) is
+    // built. A kill anywhere in startup now leaves machine-readable
+    // evidence that Verify started. Never touches a session.
+    writeManifest(Set.empty)
+    println(s"[verify] manifest bootstrapped at $manifestPath " +
+      s"(${base.size} prior entries, ${selected.size} queries selected); " +
+      "building Spark session")
+    System.out.flush()
+    // Test hook (HarnessSpec): prove the bootstrap needs no session by
+    // returning before one is constructed. Never set by the driver.
+    if (opt("SPARK_GRAFT_VERIFY_BOOTSTRAP_ONLY").contains("1")) return
+    val cpus = opt("SPARK_GRAFT_CPUS").getOrElse("4")
+    val spark = GraftSession.configure(
+        SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     // Test hook (HarnessSpec): stop dumping after N successes — the
     // in-process stand-in for a driver SIGKILL mid-run. Never set by
     // the driver. Forces serial execution so "after N" is exact.
@@ -110,8 +131,11 @@ object Verify {
     // the manifest update is serialized below. Dumps are SUBMITTED
     // cheapest-first, so the certified-under-truncation guarantee keeps
     // its shape (a kill can lose at most the `par` dumps in flight).
+    // Default 8 on ≥16-CPU hosts (halves the dump phase vs 4 — measured
+    // round 18: 172 s at par=4 on 32 CPUs), 4 on smaller hosts.
     val par = (if (abortAfter != Int.MaxValue) 1
-               else opt("SPARK_GRAFT_VERIFY_PARALLEL").map(_.toInt).getOrElse(4))
+               else opt("SPARK_GRAFT_VERIFY_PARALLEL").map(_.toInt).getOrElse(
+                 if (Runtime.getRuntime.availableProcessors >= 16) 8 else 4))
       .max(1)
     val ordered = selected.toSeq.sortBy { case (name, _) =>
       (QueryCosts.costOf(name), name)
@@ -128,6 +152,11 @@ object Verify {
             lock.synchronized {
               dumped += name
               writeManifest(dumped)
+              // Guarantee 2: one short line per landed dump, so the
+              // driver's truncated stdout tail shows live progress and
+              // a kill's exact position.
+              println(s"[verify] ${dumped.size}/${ordered.size} $name ok")
+              System.out.flush()
             }
           } catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -141,6 +170,8 @@ object Verify {
     // the driver must find a valid (possibly empty) manifest, and a
     // subset run must still merge its base entries.
     lock.synchronized(writeManifest(dumped))
+    println(s"[verify] done: ${dumped.size}/${ordered.size} dumped")
+    System.out.flush()
     // Test hook: HarnessSpec runs main() in-process against the shared
     // suite session, which must survive the call.
     if (!opt("SPARK_GRAFT_KEEP_SESSION").contains("1")) spark.stop()

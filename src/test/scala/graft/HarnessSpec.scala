@@ -10,15 +10,21 @@ import scala.jdk.CollectionConverters._
   * with every completed measurement discarded) must be structurally
   * impossible:
   *
-  *  - [[Verify]] writes `oracle_sql.json` incrementally (atomic
-  *    temp+rename after EVERY successful dump), orders dumps
-  *    cheapest-first by the canon minima ([[QueryCosts]]), and merges
-  *    subset runs over the prior manifest;
+  *  - [[Verify]] bootstraps a valid (empty) manifest BEFORE the Spark
+  *    session is constructed (a kill during JVM/Spark startup — the
+  *    round-18 diagnosis — leaves `{}`, not nothing), writes
+  *    `oracle_sql.json` incrementally (atomic temp+rename after EVERY
+  *    successful dump), prints one progress line per landed dump,
+  *    orders dumps cheapest-first by the canon minima ([[QueryCosts]]),
+  *    and merges subset runs over the prior manifest;
   *  - [[Bench]] flushes a complete, parseable JSON artifact (with
-  *    `passes_completed`) after EVERY measured pass, skips warm-up for
-  *    sub-0.5s canon rows, and re-measures in passes 2-3 only the rows
-  *    whose running minimum still exceeds their canon cost (adaptive
-  *    retry).
+  *    `passes_completed`, `retry_factor`, `warmup_floor_sec`) after
+  *    EVERY measured pass, follows each full line with a compact
+  *    tail-proof summary line, skips warm-up for sub-0.5s canon rows
+  *    and re-measures in passes 2-3 only the rows whose running minimum
+  *    still exceeds their canon cost (adaptive retry) — both cuts
+  *    AT THE CANON sf0.1 SCALE ONLY (full min-of-3 + full warm-up
+  *    elsewhere: the canon says nothing about other scales).
   *
   * A kill is simulated in-process via SPARK_GRAFT_VERIFY_ABORT_AFTER
   * (stop dumping after N successes — byte-identical manifest state to
@@ -68,6 +74,46 @@ class HarnessSpec extends SparkSpec {
     }
     assert(QueryCosts.costOf(onePassQ) < 0.25, "one-pass fixture too slow")
     assert(QueryCosts.costOf(multiPassQ) >= 0.35, "multi-pass fixture too fast")
+  }
+
+  test("Verify bootstraps a valid empty manifest before any Spark session exists") {
+    val out = Files.createTempDirectory("graft-harness-boot").toString
+    // BOOTSTRAP_ONLY returns right after the startup manifest write,
+    // BEFORE SparkSession construction — so a manifest here proves the
+    // write needs no session: a driver kill during compile/startup
+    // leaves `{}` ("started, certified nothing"), never a missing file.
+    withProps(Map("SPARK_GRAFT_VERIFY_BOOTSTRAP_ONLY" -> "1")) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    assert(readManifest(out) === Map.empty)
+    assert(!Files.exists(Paths.get(s"$out/oracle_sql.json.tmp")))
+    // A bootstrapped-then-killed run followed by a real subset run must
+    // end with the subset certified (the empty bootstrap merges away).
+    withProps(Map(
+      "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","))) {
+      Verify.main(Array("/root/testdata/sf0.001", out))
+    }
+    assert(readManifest(out).keySet === subset.toSet)
+  }
+
+  test("Verify prints a bootstrap line and one progress line per landed dump") {
+    val out = Files.createTempDirectory("graft-harness-progress").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true)) {
+      withProps(Map(
+        "SPARK_GRAFT_VERIFY_QUERIES" -> subset.mkString(","),
+        "SPARK_GRAFT_VERIFY_PARALLEL" -> "2")) {
+        Verify.main(Array("/root/testdata/sf0.001", out))
+      }
+    }
+    val lines = buf.toString.linesIterator.toSeq
+    assert(lines.exists(_.startsWith("[verify] manifest bootstrapped")),
+      s"no bootstrap line in: $lines")
+    subset.foreach { q =>
+      assert(lines.exists(l => l.startsWith("[verify] ") && l.contains(s" $q ok")),
+        s"no progress line for $q in: $lines")
+    }
+    assert(lines.exists(_.startsWith(s"[verify] done: ${subset.size}/${subset.size}")))
   }
 
   test("Verify killed mid-run leaves a valid manifest covering every landed dump") {
@@ -228,6 +274,58 @@ class HarnessSpec extends SparkSpec {
     assert(names.nonEmpty, "scan found no temp views — pattern or path drifted")
     val dups = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
     assert(dups.isEmpty, s"temp-view names registered by more than one site: $dups")
+  }
+
+  test("Bench's stdout ends each pass with a compact line that survives a 2 KB tail") {
+    val out = Files.createTempDirectory("graft-harness-compact")
+      .resolve("bench.json").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true)) {
+      withProps(Map(
+        "SPARK_GRAFT_QUERIES" -> s"$onePassQ,$multiPassQ",
+        "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+        "SPARK_GRAFT_BENCH_PASSES" -> "1",
+        "SPARK_GRAFT_BENCH_OUT" -> out)) {
+        Bench.main(Array.empty)
+      }
+    }
+    val lines = buf.toString.linesIterator.filter(_.nonEmpty).toSeq
+    // The LAST stdout line is the compact one — that is what a driver
+    // keeping only a stdout tail parses.
+    val last = lines.last
+    assert(last.length < 512, s"compact line too long for a tail: ${last.length}")
+    val node = om.readTree(last)
+    assert(node.get("compact").asBoolean)
+    assert(node.get("metric").asText === "total")
+    assert(node.get("queries").size === 0)
+    assert(node.get("n_queries").asInt === 2)
+    assert(node.get("passes_completed").asInt === 1)
+    assert(node.get("failed").size === 0)
+    assert(node.get("value").asDouble > 0)
+    assert(node.has("retry_factor") && node.has("warmup_floor_sec"))
+    // The compact total must agree with the full artifact's.
+    val full = om.readTree(Paths.get(out).toFile)
+    assert(math.abs(full.get("value").asDouble - node.get("value").asDouble) < 1e-9)
+    assert(!full.has("compact"), "file artifact stays the full line")
+  }
+
+  test("Bench defaults to full min-of-3 and full warm-up off the canon sf0.1 scale") {
+    val out = Files.createTempDirectory("graft-harness-noncanon")
+      .resolve("bench.json").toString
+    // sf0.001 + NO retry-factor env: the canon hints must not apply —
+    // the row re-measures all three passes even though its wall time
+    // is far below its sf0.1 canon cost.
+    withProps(Map(
+      "SPARK_GRAFT_QUERIES" -> onePassQ,
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_OUT" -> out)) {
+      Bench.main(Array.empty)
+    }
+    val node = om.readTree(Paths.get(out).toFile)
+    assert(node.get("retry_factor").asDouble === 0.0)
+    assert(node.get("warmup_floor_sec").asDouble === 0.0)
+    assert(node.get("passes_completed").asInt === 3)
+    assert(node.get("passes").get(onePassQ).size === 3)
   }
 
   test("Bench honors SPARK_GRAFT_BENCH_PASSES=1 with a valid single-pass artifact") {
