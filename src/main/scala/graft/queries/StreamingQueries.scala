@@ -248,9 +248,19 @@ object StreamingQueries {
 
   /** The streaming probe frame of [[streamEmbeddingDedupFiles]],
     * exposed separately so the stateless-plan claim is spec-checkable
-    * (`IncrementalStreamSpec` asserts zero state operators). */
+    * (`IncrementalStreamSpec` asserts zero state operators).
+    *
+    * OVERLAP CONTRACT: same as [[minhashProbeStream]] — a re-ingested
+    * vector lands in its own resident cell and scores 1.0 against its
+    * resident copy, so a caller-supplied delta stream gets a
+    * stateless `delta_id =!= base_id` filter unless `disjointIds =
+    * true` proves the id spaces disjoint; the internal `% 10` split
+    * is that proof structurally, keeping the registered row's plan
+    * and oracle hash unchanged. */
   private[graft] def embeddingProbeStream(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      deltaOverride: Option[DataFrame] = None,
+      disjointIds: Boolean = false): DataFrame = {
     import graft.sim.{KMeans, Similarity}
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -260,18 +270,22 @@ object StreamingQueries {
     val baseA = Similarity.assignByCenters(base, centers)
       .select(col("bucket"), col("id").as("base_id"),
         col("vec").as("b_vec"), col("nrm").as("b_nrm"))
-    val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
-        reader.parquet(s"$dir/embeddings.parquet")
-      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-    val delta = src.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      .filter(col("id") % 10 >= 8)
-    Similarity.assignByCenters(delta, centers)
+    val delta = deltaOverride.getOrElse {
+      val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val reader = spark.readStream.schema(fileSchema)
+      val src =
+        if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+          reader.parquet(s"$dir/embeddings.parquet")
+        else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      src.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .filter(col("id") % 10 >= 8)
+    }
+    val disjoint = disjointIds || deltaOverride.isEmpty
+    val pairs = Similarity.assignByCenters(delta, centers)
       .select(col("bucket"), col("id").as("delta_id"),
         col("vec").as("d_vec"), col("nrm").as("d_nrm"))
       .join(baseA, Seq("bucket"))
+    (if (disjoint) pairs else pairs.filter(col("delta_id") =!= col("base_id")))
       .select(col("delta_id"), col("base_id"),
         Similarity.scaledFromParts(Similarity.dot(col("d_vec"), col("b_vec")),
           col("d_nrm"), col("b_nrm")).as("score_c"))
@@ -290,9 +304,16 @@ object StreamingQueries {
     * survivors join back (id-keyed, candidate cardinality) to the float
     * base for the exact cosine >= 0.4 verify. Both joins are STREAM-STATIC
     * and everything else is projection: zero state operators
-    * (spec-asserted), zero state growth at any stream length. */
+    * (spec-asserted), zero state growth at any stream length.
+    *
+    * OVERLAP CONTRACT: same as [[embeddingProbeStream]] — the
+    * stateless self-pair filter guards caller-supplied delta streams
+    * whose ids may collide with the resident index, skipped under a
+    * `disjointIds = true` proof or the internal `% 10` split. */
   private[graft] def embeddingPqProbeStream(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      deltaOverride: Option[DataFrame] = None,
+      disjointIds: Boolean = false): DataFrame = {
     import graft.sim.{KMeans, Pq, Similarity}
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -309,15 +330,18 @@ object StreamingQueries {
         col("codes").as("b_codes"), col("rnrm").as("b_rnrm"))
     val baseFloat = base.select(col("id").as("base_id"),
       col("vec").as("b_vec"), Similarity.norm(col("vec")).as("b_nrm"))
-    val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
-        reader.parquet(s"$dir/embeddings.parquet")
-      else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-    val delta = src.select(col("vec_id").as("id"), col("embedding").as("vec"))
-      .filter(col("id") % 10 >= 8)
-    Similarity.assignByCenters(delta, centers)
+    val delta = deltaOverride.getOrElse {
+      val fileSchema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+      val reader = spark.readStream.schema(fileSchema)
+      val src =
+        if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+          reader.parquet(s"$dir/embeddings.parquet")
+        else reader.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      src.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .filter(col("id") % 10 >= 8)
+    }
+    val disjoint = disjointIds || deltaOverride.isEmpty
+    val pairs = Similarity.assignByCenters(delta, centers)
       .withColumn("codes", Pq.encodeCol("vec", bc))
       .withColumn("rnrm", Pq.normCol("codes", bc))
       .select(col("bucket"), col("id").as("delta_id"),
@@ -327,6 +351,7 @@ object StreamingQueries {
       .filter(Similarity.scaledFromParts(
         Pq.sdcDotCol("d_codes", "b_codes", bc),
         col("d_rnrm"), col("b_rnrm")) >= gate)
+    (if (disjoint) pairs else pairs.filter(col("delta_id") =!= col("base_id")))
       .join(baseFloat, Seq("base_id"))
       .select(col("delta_id"), col("base_id"),
         Similarity.scaledFromParts(Similarity.dot(col("d_vec"), col("b_vec")),
@@ -410,9 +435,26 @@ object StreamingQueries {
     * Oracle: the batch replay — [[TextQueries.minhashPairsCtes]]'
     * pair set projected to its cross-boundary (delta, base) rows.
     * Shared CTEs, so this row's truth and `minhash_dedup`'s cannot
-    * drift. */
+    * drift.
+    *
+    * OVERLAP CONTRACT (the streaming face of the batch incremental
+    * paths' `disjointIds` proof — [[graft.text.MinHashLSH
+    * .incrementalPairs]]): when the streamed ids can collide with the
+    * resident index's ids (a document RE-INGESTED after deployment),
+    * a re-ingested document trivially shares every band with its own
+    * resident copy and would emit a self-pair. Callers supplying
+    * their own delta stream therefore get a stateless self-pair
+    * filter (`delta_id =!= base_id` — a projection, zero state)
+    * unless they pass `disjointIds = true` as a proof; the internal
+    * `% 10` split IS such a proof by construction, so the registered
+    * row's plan — and its oracle hash — is unchanged. Duplicate
+    * emissions of one re-ingested id (same id twice in the stream)
+    * remain covered by the post-sink distinct, the stateless path's
+    * documented dedup point. */
   private[graft] def minhashProbeStream(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String,
+      deltaOverride: Option[DataFrame] = None,
+      disjointIds: Boolean = false): DataFrame = {
     import graft.text.MinHashLSH
     val base = Tables.spread(Tables.documents(spark, dir))
       .filter(col("doc_id") % 10 < 8)
@@ -424,19 +466,28 @@ object StreamingQueries {
           "doc_id", TextQueries.Perms),
         "doc_id", TextQueries.Perms, TextQueries.BandRows)
       .select(col("band_key"), col("doc_id").as("base_id"))
-    val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val reader = spark.readStream.schema(fileSchema)
-    val src =
-      if (new java.io.File(s"$dir/documents.parquet").isDirectory)
-        reader.parquet(s"$dir/documents.parquet")
-      else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
-    val delta = src.filter(col("doc_id") % 10 >= 8)
+    val delta = deltaOverride.getOrElse {
+      val fileSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val reader = spark.readStream.schema(fileSchema)
+      val src =
+        if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          reader.parquet(s"$dir/documents.parquet")
+        else reader.option("pathGlobFilter", "documents.parquet").parquet(dir)
+      src.filter(col("doc_id") % 10 >= 8)
+    }
+    // Disjointness proof: explicit from the caller, or structural for
+    // the internal split (delta % 10 >= 8 never collides with the
+    // % 10 < 8 resident slice).
+    val disjoint = disjointIds || deltaOverride.isEmpty
     val inter = size(array_intersect(col("d_sh"), col("b_sh")))
-    MinHashLSH.bandedShingles(delta, "doc_id", "text", ngram = 3,
+    val pairs = MinHashLSH.bandedShingles(delta, "doc_id", "text", ngram = 3,
         TextQueries.Perms, TextQueries.BandRows)
       .select(col("doc_id").as("delta_id"), col("shingles").as("d_sh"),
         col("band_key"))
       .join(baseIdx, Seq("band_key"))
+    val guarded =
+      if (disjoint) pairs else pairs.filter(col("delta_id") =!= col("base_id"))
+    guarded
       .join(baseArrs, Seq("base_id"))
       .select(col("delta_id"), col("base_id"),
         floor(inter.cast("double") /

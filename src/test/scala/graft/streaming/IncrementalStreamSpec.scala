@@ -597,4 +597,84 @@ class IncrementalStreamSpec extends SparkSpec {
       s"PQ side: auto ${autoPq.size} pairs vs operator ${pqTruth.size}; " +
         s"diff ${autoPq.diff(pqTruth) ++ pqTruth.diff(autoPq)}")
   }
+
+  test("re-ingested ids through the streamed probes: overlap guard drops " +
+      "self-pairs, keeps statelessness, and the registry split skips it") {
+    // The streaming face of the batch incremental paths' disjointIds
+    // contract (MinHashLSH.incrementalPairs, TextQueries
+    // .simhashIncrementalPairs): a document/vector RE-INGESTED after
+    // index deployment is its own nearest neighbour — without a guard
+    // every probe emits a degenerate self-pair. Callers without a
+    // disjointness proof get a stateless self-pair filter; the
+    // registered rows' internal %10 split IS a proof, so their plans
+    // (and oracle hashes) stay guard-free.
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.StreamingQueries
+    // Run a probe frame through a memory sink; return its emissions
+    // and whether the executed plan stayed stateless.
+    var tick = 0
+    def emissions(matched: org.apache.spark.sql.DataFrame)
+        : (Set[(Long, Long)], Boolean) = {
+      tick += 1
+      val name = s"reingest_probe_$tick"
+      val q = matched.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val stateless = q.lastProgress == null ||
+        q.lastProgress.stateOperators.isEmpty
+      (spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet, stateless)
+    }
+
+    // --- MinHash band-index probe ---
+    val doc = graft.Tables.spread(graft.Tables.documents(spark, dir))
+      .filter(col("doc_id") % 10 < 8 && length(col("text")) >= 10)
+      .select("doc_id", "text").head()
+    val docId = doc.getLong(0)
+    def docDelta(): org.apache.spark.sql.DataFrame = {
+      val ms = MemoryStream[(Long, String)]
+      ms.addData((docId, doc.getString(1)))
+      ms.toDF().toDF("doc_id", "text")
+    }
+    val (mhUnguarded, _) = emissions(StreamingQueries.minhashProbeStream(
+      spark, dir, Some(docDelta()), disjointIds = true))
+    assert(mhUnguarded.contains((docId, docId)),
+      "re-ingested doc must self-match when the guard is waived — " +
+        "otherwise this test proves nothing")
+    val (mhGuarded, mhStateless) = emissions(StreamingQueries
+      .minhashProbeStream(spark, dir, Some(docDelta())))
+    assert(!mhGuarded.exists(p => p._1 == p._2),
+      s"self-pair leaked through the minhash guard: $mhGuarded")
+    assert(mhGuarded == mhUnguarded.filterNot(p => p._1 == p._2),
+      "guard must remove ONLY self-pairs")
+    assert(mhStateless, "overlap guard added a state operator")
+
+    // --- embedding float + PQ probes ---
+    val vecRow = graft.Tables.spread(graft.Tables.embeddings(spark, dir))
+      .filter(col("vec_id") % 10 < 8)
+      .select("vec_id", "embedding").head()
+    val vecId = vecRow.getLong(0)
+    val vec = vecRow.getSeq[Float](1).toArray
+    def vecDelta(): org.apache.spark.sql.DataFrame = {
+      val ms = MemoryStream[(Long, Array[Float])]
+      ms.addData((vecId, vec))
+      ms.toDF().toDF("id", "vec")
+    }
+    for ((label, probe) <- Seq(
+        ("float", (d: org.apache.spark.sql.DataFrame, disjoint: Boolean) =>
+          StreamingQueries.embeddingProbeStream(spark, dir, Some(d), disjoint)),
+        ("pq", (d: org.apache.spark.sql.DataFrame, disjoint: Boolean) =>
+          StreamingQueries.embeddingPqProbeStream(spark, dir, Some(d), disjoint)))) {
+      val (unguarded, _) = emissions(probe(vecDelta(), true))
+      assert(unguarded.contains((vecId, vecId)),
+        s"$label: re-ingested vector must self-match when the guard is waived")
+      val (guarded, stateless) = emissions(probe(vecDelta(), false))
+      assert(!guarded.exists(p => p._1 == p._2),
+        s"$label: self-pair leaked through the guard: $guarded")
+      assert(guarded == unguarded.filterNot(p => p._1 == p._2),
+        s"$label: guard must remove ONLY self-pairs")
+      assert(stateless, s"$label: overlap guard added a state operator")
+    }
+  }
 }
