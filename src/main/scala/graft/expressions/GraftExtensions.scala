@@ -121,6 +121,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         CmsSketchAgg(children.head, intLit(children(1), "depth"),
           intLit(children(2), "width"))))
+    // Binary-quantization (RaBitQ-style) encode + asymmetric estimate
+    // (sim/BitQ): 1 BIGINT code + 1 double correction per vector.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bq_encode"),
+      new ExpressionInfo(classOf[BqEncodeExpr].getName, "graft_bq_encode"),
+      (children: Seq[Expression]) =>
+        BqEncodeExpr(children.head, strLit(children(1), "salt"),
+          intLit(children(2), "dim"))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bq_dot"),
+      new ExpressionInfo(classOf[BqDotExpr].getName, "graft_bq_dot"),
+      (children: Seq[Expression]) => BqDotExpr(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("graft_knn_topk"),
       new ExpressionInfo(classOf[KnnTopKExpr].getName, "graft_knn_topk"),

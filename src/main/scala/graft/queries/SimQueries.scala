@@ -823,6 +823,32 @@ object SimQueries {
     Similarity.rerankExact(shortlist, q, v, K)
   }
 
+  /** Brute binary-quantization top-k ([[graft.sim.BitQ.bqTopK]]):
+    * float queries against the 1-bit-per-dim coded corpus, scored by
+    * the RaBitQ unbiased cosine estimate (rotation + sign code +
+    * per-vector correction — no training pass, no codebook). Same
+    * query slice and K as [[annTopK]]/[[annPq]], so the three rows
+    * diff exact vs 8-byte-PQ vs 1-word-BQ ranking directly. */
+  def annBq(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    graft.sim.BitQ.bqTopK(v.filter(col("id") < 8), v, K)
+  }
+
+  /** Two-stage BQ search ([[graft.sim.BitQ.ivfTopKByCentersBq]] +
+    * [[Similarity.rerankExact]]): trained-cell blocking (same fixed-k
+    * cells and probes as [[annIvfPq]]), a 4K shortlist in code space
+    * — the bucket exchange carrying 24 bytes/vector — and the exact
+    * float re-rank over survivors. The production deployment mode of
+    * the training-free binary index. */
+  def annBqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("id") < 8)
+    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val shortlist = graft.sim.BitQ.ivfTopKByCentersBq(q, v, centers,
+      K * 4, nprobe = 2)
+    Similarity.rerankExact(shortlist, q, v, K)
+  }
+
   /** IVFPQ kNN graph ([[Similarity.knnGraphTopKPq]]): the same
     * trained sqrt(n) cells and probes as [[knnGraphIvf]], but the
     * bucket exchange carries PQ codes instead of float vectors and
@@ -1052,6 +1078,8 @@ object SimQueries {
     "ann_pq"          -> (annPq _),
     "ann_ivfpq"       -> (annIvfPq _),
     "ann_pq_rerank"   -> (annPqRerank _),
+    "ann_bq"          -> (annBq _),
+    "ann_bq_rerank"   -> (annBqRerank _),
     "knn_graph_ivfpq" -> (knnGraphIvfPq _),
     "knn_graph_ivfpq_rerank" -> (knnGraphIvfPqRerank _),
     "knn_graph_srp"   -> (knnGraphSrp _),
@@ -1158,6 +1186,48 @@ object SimQueries {
     * [[Similarity.scaledFromParts]]. */
   private[queries] def scaledPartsSql(a: String, b: String, na: String, nb: String): String =
     s"CAST(floor(${dotSql(a, b)} / ($na * $nb) * 1e6 + 0.5) AS BIGINT)"
+
+  /** CTE chain for the binary-quantization replay ([[graft.sim.BitQ]]):
+    * `bqs` — the md5 Rademacher diagonal; `brot(id, rv, nrm)` — the
+    * exact rotated corpus (every element `CAST(vec[i] AS DOUBLE) *
+    * ±1.0` is IEEE-exact); `benc(id, rv, nrm, bsum)` — the RaBitQ
+    * per-vector correction sum as the same ascending fold
+    * [[graft.expressions.BqEncodeExpr]] performs. Expects a prior
+    * `vn(id, vec, nrm)`. NOTE: no continuation line may start with
+    * "||" (the stripMargin interaction documented at
+    * [[srpBucketsSql]]). */
+  private val bqEncSql: String =
+    """bqs AS (
+      |  SELECT [CASE WHEN CAST('0x' || substr(md5('bq:0:0:' ||
+      |            CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+      |          THEN 1.0 ELSE -1.0 END
+      |     for i in generate_series(0, 63)] AS s
+      |), brot AS (
+      |  SELECT vn.id, [CAST(vn.vec[i] AS DOUBLE) * b.s[i]
+      |     for i in generate_series(1, 64)] AS rv, vn.nrm
+      |  FROM vn CROSS JOIN bqs b
+      |), benc AS (
+      |  SELECT id, rv, nrm,
+      |         list_reduce(list_transform(generate_series(1, 64),
+      |           i -> rv[i] * (CASE WHEN rv[i] > 0 THEN 1.0 ELSE -1.0 END)),
+      |           (x, y) -> x + y) AS bsum
+      |  FROM brot
+      |)""".stripMargin
+
+  /** The scaled BQ cosine estimate of one (rotated-query, candidate)
+    * pair — the SQL mirror of [[graft.sim.BitQ.scaledEst]] over
+    * [[graft.sim.BitQ.bqDot]]. The candidate's sign direction is
+    * replayed from its rotated values: `rv[i] > 0` tests the
+    * identical IEEE product the stored code bit was derived from, so
+    * the two formulations agree bit-for-bit, and every product here
+    * is an exact ±1.0 flip — the ascending fold is the only rounding
+    * sequence, shared with the Spark expression. */
+  private def bqEstSql(qrv: String, crv: String, qnrm: String,
+      cbsum: String, cnrm: String): String =
+    s"""CAST(floor(list_reduce(list_transform(generate_series(1, 64),
+       |    i -> $qrv[i] * (CASE WHEN $crv[i] > 0 THEN 1.0 ELSE -1.0 END)),
+       |    (x, y) -> x + y)
+       |  * $cnrm / ($cbsum * $qnrm) * 1e6 + 0.5) AS BIGINT)""".stripMargin
 
   /** CTE attaching the precomputed norm: vn(id, vec, nrm) over a
     * source CTE `v(id, vec)`. */
@@ -1922,6 +1992,58 @@ object SimQueries {
         |    SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY score_c DESC, n_id ASC) AS rank
         |    FROM pq_scored) WHERE rank <= ${K * 4}),
+        |rescored AS (
+        |  SELECT s.q_id, s.n_id,
+        |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c
+        |  FROM short s JOIN vn x ON s.q_id = x.id JOIN vn y ON s.n_id = y.id),
+        |rr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM rescored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM rr WHERE rank <= $K""".stripMargin,
+    // Brute BQ: every (query, candidate) pair scored by the RaBitQ
+    // estimate — rotation, sign direction, and correction sum all
+    // replayed relationally from the md5 diagonal.
+    "ann_bq" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |$bqEncSql,
+        |q AS (SELECT id AS q_id, rv AS q_rv, nrm AS q_nrm
+        |      FROM brot WHERE id < 8),
+        |scored AS (
+        |  SELECT q.q_id, c.id AS n_id,
+        |         ${bqEstSql("q.q_rv", "c.rv", "q.q_nrm", "c.bsum", "c.nrm")} AS score_c
+        |  FROM q JOIN benc c ON q.q_id <> c.id AND c.bsum > 0
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_c DESC, n_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, score_c
+        |FROM ranked WHERE rank <= $K""".stripMargin,
+    // Two-stage BQ: trained-cell blocking (rank-1 residents, 2-probe
+    // queries), a 4K code-space shortlist, exact float re-rank.
+    "ann_bq_rerank" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+        |$vnSql,
+        |${trainedAssignSql(TrainedK.toString, nprobe = 2)},
+        |$bqEncSql,
+        |bassign AS (
+        |  SELECT r.id, r.bucket, e.rv, e.bsum, e.nrm
+        |  FROM ranked_assign r JOIN benc e ON r.id = e.id
+        |  WHERE r.rn = 1 AND e.bsum > 0),
+        |q AS (
+        |  SELECT r.id AS q_id, b.rv AS q_rv, r.nrm AS q_nrm, r.bucket
+        |  FROM ranked_assign r JOIN brot b ON r.id = b.id WHERE r.id < 8),
+        |bq_scored AS (
+        |  SELECT q.q_id, a.id AS n_id,
+        |         ${bqEstSql("q.q_rv", "a.rv", "q.q_nrm", "a.bsum", "a.nrm")} AS score_c
+        |  FROM q JOIN bassign a ON q.bucket = a.bucket AND q.q_id <> a.id),
+        |short AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY score_c DESC, n_id ASC) AS rank
+        |    FROM bq_scored) WHERE rank <= ${K * 4}),
         |rescored AS (
         |  SELECT s.q_id, s.n_id,
         |         ${scaledPartsSql("x.vec", "y.vec", "x.nrm", "y.nrm")} AS score_c

@@ -758,6 +758,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_bq_rerank: tiny query side broadcasts (no corpus exchange " +
+      "before the bucket join); the rerank touches the float corpus " +
+      "by broadcast pair join only") {
+    // The BQ scale story: the coded corpus STREAMS through a
+    // BroadcastHashJoin against the broadcast 2-probe query side — a
+    // corpus-side hash exchange or a SortMergeJoin here would shuffle
+    // 100 TB to serve 8 queries. The only hashpartitioning exchange
+    // in the whole plan is the final top-k window's q_id partition
+    // over the |q|x4K shortlist (candidate cardinality, not corpus).
+    val df = SparkEntry.queries("ann_bq_rerank")(spark, "/root/testdata/sf0.001")
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    val finalPlan = qe.executedPlan.treeString.split("== Initial Plan ==")(0)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+    assert(!finalPlan.contains("SortMergeJoin"), finalPlan)
+    val corpusExchanges = finalPlan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("q_id")).toSeq
+    assert(corpusExchanges.isEmpty,
+      s"corpus-side shuffle in ann_bq_rerank:\n${corpusExchanges.mkString("\n")}\n$finalPlan")
+  }
+
   test("span_dedup: the gram stream (tokenize + n-gram + md5) " +
       "materializes once — index aggregate and join-back share it") {
     val df = SparkEntry.queries("span_dedup")(spark, "/root/testdata/sf0.01")

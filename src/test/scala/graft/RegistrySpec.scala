@@ -55,8 +55,12 @@ class RegistrySpec extends SparkSpec {
     //    broadcast query slice as ann_topk, deliberately unblocked so
     //    compression's effect on ranking is oracle-visible in
     //    isolation); its blocked sibling is knn_graph_ivfpq.
+    //  - ann_bq is the same brute form for the binary-quantization
+    //    estimator (BitQ.bqTopK — pure-theta broadcast query slice);
+    //    its blocked production sibling is ann_bq_rerank, which
+    //    PlanAuditSpec pins to a broadcast equi-join on the cell key.
     val boundedByDesign = Set("ann_topk", "art_outcome", "art_outcome_ref",
-      "freq_items_band", "ann_recall_clustered", "ann_pq")
+      "freq_items_band", "ann_recall_clustered", "ann_pq", "ann_bq")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => boundedByDesign.contains(q._1))
       .collect { case (name, fn) =>
