@@ -43,8 +43,13 @@ object LabelProp {
     // Memory discipline (see [[PageRank.ranksPpm]], measured at sf10):
     // the |E|-sized edge frame is a DISK_ONLY persist, unpersisted
     // before return; only |V|-sized frames get checkpoint-pinned.
+    // Persist PRE-PARTITIONED BY src (the [[PageRank.ranksPpm]]
+    // rationale, guide §2.4): every round's vote join keys on src, so
+    // the edge cache carries its partitioning instead of re-exchanging
+    // |E| per round; the count is AQE-coalesced from data size.
     val es = edges.select(
         col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = pin(es.select(col("src").as("nid"))
       .union(es.select(col("dst").as("nid"))).distinct())

@@ -58,8 +58,19 @@ object PageRank {
     // frames on heap measured 297 s at sf10 with eviction/GC churn,
     // then OOM on back-to-back runs; this is also the reference's own
     // DISK_ONLY discipline for its widest mid-pipeline frames.)
+    // Persist PRE-PARTITIONED BY src (guide §2.4 "remove shuffles
+    // outright"): deg (groupBy src), withDeg (join on src) and every
+    // round's rank join all key on src, so hash-partitioning the edge
+    // cache once lets each of them reuse the cached partitioning
+    // instead of re-exchanging |E| per consumer (and per round when
+    // the rank side is too big to broadcast). The partition COUNT is
+    // AQE-coalesced from the data size (repartition by column, no
+    // fixed n) — scale-adaptive, not tuned to either local mode or a
+    // cluster; locally it also collapses the 64-partition cache scans
+    // that dominated the measured per-round job time.
     val es = edges.select(
         col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // |V|-sized, pinned eagerly — the first action, so es materializes
     // here and every later consumer reads the disk cache.

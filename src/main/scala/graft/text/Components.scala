@@ -59,18 +59,27 @@ object Components {
     * ~20 rounds); it exists as the loud backstop. */
   def connected(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    // ONE materialization of the caller's pair pipeline. `vertices`
+    // and `edges` below are both EAGER pins; deriving them straight
+    // from `pairs` would execute the caller's full candidate+verify
+    // pipeline twice (it is the expensive half of every dedup caller:
+    // LSH banding + exact verify, or in-cell cosine scoring). The pair
+    // set is the near-dup SUBSET of the corpus — pinning it is
+    // |pairs|-sized, the cheapest frame in sight.
+    val pr = pin(pairs.select(col(aCol).as("__a"), col(bCol).as("__b")))
+
     // Every vertex in the pair list (keeps self-pair-only vertices,
     // which the edge set drops as self-loops).
-    val vertices = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id")))
+    val vertices = pr.select(col("__a").as("id"))
+      .unionByName(pr.select(col("__b").as("id")))
       .distinct()
       .transform(pin)
 
     // Invariant carried through both phases: edges oriented
     // large -> small (u > v), deduplicated, no self-loops.
-    var edges = pairs.filter(col(aCol) =!= col(bCol))
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
+    var edges = pr.filter(col("__a") =!= col("__b"))
+      .select(greatest(col("__a"), col("__b")).as("u"),
+        least(col("__a"), col("__b")).as("v"))
       .distinct()
       .transform(pin)
 
