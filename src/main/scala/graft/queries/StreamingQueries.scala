@@ -32,6 +32,57 @@ object StreamingQueries {
 
   private val runId = new AtomicLong(0L)
 
+  /** Target input bytes per streaming state partition — the sizing
+    * knob for [[streamSession]] (16 MiB of source per partition keeps
+    * a state store's per-batch load/commit/snapshot cost amortized
+    * over real data at every scale). */
+  private val StateBytesPerPartition = 16L << 20
+
+  /** Isolated session clone with STREAMING-SHAPED sizing (guide §2.2:
+    * fewer, larger partitions; stateful streaming disables AQE, so the
+    * engine must size the state exchange itself — the one partitioning
+    * in the library AQE cannot coalesce). Two settings, both
+    * scale-adaptive, neither changes any emitted row:
+    *
+    *  - `spark.sql.shuffle.partitions` = ceil(source bytes / 16 MiB),
+    *    clamped to [1, defaultParallelism]. Every state partition
+    *    costs a store load + commit + snapshot PER MICRO-BATCH
+    *    regardless of data (measured: the 32-partition default spent
+    *    2.2 s on a no-data batch over a 2 MB source at sf0.1); a real
+    *    deployment sizes state partitions to load for exactly this
+    *    reason. Keyed state semantics are partition-count-invariant.
+    *  - `spark.sql.streaming.noDataMicroBatches.enabled=false`: the
+    *    watermark-advance batch after the data batch exists to fire
+    *    timeouts/evictions; none of the registered rows emits on
+    *    timeout (inner interval join emits on match, complete-mode
+    *    aggregates re-emit the full table per batch, the
+    *    flatMapGroups operator is NoTimeout), so the final table is
+    *    identical — the per-row oracle hashes prove it.
+    *
+    * `newSession()` shares the SparkContext (and the GraftExtensions
+    * function registry) but isolates SQLConf; the semantic pins are
+    * re-asserted explicitly in case the parent session carries
+    * overrides the context conf does not. */
+  private def streamSession(spark: SparkSession, dir: String,
+      sourceFile: String): SparkSession = {
+    val s2 = spark.newSession()
+    val f = new java.io.File(s"$dir/$sourceFile")
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+      else f.length
+    val parts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (bytes + StateBytesPerPartition - 1) / StateBytesPerPartition))
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
+        "spark.sql.legacy.parquet.nanosAsLong").foreach { k =>
+      spark.conf.getOption(k).foreach(s2.conf.set(k, _))
+    }
+    s2
+  }
+
   /** Replay the events table through the streaming SCD2-opens
     * operator: per user ordered by event_id, emit exactly the records
     * where event_type changes. Delivery: three in-order micro-batches,
@@ -39,7 +90,8 @@ object StreamingQueries {
     * non-replay-immune operator would fabricate duplicate opens and
     * redden the hash. */
   def streamEpisodeOpens(spark: SparkSession, dir: String): DataFrame = {
-    implicit val ctx = spark.sqlContext
+    val s = streamSession(spark, dir, "events.parquet")
+    implicit val ctx = s.sqlContext
     import spark.implicits._
     val recs = Tables.events(spark, dir)
       .select(col("user_id").as("key"), col("event_id").as("seq"),
@@ -58,7 +110,7 @@ object StreamingQueries {
       ms.addData(recs.toIndexedSeq) // full replay: must add nothing
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name)
+    s.table(name)
   }
 
   /** The DEPLOYED shape of the same operator: episodeOpens fed from
@@ -74,7 +126,8 @@ object StreamingQueries {
     * the registry shares the oracle verbatim. */
   def streamEpisodeOpensFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rec = eventsFileStream(spark, dir)
+    val s = streamSession(spark, dir, "events.parquet")
+    val rec = eventsFileStream(s, dir)
       .select(col("user_id").as("key"), col("event_id").as("seq"),
         col("event_type").as("value"))
       .as[Rec]
@@ -85,7 +138,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
   }
 
   /** Shared file-source reader for the deployment-shape rows: the
@@ -124,7 +177,8 @@ object StreamingQueries {
     * timestamp is truncated to µs on both sides (the
     * [[graft.Tables]] events convention). */
   def streamWindowedCountsFiles(spark: SparkSession, dir: String): DataFrame = {
-    val evs = eventsFileStream(spark, dir)
+    val s = streamSession(spark, dir, "events.parquet")
+    val evs = eventsFileStream(s, dir)
     val counts = IncrementalStream.windowedCounts(
       evs, "ts", col("event_type"), "1 hour", "1 hour")
     val name = s"stream_windowed_counts_${runId.incrementAndGet()}"
@@ -133,7 +187,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
       .select(
         date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         date_format(col("w_end"), "yyyy-MM-dd HH:mm:ss").as("w_end"),
@@ -148,7 +202,8 @@ object StreamingQueries {
     * sessionization — the registry shares `sessionize`'s oracle
     * VERBATIM, machine-tying stream and batch session semantics. */
   def streamSessionizeFiles(spark: SparkSession, dir: String): DataFrame = {
-    val evs = eventsFileStream(spark, dir)
+    val s = streamSession(spark, dir, "events.parquet")
+    val evs = eventsFileStream(s, dir)
     val sessions = IncrementalStream.sessionCounts(
       evs, "ts", col("user_id"), "12 hours", "12 hours")
     val name = s"stream_sessionize_${runId.incrementAndGet()}"
@@ -157,7 +212,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
       .select(col("user_id"),
         date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
         date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
@@ -175,8 +230,9 @@ object StreamingQueries {
     * DuckDB oracle runs independently; the watermark + band bound
     * both sides' buffered state in a real topology. */
   def streamIntervalJoinFiles(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark, dir, "events.parquet")
     def side(tpe: String, pfx: String): DataFrame =
-      eventsFileStream(spark, dir)
+      eventsFileStream(s, dir)
         .filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${pfx}_user"),
           col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"))
@@ -189,7 +245,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
       .select(col("v_user").as("user_id"), col("v_id").as("view_id"),
         col("c_id").as("click_id"))
   }
@@ -203,12 +259,13 @@ object StreamingQueries {
     * batch CASE-mapped aggregate, which the oracle runs
     * independently. The stream side never shuffles for the lookup. */
   def streamRemapFiles(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val s = streamSession(spark, dir, "events.parquet")
+    import s.implicits._
     val lookup = Seq(
       ("click", "engagement"), ("purchase", "conversion"), ("error", "fault"))
       .toDF("source_name", "target_name")
     val remapped = IncrementalStream.remapStream(
-      eventsFileStream(spark, dir).select(col("event_id"), col("event_type")),
+      eventsFileStream(s, dir).select(col("event_id"), col("event_type")),
       lookup, "event_type")
     val counts = remapped.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -218,7 +275,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
   }
 
   /** Watermarked streaming dedup through the file source — the
@@ -231,7 +288,8 @@ object StreamingQueries {
     * batch GROUP BY — any leaked duplicate doubles a count and
     * reddens the hash. */
   def streamDedupFiles(spark: SparkSession, dir: String): DataFrame = {
-    def evs() = eventsFileStream(spark, dir)
+    val s = streamSession(spark, dir, "events.parquet")
+    def evs() = eventsFileStream(s, dir)
       .select(col("event_id"), col("event_type"), col("ts"))
     val doubled = evs().union(evs())
     val deduped = IncrementalStream.dedupStream(
@@ -242,7 +300,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name).groupBy(col("event_type"))
+    s.table(name).groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -370,14 +428,15 @@ object StreamingQueries {
     * cells partition under fixed centers and codes under a fixed
     * codebook. */
   def streamEmbeddingDedupPqFiles(spark: SparkSession, dir: String): DataFrame = {
-    val matched = embeddingPqProbeStream(spark, dir)
+    val s = streamSession(spark, dir, "embeddings.parquet")
+    val matched = embeddingPqProbeStream(s, dir)
     val name = s"stream_emb_dedup_pq_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+    s.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
   }
 
   /** Streaming near-dup ingestion against a DEPLOYED embedding index —
@@ -400,14 +459,15 @@ object StreamingQueries {
     * the batch replay: assign everything by base-trained centers and
     * keep the delta x base in-cell pairs. */
   def streamEmbeddingDedupFiles(spark: SparkSession, dir: String): DataFrame = {
-    val matched = embeddingProbeStream(spark, dir)
+    val s = streamSession(spark, dir, "embeddings.parquet")
+    val matched = embeddingProbeStream(s, dir)
     val name = s"stream_emb_dedup_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+    s.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
   }
 
   /** Streaming near-dup ingestion against a DEPLOYED MinHash band
@@ -501,14 +561,15 @@ object StreamingQueries {
     * distinct'd (collapsing the per-shared-band duplicate emissions
     * of identical verified rows). */
   def streamMinhashDedupFiles(spark: SparkSession, dir: String): DataFrame = {
-    val matched = minhashProbeStream(spark, dir)
+    val s = streamSession(spark, dir, "documents.parquet")
+    val matched = minhashProbeStream(s, dir)
     val name = s"stream_minhash_dedup_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    s.table(name)
       .select(col("delta_id"), col("base_id"), col("jaccard_c")).distinct()
   }
 
@@ -562,10 +623,11 @@ object StreamingQueries {
     * pinned oracle's scale limit into an explicit failure. */
   def streamEmbeddingDedupAutoFiles(spark: SparkSession,
       dir: String): DataFrame = {
+    val s = streamSession(spark, dir, "embeddings.parquet")
     val payload = residentFloatBytes(spark, dir)
     SimQueries.requireFloatBranch("stream_embedding_dedup_auto_files",
       payload, "stream_embedding_dedup_pq_files")
-    val matched = embeddingProbeStreamAuto(spark, dir,
+    val matched = embeddingProbeStreamAuto(s, dir,
       payloadBytes = Some(payload))
     val name = s"stream_emb_dedup_auto_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
@@ -573,7 +635,7 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
-    spark.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
+    s.table(name).select(col("delta_id"), col("base_id"), col("score_c"))
   }
 
   /** CMS geometry + probes for [[streamCmsFiles]] — the five live
@@ -597,8 +659,9 @@ object StreamingQueries {
     * term), and the estimates equal the batch replay cell-for-cell —
     * which is what the DuckDB oracle computes. */
   def streamCmsFiles(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark, dir, "events.parquet")
     import spark.implicits._
-    val sk = eventsFileStream(spark, dir)
+    val sk = eventsFileStream(s, dir)
       .select(col("event_type"))
       .agg(call_function("graft_cms_sketch", col("event_type"),
         lit(StreamCmsDepth), lit(StreamCmsWidth)).as("sk"))
@@ -611,7 +674,7 @@ object StreamingQueries {
     // The final sketch is one fixed-size row in the memory sink —
     // a driver-side scalar (the cms_freq convention): inline it as a
     // literal and probe with a pure projection, no join.
-    val skArr: Array[Long] = spark.table(name).as[Seq[Long]].head().toArray
+    val skArr: Array[Long] = s.table(name).as[Seq[Long]].head().toArray
     val probes = StreamCmsProbes.toDF("term")
     val perRow = (0 until StreamCmsDepth).map { r =>
       element_at(lit(skArr),
