@@ -52,6 +52,48 @@ object SimQueries {
   private[graft] def sqrtCells(v: DataFrame): Long =
     math.max(8L, math.sqrt(v.count().toDouble).round)
 
+  /** Run two INDEPENDENT driver-blocking index-construction chains as
+    * concurrent Spark jobs (optimization guide §2.6: actions are only
+    * sequential because the driver calls them sequentially — a second
+    * in-flight chain back-fills executors idled by the first chain's
+    * collect barriers and scheduling gaps). Used where k-means center
+    * training and PQ codebook training are independent computations
+    * over the same corpus: the results are the ones the sequential
+    * calls produce, by construction — nothing is shared but the
+    * (immutable) input frame. */
+  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(fb)
+    val a = fa
+    (a, Await.result(fut, Duration.Inf))
+  }
+
+  /** [[sqrtCells]] from an already-measured row count (shared stats —
+    * no second count job). */
+  private def sqrtCellsOf(n: Long): Long =
+    math.max(8L, math.sqrt(n.toDouble).round)
+
+  /** (row count, float payload bytes) of the ×4 AUGMENTED corpus from
+    * ONE aggregate over the base embeddings table (guide §1.2: don't
+    * compute things twice). [[augmentedVectors]] is a row-preserving
+    * 4-way union of length-preserving rotations, so count(aug) =
+    * 4·count(base) and every member's width equals its base row's
+    * width — the two values are PROVABLY the ones `count()` /
+    * [[Similarity.floatPayloadBytes]] measure over the union, while
+    * the union formulation scans the base parquet four times per
+    * stats consumer (four corpus passes at 100 TB, four scan jobs per
+    * query here). */
+  private def augmentedStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val r = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n"), max(size(col("embedding"))).as("dim"))
+      .head()
+    val n = 4L * r.getLong(0)
+    val dim = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
+    (n, n * dim * 4L)
+  }
+
   /** Brute-force exact top-k (the correctness baseline; queries are the
     * vec_id < 8 slice, broadcast against the corpus). */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -257,9 +299,9 @@ object SimQueries {
       assignFor: DataFrame => (DataFrame => DataFrame)): DataFrame = {
     val base = all.filter(col("id") % 10 < 8)
     val delta = all.filter(col("id") % 10 >= 8)
-    val assigner = assignFor(base)
-    val cb = Pq.fitCodebooks(base)
-    val gate = sdcGateFor(base, cb)
+    val (assigner, (cb, gate)) = concurrently(
+      assignFor(base),
+      { val cb = Pq.fitCodebooks(base); (cb, sdcGateFor(base, cb)) })
     val bc = Pq.broadcastCodebook(all, cb)
     def coded(df: DataFrame): DataFrame =
       assigner(df)
@@ -566,7 +608,8 @@ object SimQueries {
     * a shuffle to every k-means scan of this small-file input. */
   def knnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val centers = KMeans.fitCenters(v,
+      0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1)
     Similarity.knnGraphTopK(v, centers, K, nprobe = 2)
   }
 
@@ -585,7 +628,8 @@ object SimQueries {
     * not just the output shape. */
   def knnGraphIvf2(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val centers = KMeans.fitCenters(v,
+      0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1)
     Similarity.knnGraphTopKTwoLevel(v, centers,
       Similarity.coarseKFor(centers.length), K, nprobe = 2)
   }
@@ -601,9 +645,12 @@ object SimQueries {
     * (two-level assignment CTEs + PQ codebook CTEs + SDC tail). */
   def knnGraphIvf2Pq(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val (centers, cb) = concurrently(
+      KMeans.fitCenters(v,
+        0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1),
+      Pq.fitCodebooks(v))
     Similarity.knnGraphTopKTwoLevelPq(v, centers,
-      Similarity.coarseKFor(centers.length), Pq.fitCodebooks(v), K,
+      Similarity.coarseKFor(centers.length), cb, K,
       nprobe = 2)
   }
 
@@ -624,7 +671,8 @@ object SimQueries {
     * itself. */
   def knnGraphAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val centers = KMeans.fitCenters(v,
+      0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1)
     // The registered oracle is hard-pinned to the flat replay, which is
     // only the branch the dispatcher takes while sqrt(4n) centers stay
     // within FlatCentersMax (~1M base vectors). Past that the two-level
@@ -652,8 +700,8 @@ object SimQueries {
     * mismatch (the knn_graph_auto pattern). */
   def knnGraphPayloadAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    val payload = Similarity.floatPayloadBytes(v)
+    val (n, payload) = augmentedStats(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCellsOf(n), iters = 1)
     requireFloatBranch("knn_graph_payload_auto", payload, "knn_graph_ivfpq")
     Similarity.knnGraphTopKPayloadAuto(v, centers, K, nprobe = 2,
       payloadBytes = Some(payload))
@@ -673,10 +721,10 @@ object SimQueries {
     * limits explicit failures instead of hash mismatches. */
   def knnGraphFullAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val (n, payload) = augmentedStats(spark, dir)
+    val centers = KMeans.fitCenters(v, 0L until sqrtCellsOf(n), iters = 1)
     requireFlatBranch("knn_graph_full_auto", centers.length,
       "knn_graph_ivf2 (float) / knn_graph_ivf2pq (codes)")
-    val payload = Similarity.floatPayloadBytes(v)
     requireFloatBranch("knn_graph_full_auto", payload,
       "knn_graph_ivfpq (flat) / knn_graph_ivf2pq (two-level)")
     Similarity.knnGraphTopKFullAuto(v, centers, K, nprobe = 2,
@@ -711,7 +759,8 @@ object SimQueries {
     * forced-target differential on both sides. */
   def knnGraphProbeAuto(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val centers = KMeans.fitCenters(v,
+      0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1)
     val p = Similarity.probeFor(v, centers)
     requireProbePinned("knn_graph_probe_auto", p, 2,
       "a re-pin of the oracle to trainedAssignSql(nprobe=chosen) — " +
@@ -770,7 +819,7 @@ object SimQueries {
   private[graft] def knnGraphSrpAutoOp(spark: SparkSession, dir: String,
       onePass: Boolean): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val planes = Similarity.planesFor(v.count())
+    val planes = Similarity.planesFor(augmentedStats(spark, dir)._1)
     Similarity.srpKnnGraph(v, dim = 64, bands = 4, planes = planes, k = K,
       onePass = onePass)
   }
@@ -803,9 +852,11 @@ object SimQueries {
     * the blocking loss and the compression loss separately. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val (centers, cb) = concurrently(
+      KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1),
+      Pq.fitCodebooks(v))
     Similarity.ivfTopKByCentersPq(v.filter(col("id") < 8), v, centers,
-      Pq.fitCodebooks(v), K, nprobe = 2)
+      cb, K, nprobe = 2)
   }
 
   /** Two-stage compressed search ([[Similarity.rerankExact]] over an
@@ -817,9 +868,11 @@ object SimQueries {
   def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
     val q = v.filter(col("id") < 8)
-    val centers = KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1)
+    val (centers, cb) = concurrently(
+      KMeans.fitCenters(v, 0L until TrainedK.toLong, iters = 1),
+      Pq.fitCodebooks(v))
     val shortlist = Similarity.ivfTopKByCentersPq(q, v, centers,
-      Pq.fitCodebooks(v), K * 4, nprobe = 2)
+      cb, K * 4, nprobe = 2)
     Similarity.rerankExact(shortlist, q, v, K)
   }
 
@@ -857,8 +910,11 @@ object SimQueries {
     * SRP / IVFPQ). */
   def knnGraphIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    Similarity.knnGraphTopKPq(v, centers, Pq.fitCodebooks(v), K, nprobe = 2)
+    val (centers, cb) = concurrently(
+      KMeans.fitCenters(v,
+        0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1),
+      Pq.fitCodebooks(v))
+    Similarity.knnGraphTopKPq(v, centers, cb, K, nprobe = 2)
   }
 
   /** ENGINE-CHOSEN SDC prefilter gate (the [[Similarity.planesFor]]
@@ -906,9 +962,9 @@ object SimQueries {
     * checkpoints components, which cuts this stage out of the final
     * plan). */
   private[graft] def semDedupPqCandidates(v: DataFrame): DataFrame = {
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
-    val cb = Pq.fitCodebooks(v)
-    val gate = sdcGateFor(v, cb)
+    val (centers, (cb, gate)) = concurrently(
+      KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1),
+      { val cb = Pq.fitCodebooks(v); (cb, sdcGateFor(v, cb)) })
     val bc = Pq.broadcastCodebook(v, cb)
     val coded = Similarity.assignByCenters(v, centers)
       .withColumn("codes", Pq.encodeCol("vec", bc))
@@ -948,9 +1004,12 @@ object SimQueries {
     * a broadcast of a corpus-sized shortlist. */
   def knnGraphIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
     val v = augmentedVectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val (centers, cb) = concurrently(
+      KMeans.fitCenters(v,
+        0L until sqrtCellsOf(augmentedStats(spark, dir)._1), iters = 1),
+      Pq.fitCodebooks(v))
     val shortlist = Similarity.knnGraphTopKPq(v, centers,
-      Pq.fitCodebooks(v), K * 4, nprobe = 2)
+      cb, K * 4, nprobe = 2)
     Similarity.rerankExactGraph(shortlist, v, K)
   }
 
