@@ -35,12 +35,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Redistribute a frame across the session's shuffle width. The doc/
-    * embedding tables arrive as a single parquet file -> ONE partition,
-    * which serializes every downstream n-gram/hash/cosine projection
-    * onto one core; compute-heavy operators call this before their
-    * expensive stage. (At real scale inputs arrive in many splits and
-    * this becomes a cheap no-op-ish rebalance.) */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  /** Redistribute a frame across the session's shuffle width — but
+    * ONLY when the source actually arrives under-parallel. The doc/
+    * embedding tables here arrive as a single parquet file -> ONE
+    * partition, which serializes every downstream n-gram/hash/cosine
+    * projection onto one core; compute-heavy operators call this
+    * before their expensive stage.
+    *
+    * The width check makes the rebalance SCALE-ADAPTIVE (optimization
+    * guide §2.4 — remove shuffles outright): at real scale inputs
+    * arrive in hundreds of splits, and the former unconditional
+    * `repartition(width)` was a full corpus exchange that bought
+    * nothing — every stats count, training aggregate, and projection
+    * above it paid a corpus-sized shuffle before doing its work. Rows
+    * and results are identical either way (round-robin repartition is
+    * partitioning-only); the check itself is driver-side planning
+    * (split enumeration), not a job. */
+  def spread(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // A streaming frame has no static split count to inspect (`.rdd`
+    // would throw); its width is governed per-batch by the stream
+    // session's shuffle sizing, so it keeps the unconditional
+    // rebalance unchanged.
+    if (!df.isStreaming && df.rdd.getNumPartitions >= width) df
+    else df.repartition(width)
+  }
 }

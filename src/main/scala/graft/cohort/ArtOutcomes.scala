@@ -160,7 +160,31 @@ object ArtOutcomes {
     *    nondeterministic); disc_id breaks ties here so reruns agree. */
   def outcomes(patients: DataFrame, visits: DataFrame, pharmacy: DataFrame,
       exits: DataFrame, disc: DataFrame, spine: DataFrame,
-      encounterUniverse: Boolean = false): DataFrame = {
+      encounterUniverse: Boolean = false,
+      spineBounds: Option[(LocalDate, LocalDate)] = None): DataFrame = {
+
+    // The spine's (lo, hi) month-end bounds: with `spineBounds` (the
+    // from/to dates the caller built the spine from — the production
+    // case: a literal reporting window) they are DRIVER-SIDE literals,
+    // which removes one aggregate job and two broadcast exchanges from
+    // every cohort plan; without, the original broadcast aggregate
+    // runs. The literal values are exactly what the aggregate computes
+    // (min/max over last_day of each month in [from, to] = last_day of
+    // from/to's months; asserted equal in ArtOutcomesSpec).
+    val spineAgg = spine.agg(min(col("as_of")).as("lo"),
+      max(col("as_of")).as("hi"))
+    def attachBounds(df: DataFrame, cols: Seq[String]): DataFrame =
+      spineBounds match {
+        case Some((from, to)) =>
+          val bound = Map(
+            "lo" -> lit(from.withDayOfMonth(from.lengthOfMonth).toString)
+              .cast("date"),
+            "hi" -> lit(to.withDayOfMonth(to.lengthOfMonth).toString)
+              .cast("date"))
+          cols.foldLeft(df)((d, c) => d.withColumn(c, bound(c)))
+        case None =>
+          df.join(broadcast(spineAgg.select(cols.map(col): _*)))
+      }
 
     // Common tall shape: (patient_id, kind, __fdate, __t1, __t2, payload...)
     val payloadFields = Seq("visit_date", "next_appt", "dispense_date",
@@ -187,9 +211,7 @@ object ArtOutcomes {
 
     // 1. latest fact per (patient, kind, visible-month bucket) —
     //    max_by partial aggregation, see latestAsOf.
-    val spineAgg = spine.agg(min(col("as_of")).as("lo"), max(col("as_of")).as("hi"))
-    val bucketed = allFacts
-      .join(broadcast(spineAgg))
+    val bucketed = attachBounds(allFacts, Seq("lo", "hi"))
       .filter(col("__fdate") <= col("hi"))
       .withColumn("__bucket", greatest(last_day(col("__fdate")), col("lo")))
     val perBucket = bucketed
@@ -218,8 +240,7 @@ object ArtOutcomes {
     val bMon = trunc(col("__bucket"), "MM")
     val endMon = when(col("__next").isNull, trunc(col("hi"), "MM"))
       .otherwise(add_months(trunc(col("__next"), "MM"), -1))
-    val filled = perBucket
-      .join(broadcast(spineAgg.select(col("hi"))))
+    val filled = attachBounds(perBucket, Seq("hi"))
       .withColumn("__next", lead(col("__bucket"), 1).over(wl))
       .select(col("patient_id").as("__l_pid"), col("kind").as("__l_kind"),
         explode(transform(

@@ -87,8 +87,8 @@ object CohortQueries {
 
   private def artOutcomeImpl(spark: SparkSession, dir: String,
       encounterUniverse: Boolean): DataFrame = {
-    val spine = ArtOutcomes.monthEndSpine(spark,
-      LocalDate.of(1998, 1, 1), LocalDate.of(1998, 12, 1))
+    val (spineFrom, spineTo) = (LocalDate.of(1998, 1, 1), LocalDate.of(1998, 12, 1))
+    val spine = ArtOutcomes.monthEndSpine(spark, spineFrom, spineTo)
     val patients = Tables.customer(spark, dir)
       .select(col("c_custkey").as("patient_id"))
     // 'P' orders model unscheduled visits; urgent orders model the
@@ -122,7 +122,11 @@ object CohortQueries {
         .as("disc_reason"),
       col("event_id").as("disc_id"))
     ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine,
-        encounterUniverse)
+        encounterUniverse,
+        // The spine is built from these same literals: threading them
+        // removes the spine-bounds aggregate job + two broadcast
+        // exchanges from the plan (ArtOutcomes.outcomes doc).
+        spineBounds = Some((spineFrom, spineTo)))
       .select(col("patient_id"), iso(col("as_of")).as("as_of"),
         iso(col("last_encounter")).as("last_encounter"),
         iso(col("next_expected")).as("next_expected"), col("outcome"))

@@ -499,16 +499,27 @@ object PipelineQueries {
     * The global rank window runs over K rows, not the corpus. */
   def tokenizeIds(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocab = Tables.spread(Tables.documents(spark, dir))
-      .select(explode(TF.tokens(col("text"))).as("token"))
+    // ONE materialized token stream (the bpeTokenize pattern): the
+    // vocabulary tf-aggregate and the id-lookup probe both consume the
+    // tokenize + explode projection, so they ride a single explicit
+    // doc_id exchange (which the final per-doc reassembly needs
+    // anyway — its groupBy inherits the partitioning, no further
+    // corpus shuffle). The tf-aggregate reads the SAME posexploded
+    // frame as the probe — the token multiset is identical, only the
+    // unused pos column differs — and the `pos >= 0` pin keeps pos in
+    // both consumers' column sets so the exchange subtrees stay
+    // canonically equal (exchange reuse; plan-audited).
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
+      .repartition(col("doc_id"))
+      .filter(col("pos") >= 0)
+    val vocab = toks
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token").asc).limit(TokenizerK)
       .withColumn("tid", row_number().over(
         Window.orderBy(col("tf").desc, col("token").asc)).cast("long"))
       .select(col("token"), col("tid"))
-    val toks = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"),
-        posexplode(TF.tokens(col("text"))).as(Seq("pos", "token")))
     toks.join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("tid"), lit(0L)).as("tid"))
@@ -572,8 +583,23 @@ object PipelineQueries {
       .select(col("doc_id"),
         posexplode(TF.tokens(col("text"))).as(Seq("pos", "tok")))
       .filter(length(col("tok")) > 0)
+    // ONE materialized piece stream: the vocab (distinct) and the
+    // id-lookup probe both consume the tokenize + merge-chain + explode
+    // projection — the expensive part — so they must ride a single
+    // explicit exchange, reused at runtime (the span_dedup pattern).
+    // The exchange key is doc_id, which the final per-doc reassembly
+    // needs anyway: the groupBy below inherits the partitioning and
+    // pays NO further corpus shuffle. The `pos >= 0 AND pidx >= 0` pin
+    // (true by construction — generator positions are 0-based — but
+    // unprovable) sits on the SHARED frame so column pruning keeps
+    // (pos, pidx) in BOTH consumers' copies of the exchange subtree;
+    // without it the vocab branch would prune to (doc_id, piece), the
+    // subtrees would stop canonicalizing equal, and the merge chain
+    // would run twice (measured: two full tokenize passes).
     val pieces = toks.select(col("doc_id"), col("pos"),
-      posexplode(bpePieces(col("tok"))).as(Seq("pidx", "piece")))
+        posexplode(bpePieces(col("tok"))).as(Seq("pidx", "piece")))
+      .repartition(col("doc_id"))
+      .filter(col("pos") >= 0 && col("pidx") >= 0)
     val vocab = pieces.select(col("piece")).distinct()
       .withColumn("pid",
         row_number().over(Window.orderBy(col("piece"))).cast("long"))

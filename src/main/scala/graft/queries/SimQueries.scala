@@ -61,7 +61,7 @@ object SimQueries {
     * over the same corpus: the results are the ones the sequential
     * calls produce, by construction — nothing is shared but the
     * (immutable) input frame. */
-  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+  private[graft] def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -72,7 +72,7 @@ object SimQueries {
 
   /** [[sqrtCells]] from an already-measured row count (shared stats —
     * no second count job). */
-  private def sqrtCellsOf(n: Long): Long =
+  private[graft] def sqrtCellsOf(n: Long): Long =
     math.max(8L, math.sqrt(n.toDouble).round)
 
   /** (row count, float payload bytes) of the ×4 AUGMENTED corpus from
@@ -92,6 +92,24 @@ object SimQueries {
     val n = 4L * r.getLong(0)
     val dim = if (r.isNullAt(1)) 0L else r.getInt(1).toLong
     (n, n * dim * 4L)
+  }
+
+  /** (row count, `id % 10 < 8` base-slice row count, float payload
+    * bytes) of the PLAIN registered corpus in ONE base-table
+    * aggregate — the same values the per-wrapper `count()` /
+    * [[Similarity.floatPayloadBytes]] jobs measured over
+    * [[vectors]] (which only renames and round-robin-repartitions the
+    * base columns — counts and widths are repartition-invariant),
+    * WITHOUT executing the spread exchange a stats job doesn't need:
+    * at 100 TB the spread-side count moved the whole corpus through a
+    * shuffle to count it. */
+  private[graft] def plainStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val r = Tables.embeddings(spark, dir).agg(
+      count(lit(1)).as("n"),
+      count(when(col("vec_id") % 10 < 8, 1)).as("nb"),
+      max(size(col("embedding"))).as("dim")).head()
+    val dim = if (r.isNullAt(2)) 0L else r.getInt(2).toLong
+    (r.getLong(0), r.getLong(1), r.getLong(0) * dim * 4L)
   }
 
   /** Brute-force exact top-k (the correctness baseline; queries are the
@@ -148,7 +166,8 @@ object SimQueries {
     * O(n^1.5) total instead of O(n^2/k) with fixed k). */
   def embeddingDedupTrained(spark: SparkSession, dir: String): DataFrame = {
     val v = vectors(spark, dir)
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+    val centers = KMeans.fitCenters(v,
+      0L until sqrtCellsOf(plainStats(spark, dir)._1), iters = 1)
     dedupPairs(Similarity.assignByCenters(v, centers))
   }
 
@@ -170,10 +189,13 @@ object SimQueries {
     * k-means training relationally and closes the clusters with a
     * recursive CTE — the hash proves cluster labels AND keep set. */
   def semDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupOver(vectors(spark, dir))
+    semDedupOver(vectors(spark, dir),
+      Some(sqrtCellsOf(plainStats(spark, dir)._1)))
 
-  private[graft] def semDedupOver(v: DataFrame): DataFrame = {
-    val centers = KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1)
+  private[graft] def semDedupOver(v: DataFrame,
+      cells: Option[Long] = None): DataFrame = {
+    val centers = KMeans.fitCenters(v,
+      0L until cells.getOrElse(sqrtCells(v)), iters = 1)
     val pairs = dedupPairs(Similarity.assignByCenters(v, centers))
     semDedupTail(v, pairs)
   }
@@ -206,7 +228,8 @@ object SimQueries {
     * residents, so a daily delta costs O(|delta| · cell population),
     * not a corpus re-pair. */
   def embeddingDedupIncr(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOver(vectors(spark, dir), FlatBaseAssign)
+    incrementalDedupOver(vectors(spark, dir),
+      flatAssignK(sqrtCellsOf(plainStats(spark, dir)._2)))
 
   /** The FLAT base-trained assigner builder — the `assignFor` slot of
     * the forced flat rows ([[embeddingDedupIncr]],
@@ -214,9 +237,13 @@ object SimQueries {
     * corpus and pins [[Similarity.assignByCenters]] explicitly (a
     * forced row must not depend on the dispatcher's predicate). */
   private[graft] val FlatBaseAssign: DataFrame => (DataFrame => DataFrame) =
+    base => flatAssignK(sqrtCells(base))(base)
+
+  /** [[FlatBaseAssign]] with the cell count already measured (shared
+    * base-table stats — no count job over the spread frame). */
+  private[graft] def flatAssignK(k: Long): DataFrame => (DataFrame => DataFrame) =
     base => {
-      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
-        iters = 1)
+      val centers = KMeans.fitCenters(base, 0L until k, iters = 1)
       df => Similarity.assignByCenters(df, centers)
     }
 
@@ -226,9 +253,12 @@ object SimQueries {
     * coarse quantizer built over them once (n^(1/4) sizing),
     * [[Similarity.assignByTwoLevel]] pinned explicitly. */
   private[graft] val TwoLevelBaseAssign: DataFrame => (DataFrame => DataFrame) =
+    base => twoLevelAssignK(sqrtCells(base))(base)
+
+  /** [[TwoLevelBaseAssign]] with the cell count already measured. */
+  private[graft] def twoLevelAssignK(k: Long): DataFrame => (DataFrame => DataFrame) =
     base => {
-      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
-        iters = 1)
+      val centers = KMeans.fitCenters(base, 0L until k, iters = 1)
       val index = Similarity.buildTwoLevelIndex(centers,
         Similarity.coarseKFor(centers.length))
       df => Similarity.assignByTwoLevel(df, index)
@@ -285,7 +315,8 @@ object SimQueries {
     * Scale shape: the delta pairs only within its cells, in code
     * space; the float corpus is touched at candidate cardinality. */
   def embeddingDedupPqIncr(spark: SparkSession, dir: String): DataFrame =
-    embeddingDedupPqIncrOver(vectors(spark, dir), FlatBaseAssign)
+    embeddingDedupPqIncrOver(vectors(spark, dir),
+      flatAssignK(sqrtCellsOf(plainStats(spark, dir)._2)))
 
   /** Shared body of the PQ-COMPRESSED incremental maintenance family —
     * the compressed sibling of [[incrementalDedupOver]], with the same
@@ -364,7 +395,8 @@ object SimQueries {
     * two-level constant, not the flat |fine|·dim — then
     * O(|delta| · cell population) pair work. */
   def embeddingDedupIvf2Incr(spark: SparkSession, dir: String): DataFrame =
-    incrementalDedupOver(vectors(spark, dir), TwoLevelBaseAssign)
+    incrementalDedupOver(vectors(spark, dir),
+      twoLevelAssignK(sqrtCellsOf(plainStats(spark, dir)._2)))
 
   /** INCREMENTAL maintenance of the TWO-LEVEL × PQ index — the fourth
     * quadrant of the dedup matrix ({flat, coarse→fine} ×
@@ -382,7 +414,8 @@ object SimQueries {
     * pair exchange, composed — the same pairing `knn_graph_ivf2pq`
     * proved time-neutral at sf10 (BENCH_SF10_IVF2PQ). */
   def embeddingDedupIvf2PqIncr(spark: SparkSession, dir: String): DataFrame =
-    embeddingDedupPqIncrOver(vectors(spark, dir), TwoLevelBaseAssign)
+    embeddingDedupPqIncrOver(vectors(spark, dir),
+      twoLevelAssignK(sqrtCellsOf(plainStats(spark, dir)._2)))
 
   /** The engine-chosen member of the incremental family
     * ([[Similarity.assignerFor]] in the `assignFor` slot — the
@@ -401,8 +434,8 @@ object SimQueries {
     * scale limit into an explicit failure. */
   def embeddingDedupAutoIncr(spark: SparkSession, dir: String): DataFrame =
     incrementalDedupOver(vectors(spark, dir), base => {
-      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
-        iters = 1)
+      val centers = KMeans.fitCenters(base,
+        0L until sqrtCellsOf(plainStats(spark, dir)._2), iters = 1)
       requireFlatBranch("embedding_dedup_auto_incr", centers.length,
         "embedding_dedup_ivf2_incr")
       Similarity.assignerFor(centers)
@@ -451,10 +484,11 @@ object SimQueries {
     * differential-tests both sides of a forced bound. */
   private[graft] def embeddingDedupPayloadAutoIncrOver(all: DataFrame,
       payloadMax: Long = Similarity.FloatPayloadBytesMax,
-      payloadBytes: Option[Long] = None): DataFrame =
+      payloadBytes: Option[Long] = None,
+      assignFor: DataFrame => (DataFrame => DataFrame) = FlatBaseAssign): DataFrame =
     if (payloadBytes.getOrElse(Similarity.floatPayloadBytes(all)) <= payloadMax)
-      incrementalDedupOver(all, FlatBaseAssign)
-    else embeddingDedupPqIncrOver(all, FlatBaseAssign)
+      incrementalDedupOver(all, assignFor)
+    else embeddingDedupPqIncrOver(all, assignFor)
 
   /** [[embeddingDedupPayloadAutoIncrOver]] as a REGISTERED row: at
     * every bench SF the float payload sits orders of magnitude under
@@ -467,10 +501,14 @@ object SimQueries {
   def embeddingDedupPayloadAutoIncr(spark: SparkSession,
       dir: String): DataFrame = {
     val all = vectors(spark, dir)
-    val payload = Similarity.floatPayloadBytes(all)
+    // ONE base-table aggregate serves the payload predicate AND the
+    // assigner's cell sizing (plainStats doc — was two jobs, each
+    // executing the spread exchange).
+    val (_, nBase, payload) = plainStats(spark, dir)
     requireFloatBranch("embedding_dedup_payload_auto_incr", payload,
       "embedding_dedup_pq_incr")
-    embeddingDedupPayloadAutoIncrOver(all, payloadBytes = Some(payload))
+    embeddingDedupPayloadAutoIncrOver(all, payloadBytes = Some(payload),
+      assignFor = flatAssignK(sqrtCellsOf(nBase)))
   }
 
   /** The DEPLOYMENT entry point of the incremental dedup family — the
@@ -494,10 +532,11 @@ object SimQueries {
       flatMax: Int = Similarity.FlatCentersMax,
       payloadMax: Long = Similarity.FloatPayloadBytesMax,
       payloadBytes: Option[Long] = None,
-      onCenters: Array[(Long, Array[Float])] => Unit = _ => ()): DataFrame = {
+      onCenters: Array[(Long, Array[Float])] => Unit = _ => (),
+      baseCells: Option[Long] = None): DataFrame = {
     val assignFor: DataFrame => (DataFrame => DataFrame) = base => {
-      val centers = KMeans.fitCenters(base, 0L until sqrtCells(base),
-        iters = 1)
+      val centers = KMeans.fitCenters(base,
+        0L until baseCells.getOrElse(sqrtCells(base)), iters = 1)
       onCenters(centers)
       Similarity.assignerFor(centers, flatMax)
     }
@@ -516,13 +555,16 @@ object SimQueries {
   def embeddingDedupFullAutoIncr(spark: SparkSession,
       dir: String): DataFrame = {
     val all = vectors(spark, dir)
-    val payload = Similarity.floatPayloadBytes(all)
+    // ONE base-table aggregate serves the payload predicate AND the
+    // assigner's cell sizing (plainStats doc).
+    val (_, nBase, payload) = plainStats(spark, dir)
     requireFloatBranch("embedding_dedup_full_auto_incr", payload,
       "embedding_dedup_pq_incr (flat) / embedding_dedup_ivf2_pq_incr " +
         "(two-level)")
     embeddingDedupFullAutoIncrOver(all, payloadBytes = Some(payload),
       onCenters = cs => requireFlatBranch("embedding_dedup_full_auto_incr",
-        cs.length, "embedding_dedup_ivf2_incr"))
+        cs.length, "embedding_dedup_ivf2_incr"),
+      baseCells = Some(sqrtCellsOf(nBase)))
   }
 
   /** SRP-LSH banding parameters: [[SrpBands]] independent hash tables
@@ -955,15 +997,17 @@ object SimQueries {
     * stage. The join-back is id-keyed — cardinality |candidates|,
     * not |pairs|. */
   def semDedupPq(spark: SparkSession, dir: String): DataFrame =
-    semDedupPqOver(vectors(spark, dir))
+    semDedupPqOver(vectors(spark, dir),
+      Some(sqrtCellsOf(plainStats(spark, dir)._1)))
 
   /** The code-space candidate stage of [[semDedupPqOver]], exposed so
     * the plan audit can pin its exchange width (the registered query
     * checkpoints components, which cuts this stage out of the final
     * plan). */
-  private[graft] def semDedupPqCandidates(v: DataFrame): DataFrame = {
+  private[graft] def semDedupPqCandidates(v: DataFrame,
+      cells: Option[Long] = None): DataFrame = {
     val (centers, (cb, gate)) = concurrently(
-      KMeans.fitCenters(v, 0L until sqrtCells(v), iters = 1),
+      KMeans.fitCenters(v, 0L until cells.getOrElse(sqrtCells(v)), iters = 1),
       { val cb = Pq.fitCodebooks(v); (cb, sdcGateFor(v, cb)) })
     val bc = Pq.broadcastCodebook(v, cb)
     val coded = Similarity.assignByCenters(v, centers)
@@ -980,8 +1024,9 @@ object SimQueries {
       .select(col("id_a"), col("id_b"))
   }
 
-  private[graft] def semDedupPqOver(v: DataFrame): DataFrame = {
-    val cand = semDedupPqCandidates(v)
+  private[graft] def semDedupPqOver(v: DataFrame,
+      cells: Option[Long] = None): DataFrame = {
+    val cand = semDedupPqCandidates(v, cells)
     val vn = v.withColumn("nrm", Similarity.norm(col("vec")))
     val pairs = cand
       .join(vn.select(col("id").as("id_a"), col("vec").as("vec_a"),

@@ -323,8 +323,12 @@ object StreamingQueries {
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .filter(col("id") % 10 < 8)
+    // Cell sizing from the shared base-table aggregate (the same
+    // count sqrtCells(base) measures — repartition-invariant), without
+    // executing the spread exchange for a stats job (SimQueries.plainStats).
     val centers = KMeans.fitCenters(base,
-      0L until SimQueries.sqrtCells(base), iters = 1)
+      0L until SimQueries.sqrtCellsOf(SimQueries.plainStats(spark, dir)._2),
+      iters = 1)
     val baseA = Similarity.assignByCenters(base, centers)
       .select(col("bucket"), col("id").as("base_id"),
         col("vec").as("b_vec"), col("nrm").as("b_nrm"))
@@ -376,10 +380,18 @@ object StreamingQueries {
     val base = Tables.spread(Tables.embeddings(spark, dir))
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
       .filter(col("id") % 10 < 8)
-    val centers = KMeans.fitCenters(base,
-      0L until SimQueries.sqrtCells(base), iters = 1)
-    val cb = Pq.fitCodebooks(base)
-    val gate = SimQueries.sdcGateFor(base, cb)
+    // Cell sizing from the shared base-table aggregate (the same
+    // count sqrtCells(base) measures — repartition-invariant), without
+    // executing the spread exchange for a stats job (SimQueries.plainStats).
+    // Independent setup chains run as concurrent jobs (the
+    // SimQueries.concurrently contract): center training vs codebook
+    // training + gate measurement share nothing but the base frame.
+    val (centers, (cb, gate)) = SimQueries.concurrently(
+      KMeans.fitCenters(base,
+        0L until SimQueries.sqrtCellsOf(SimQueries.plainStats(spark, dir)._2),
+        iters = 1),
+      { val cb = Pq.fitCodebooks(base)
+        (cb, SimQueries.sdcGateFor(base, cb)) })
     val bc = Pq.broadcastCodebook(base, cb)
     val baseCoded = Similarity.assignByCenters(base, centers)
       .withColumn("codes", Pq.encodeCol("vec", bc))

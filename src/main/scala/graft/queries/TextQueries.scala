@@ -139,7 +139,19 @@ object TextQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap)
       .select(col("lang"), col("g"))
+    // ONE materialized capped-shingle stream: the per-doc size
+    // aggregate and BOTH self-join sides consume the tokenize +
+    // shingle + explode + anti-join pipeline — the expensive part —
+    // so they ride a single explicit (lang, g) exchange, reused at
+    // runtime (the span_dedup pattern; before this the pipeline ran
+    // once per consumer: three corpus tokenizations beyond the df
+    // aggregate's own). (lang, g) is exactly the self-join key, so
+    // the join adds NO further exchange; pruning keeps all three
+    // columns in the counts branch too (doc_id is its grouping key,
+    // lang/g are the partitioning expressions), so the subtrees stay
+    // canonically equal.
     val shC = sh.join(broadcast(hot), Seq("lang", "g"), "left_anti")
+      .repartition(col("lang"), col("g"))
     // Per-doc sizes over the SAME capped space the intersection counts.
     val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = shC.select(col("doc_id").as("doc_a"), col("lang"), col("g"))
@@ -276,17 +288,29 @@ object TextQueries {
     * over the corpus, one doc_id-partitioned shuffle beyond
     * [[spanDedup]]'s own. */
   def spanDedupCut(spark: SparkSession, dir: String): DataFrame = {
+    // Spans collapse to ONE array row per affected doc, so the cut is
+    // a single pass over a single tokenization: the former
+    // covered-positions LEFT ANTI formulation tokenized the corpus
+    // TWICE (anti-join probe + covered derivation) and shuffled the
+    // full token stream through two (doc_id, pos) exchanges; here the
+    // token stream is produced once, the span-array join is doc-keyed
+    // (broadcast-sized at bench SFs, |docs-with-spans| at scale), and
+    // "kept" = not inside ANY span — exactly the anti-join's
+    // membership, row for row. A doc with no spans joins null and
+    // keeps everything (the coalesce).
     val spans = spanDedup(spark, dir)
-      .select(col("doc_id"), col("span_start"), col("span_end"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
     val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"),
         posexplode(TF.tokens(col("text"))).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"))
-    val covered = toks.join(spans, Seq("doc_id"))
-      .filter(col("pos") >= col("span_start") && col("pos") <= col("span_end"))
-      .select(col("doc_id"), col("pos"))
-    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    toks.join(spans, Seq("doc_id"), "left")
+      .filter(!coalesce(exists(col("__spans"),
+        s => col("pos") >= s.getField("span_start") &&
+          col("pos") <= s.getField("span_end")), lit(false)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(

@@ -127,4 +127,23 @@ class ArtOutcomesSpec extends SparkSpec {
     assert(ref.size < full.size)
     assert(!ref.exists(_._1 == 3L) && full.exists(_._1 == 3L))
   }
+
+  test("driver-side spineBounds literals produce exactly the aggregate " +
+      "path's rows (r19: removes the bounds aggregate + broadcasts)") {
+    // Multi-month spine + facts straddling both bounds: patient 10's
+    // 2023 dispense folds into the lo bucket, future-dated facts drop
+    // at hi — the two places the (lo, hi) values are load-bearing.
+    val (from, to) = (LocalDate.of(2024, 1, 1), LocalDate.of(2024, 6, 1))
+    val spine = ArtOutcomes.monthEndSpine(spark, from, to)
+    def rows(bounds: Option[(LocalDate, LocalDate)]) =
+      ArtOutcomes.outcomes(patients, visits, pharmacy, exits, disc, spine,
+          encounterUniverse = false, spineBounds = bounds)
+        .collect()
+        .map(r => (r.getLong(0), String.valueOf(r.getDate(1)),
+          Option(r.getDate(2)).map(_.toString),
+          Option(r.getDate(3)).map(_.toString), r.getString(4)))
+        .toSet
+    assert(rows(Some((from, to))) == rows(None),
+      "literal spine bounds must be row-identical to the aggregate path")
+  }
 }
