@@ -64,7 +64,7 @@ object StreamingQueries {
     * re-asserted explicitly in case the parent session carries
     * overrides the context conf does not. */
   private def streamSession(spark: SparkSession, dir: String,
-      sourceFile: String): SparkSession = {
+      sourceFile: String, stateful: Boolean = true): SparkSession = {
     val s2 = spark.newSession()
     val f = new java.io.File(s"$dir/$sourceFile")
     val bytes =
@@ -74,7 +74,15 @@ object StreamingQueries {
     val parts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       (bytes + StateBytesPerPartition - 1) / StateBytesPerPartition))
-    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    // The bytes-per-partition sizing exists for STATE STORES (each
+    // partition pays a store load/commit/snapshot per micro-batch);
+    // the stateless stream-static probe rows have zero state
+    // operators (spec-asserted), and for them the override would
+    // throttle the CORPUS-SIDED static index construction (shingle /
+    // signature / k-means work inside the micro-batch) to the stream
+    // source's width — measured 2x on stream_minhash_dedup_files at
+    // sf0.1. Stateless rows keep the parent width.
+    if (stateful) s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     Seq("spark.sql.ansi.enabled", "spark.sql.session.timeZone",
         "spark.sql.legacy.parquet.nanosAsLong").foreach { k =>
@@ -259,7 +267,7 @@ object StreamingQueries {
     * batch CASE-mapped aggregate, which the oracle runs
     * independently. The stream side never shuffles for the lookup. */
   def streamRemapFiles(spark: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(spark, dir, "events.parquet")
+    val s = streamSession(spark, dir, "events.parquet", stateful = false)
     import s.implicits._
     val lookup = Seq(
       ("click", "engagement"), ("purchase", "conversion"), ("error", "fault"))
@@ -440,7 +448,7 @@ object StreamingQueries {
     * cells partition under fixed centers and codes under a fixed
     * codebook. */
   def streamEmbeddingDedupPqFiles(spark: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(spark, dir, "embeddings.parquet")
+    val s = streamSession(spark, dir, "embeddings.parquet", stateful = false)
     val matched = embeddingPqProbeStream(s, dir)
     val name = s"stream_emb_dedup_pq_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
@@ -471,7 +479,7 @@ object StreamingQueries {
     * the batch replay: assign everything by base-trained centers and
     * keep the delta x base in-cell pairs. */
   def streamEmbeddingDedupFiles(spark: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(spark, dir, "embeddings.parquet")
+    val s = streamSession(spark, dir, "embeddings.parquet", stateful = false)
     val matched = embeddingProbeStream(s, dir)
     val name = s"stream_emb_dedup_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
@@ -573,7 +581,7 @@ object StreamingQueries {
     * distinct'd (collapsing the per-shared-band duplicate emissions
     * of identical verified rows). */
   def streamMinhashDedupFiles(spark: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(spark, dir, "documents.parquet")
+    val s = streamSession(spark, dir, "documents.parquet", stateful = false)
     val matched = minhashProbeStream(s, dir)
     val name = s"stream_minhash_dedup_${runId.incrementAndGet()}"
     val q = matched.writeStream.format("memory").queryName(name)
@@ -635,7 +643,7 @@ object StreamingQueries {
     * pinned oracle's scale limit into an explicit failure. */
   def streamEmbeddingDedupAutoFiles(spark: SparkSession,
       dir: String): DataFrame = {
-    val s = streamSession(spark, dir, "embeddings.parquet")
+    val s = streamSession(spark, dir, "embeddings.parquet", stateful = false)
     val payload = residentFloatBytes(spark, dir)
     SimQueries.requireFloatBranch("stream_embedding_dedup_auto_files",
       payload, "stream_embedding_dedup_pq_files")
