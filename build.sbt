@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] runs 32 concurrent tasks in one JVM; 8g left the text
   // self-join queries GC-bound with 2-4x run-to-run swings.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // Measurement affordance: inject extra -Dspark.* confs per run
+  // (SparkConf loads spark.* system properties) for config A/Bs —
+  // e.g. SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.io.compression.codec=zstd".
+  // Empty by default, so bench/test defaults are unchanged.
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+")).filter(_.nonEmpty)
