@@ -40,5 +40,14 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS); read as BIGINT ns
       // (converted back in Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Shuffle/spill/broadcast block codec (guide §2.3/§9): zstd over
+      // the lz4 default. sf10 JobProf A/B (OPTIMIZATION_r19.md §11):
+      // shuffle bytes 0.30-0.78x on every heavy row (bpe_tokenize
+      // 2817->834 MB, spill 4381->1410 MB) at <=1x executor CPU — at
+      // cluster scale shuffle bytes cross the NIC, so the ratio is the
+      // win. Results are byte-transport-level only: no query output
+      // can change. Overridable per-run via -Dspark.io.compression.codec.
+      .config("spark.io.compression.codec",
+        sys.props.getOrElse("spark.io.compression.codec", "zstd"))
       .config("spark.ui.enabled", "false")
 }

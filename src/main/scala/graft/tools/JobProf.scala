@@ -38,6 +38,11 @@ object JobProf {
     if (!args.contains("--cold")) noop("/root/testdata/sf0.001")
 
     val jobs = mutable.LinkedHashMap.empty[Int, J]
+    // Stage-level task-metric totals: CPU time and shuffle BYTES are
+    // far less host-noise-sensitive than wall-clock (external load
+    // inflates neither the bytes a plan shuffles nor, much, the CPU a
+    // task burns), so config A/Bs (e.g. io codec) compare these.
+    var runMs, cpuNs, swBytes, srBytes, inBytes, spillMem, spillDisk = 0L
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
@@ -53,6 +58,16 @@ object JobProf {
         jobs.synchronized {
           // attribute the stage's tasks to the most recent open job
           jobs.values.lastOption.foreach(_.tasks += e.stageInfo.numTasks)
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            runMs += m.executorRunTime
+            cpuNs += m.executorCpuTime
+            swBytes += m.shuffleWriteMetrics.bytesWritten
+            srBytes += m.shuffleReadMetrics.totalBytesRead
+            inBytes += m.inputMetrics.bytesRead
+            spillMem += m.memoryBytesSpilled
+            spillDisk += m.diskBytesSpilled
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -69,6 +84,9 @@ object JobProf {
       println(f"  job ${j.id}%3d ${d}%7.3f s stages=${j.stages}%2d tasks=${j.tasks}%4d ${j.desc.take(90)}")
     }
     println(f"[jobprof] sum(job)=${covered / 1e3}%.3f s, gaps (driver/plan)=${wall - covered / 1e3}%.3f s")
+    println(f"[jobprof] totals: taskRun=${runMs / 1e3}%.1f s cpu=${cpuNs / 1e9}%.1f s " +
+      f"shufWrite=${swBytes / 1e6}%.1f MB shufRead=${srBytes / 1e6}%.1f MB " +
+      f"input=${inBytes / 1e6}%.1f MB spillMem=${spillMem / 1e6}%.1f MB spillDisk=${spillDisk / 1e6}%.1f MB")
     spark.stop()
   }
 }

@@ -25,6 +25,12 @@ class RegistrySpec extends SparkSpec {
       "live session lost the pre-ANSI pin — a cast-of-garbage would " +
         "throw instead of yielding NULL, changing E4/E16/DQ semantics")
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    // r19 §11: zstd shuffle/spill codec (0.30-0.78x shuffle bytes at
+    // sf10, <=1x CPU). -Dspark.io.compression.codec still overrides
+    // (the A/B passthrough), so assert the default only when unset.
+    if (!sys.props.contains("spark.io.compression.codec"))
+      assert(spark.conf.get("spark.io.compression.codec") == "zstd",
+        "session lost the zstd shuffle-codec default (OPTIMIZATION_r19.md §11)")
   }
 
   test("every registered query has a DuckDB oracle, and vice versa") {
